@@ -1,0 +1,170 @@
+"""Batch top-k nearest-neighbor search — the reference's core query.
+
+Reference semantics: for each of |Q| query vectors return the ids of the
+k nearest base vectors under L2, rank-ordered (FAISS `index.search(xq, k)`,
+/root/reference/dynamic_script_faiss.py:35,60; k=10 everywhere). This module
+is the exact/brute-force engine; it doubles as the ground-truth generator
+(stands in for sift_groundtruth.ivecs, dynamic_script_faiss.py:21).
+
+Two implementations with identical results:
+
+* ``knn_exact`` (primary, scale path): Arrow-batched ``mapInPandas`` kernel.
+  The query matrix (small side — the reference never exceeds 10K queries)
+  is broadcast to every partition; each partition computes a BLAS
+  distance-matrix block in float64 and emits only its LOCAL top-k per
+  query. The shuffle that follows carries ≤ |partitions|·|Q|·k rows — NOT
+  the |B|·|Q| cross product — so the plan survives a 100 TB base table:
+  scan-heavy map stage, tiny shuffle, tiny final top-k reduction. This is
+  the classic map-side-combine shape for top-k.
+
+* ``knn_exact_expr`` (Catalyst-only cross-check): crossJoin(broadcast(Q))
+  + zip_with/aggregate squared-L2 + per-query window. Whole-stage-codegen
+  end to end, no Python — but it shuffles |B|·|Q| scored rows into the
+  window, so it is the small/medium-scale and oracle-parity variant. Tests
+  assert both produce identical (q_id, rank, vec_id).
+
+Determinism: ranking orders by (dist ASC, vec_id ASC); the vec_id
+tie-break matches FIXTURES.md so results hash-compare against DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import DEFAULT_K
+from cs598vectordb_spark.functions.distance import cosine_similarity, squared_l2
+
+_KNN_SCHEMA = "q_id long, vec_id long, dist double"
+
+
+def _topk_per_query(
+    B: np.ndarray, ids: np.ndarray, Q: np.ndarray, q_ids: np.ndarray, k: int, metric: str
+) -> pd.DataFrame:
+    """Vectorized local top-k for one Arrow batch. float64 throughout."""
+    if metric == "l2":
+        # ||b-q||^2 = ||b||^2 - 2 b.q + ||q||^2  (BLAS-backed, one GEMM)
+        d2 = (
+            np.square(B).sum(axis=1, keepdims=True)
+            - 2.0 * (B @ Q.T)
+            + np.square(Q).sum(axis=1)[np.newaxis, :]
+        )
+        scores = np.maximum(d2, 0.0)  # fp noise can dip a self-distance below 0
+        ascending = True
+    elif metric == "cosine":
+        bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+        qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        scores = bn @ qn.T
+        ascending = False
+    else:  # pragma: no cover
+        raise ValueError(f"unknown metric {metric}")
+
+    n, nq = scores.shape
+    k_eff = min(k, n)
+    out_q, out_id, out_d = [], [], []
+    col = scores if ascending else -scores
+    # argpartition per query column, then exact (dist, vec_id) ordering of
+    # the k candidates for deterministic tie-breaks.
+    part = np.argpartition(col, k_eff - 1, axis=0)[:k_eff, :]
+    for j in range(nq):
+        cand = part[:, j]
+        order = np.lexsort((ids[cand], col[cand, j]))
+        sel = cand[order]
+        out_q.append(np.full(k_eff, q_ids[j], dtype=np.int64))
+        out_id.append(ids[sel])
+        out_d.append(scores[sel, j])
+    return pd.DataFrame(
+        {
+            "q_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_id),
+            "dist": np.concatenate(out_d),
+        }
+    )
+
+
+def knn_exact(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact batch kNN: (q_id, rank, vec_id, dist), rank 1..k per q_id.
+
+    The query side is collected and broadcast (the reference's own design
+    point: xq is 10K × 128 — driver-sized by construction). The base side
+    streams through mapInPandas; only local top-k rows reach the shuffle.
+    """
+    spark = base.sparkSession
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+    Q = np.ascontiguousarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bq_ids, bQ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            B = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+            yield _topk_per_query(B, ids, bQ, bq_ids, k, metric)
+
+    local = base.select(F.col(id_col), F.col(vec_col)).mapInPandas(kernel, _KNN_SCHEMA)
+    order = [F.col("dist").asc(), F.col("vec_id").asc()] if metric == "l2" else [
+        F.col("dist").desc(),
+        F.col("vec_id").asc(),
+    ]
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
+    )
+
+
+def knn_exact_expr(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    metric: str = "l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Catalyst-expression variant (no Python in the plan). Same output."""
+    q = queries.select(F.col("q_id"), F.col(vec_col).alias("_q_emb"))
+    b = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_b_emb"))
+    if metric == "l2":
+        dist = squared_l2("_q_emb", "_b_emb")
+        order = [F.col("dist").asc(), F.col("vec_id").asc()]
+    else:
+        dist = cosine_similarity("_q_emb", "_b_emb")
+        order = [F.col("dist").desc(), F.col("vec_id").asc()]
+    scored = b.crossJoin(F.broadcast(q)).select("q_id", "vec_id", dist.alias("dist"))
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
+    )
+
+
+def knn_collect(knn: DataFrame) -> DataFrame:
+    """Reshape long kNN rows into one row per query with a rank-ordered id
+    list (the reference's (D, I) matrix form, Q4 — e.g. Milvus result
+    vstack, /root/reference/dynamic_script_milvus.py:51,103). Emitted as a
+    CSV string so the value hashes identically across engines."""
+    return knn.groupBy("q_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+                lambda s: s["vec_id"].cast("string"),
+            ),
+            ",",
+        ).alias("nn_csv")
+    )

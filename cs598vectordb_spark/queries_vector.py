@@ -1,0 +1,152 @@
+"""Vector-surface queries()/oracle_sql() entries (SURVEY.md §2.2-2.3).
+
+Oracle formulation notes:
+* distance is element-wise (CAST to DOUBLE) squared-diff summed over
+  list_zip — the same math as functions.distance.squared_l2 / the numpy
+  kernel (float64). Compared outputs carry (q_id, rank, vec_id) only; the
+  raw distance stays engine-internal so last-ulp summation differences
+  can't break the value hash (ranks are stable because synthetic data has
+  no near-ties).
+* queries = first DEFAULT_N_QUERIES vec_ids (FIXTURES.md derivation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import DEFAULT_K, DEFAULT_N_QUERIES
+from cs598vectordb_spark.operators.knn import knn_collect, knn_exact, knn_exact_expr
+from cs598vectordb_spark.registry import register
+from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+_NQ = DEFAULT_N_QUERIES
+_K = DEFAULT_K
+
+# DuckDB squared-L2 between two FLOAT[] columns, element-wise in DOUBLE.
+_L2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
+),
+pairs AS (
+  SELECT q.q_id, b.vec_id,
+         {_L2.format(a="q.q_emb", b="b.embedding")} AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT q_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+FROM pairs
+QUALIFY rank <= {_K}
+"""
+
+
+def _load_q(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, queries_from_embeddings(emb, _NQ)
+
+
+@register("knn_exact", _KNN_ORACLE)
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: exact batch top-k kNN (L2), mapInPandas BLAS kernel + tiny
+    shuffle (ref: dynamic_script_faiss.py:60)."""
+    emb, q = _load_q(spark, sf_dir)
+    return knn_exact(emb, q, k=_K).select("q_id", "rank", "vec_id")
+
+
+@register("knn_exact_expr", _KNN_ORACLE)
+def q_knn_exact_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 alt: pure-Catalyst crossJoin+window formulation — same rows; kept
+    registered so the oracle pins both implementations."""
+    emb, q = _load_q(spark, sf_dir)
+    return knn_exact_expr(emb, q, k=_K).select("q_id", "rank", "vec_id")
+
+
+@register(
+    "knn_collect",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
+),
+pairs AS (
+  SELECT q.q_id, b.vec_id,
+         {_L2.format(a="q.q_emb", b="b.embedding")} AS dist
+  FROM q CROSS JOIN embeddings b
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM pairs QUALIFY rank <= {_K}
+)
+SELECT q_id, string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank) AS nn_csv
+FROM ranked GROUP BY q_id
+""",
+)
+def q_knn_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: reshape kNN rows to the reference's id-matrix form (one
+    rank-ordered CSV row per query; ref: dynamic_script_milvus.py:51)."""
+    emb, q = _load_q(spark, sf_dir)
+    return knn_collect(knn_exact(emb, q, k=_K))
+
+
+@register(
+    "knn_cosine",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
+),
+pairs AS (
+  SELECT q.q_id, b.vec_id,
+         list_sum(list_transform(list_zip(q.q_emb, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / ( sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+         AS sim
+  FROM q CROSS JOIN embeddings b
+)
+SELECT q_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+FROM pairs
+QUALIFY rank <= {_K}
+""",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity top-k via the Catalyst expression path (the
+    numpy kernel normalizes then GEMMs, which reorders fp ops vs the
+    oracle; the expression path matches the oracle element-for-element)."""
+    emb, q = _load_q(spark, sf_dir)
+    return knn_exact_expr(emb, q, k=_K, metric="cosine").select("q_id", "rank", "vec_id")
+
+
+@register(
+    "knn_filtered",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
+),
+pairs AS (
+  SELECT q.q_id, b.vec_id,
+         {_L2.format(a="q.q_emb", b="b.embedding")} AS dist
+  FROM q CROSS JOIN embeddings b
+  WHERE b.label = 3
+)
+SELECT q_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+FROM pairs
+QUALIFY rank <= {_K}
+""",
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN: predicate (label = 3) composes with search by simply
+    filtering the base relation BEFORE the kernel — the filter pushes down
+    to the parquet scan, so at 100 TB only matching row groups are read."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, _NQ)
+    return knn_exact(emb.filter(F.col("label") == 3), q, k=_K).select(
+        "q_id", "rank", "vec_id"
+    )

@@ -1,0 +1,51 @@
+"""Parquet table sources for the driver's TPC-H-ish + vector testdata.
+
+Stands in for the reference's `load_dataset` (fvecs/ivecs quartet loader,
+/root/reference/dynamic_script_faiss.py:17-22): the base set `xb` is the
+`embeddings` table, the query set `xq` is derived from its head
+(FIXTURES.md), and the ground truth `gt` is computed by the exact kNN
+oracle rather than read from disk.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import DEFAULT_N_QUERIES, TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One parquet table. Column pruning + predicate pushdown reach the
+    scan because we return the raw relation and let callers select/filter
+    declaratively (verify: .explain shows ReadSchema/PushedFilters)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def queries_from_embeddings(
+    embeddings: DataFrame, n_queries: int = DEFAULT_N_QUERIES
+) -> DataFrame:
+    """Derive the query set `xq` as the first `n_queries` vectors by vec_id
+    (FIXTURES.md derivation — self-querying makes recall self-checking:
+    each query's own vec_id must be its rank-1 neighbor at distance 0).
+
+    vec_id is dense 0..N-1, so the head is a pushed-down filter rather than
+    a global sort+limit — at 100 TB a `.orderBy().limit()` global sort
+    would be a needless total exchange; `vec_id < n` prunes at the scan.
+    """
+    return (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding"))
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for the SQL surface."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
