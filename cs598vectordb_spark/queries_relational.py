@@ -1,1 +1,268 @@
-"""Placeholder — filled in as operators land."""
+"""Relational queries()/oracle_sql() entries (SURVEY.md §2.6 checklist).
+
+Oracle alignment rules applied throughout:
+* every computed column aliased identically on both sides;
+* floating aggregates ROUND(.., ORACLE_ROUND) on both sides;
+* integer sums CAST to BIGINT in DuckDB (its SUM(int) yields HUGEINT);
+* window ranks CAST to INTEGER in DuckDB (Spark row_number/ntile are INT);
+* all orderings carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cs598vectordb_spark.config import ORACLE_ROUND as _R
+from cs598vectordb_spark.operators import relational as rel
+from cs598vectordb_spark.registry import register
+from cs598vectordb_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+@register(
+    "pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), {_R}) AS sum_qty,
+       ROUND(SUM(l_extendedprice), {_R}) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {_R}) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {_R}) AS sum_charge,
+       ROUND(AVG(l_quantity), {_R}) AS avg_qty,
+       ROUND(AVG(l_extendedprice), {_R}) AS avg_price,
+       ROUND(AVG(l_discount), {_R}) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return rel.pricing_summary(li)
+
+
+@register(
+    "shipping_priority",
+    f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {_R}) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return rel.shipping_priority(c, o, li)
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), {_R}) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, n, c, s, o, li = _t(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    return rel.local_supplier_volume(r, n, c, s, o, li)
+
+
+@register(
+    "revenue_change",
+    f"""
+SELECT ROUND(SUM(l_extendedprice * l_discount), {_R}) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return rel.revenue_change(li)
+
+
+@register(
+    "order_priority_count",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+""",
+)
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    return rel.order_priority_count(o, li)
+
+
+@register(
+    "customer_order_stats",
+    f"""
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(total_spent, 0.0), {_R}) AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS total_spent
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+""",
+)
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    return rel.customer_order_stats(c, o)
+
+
+@register(
+    "brand_top_parts",
+    f"""
+SELECT p_brand, CAST(rank AS INTEGER) AS rank, p_partkey, p_name,
+       ROUND(p_retailprice, {_R}) AS p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+  FROM part
+) WHERE rank <= 3
+""",
+)
+def q_brand_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (p,) = _t(spark, sf_dir, "part")
+    return rel.brand_top_parts(p)
+
+
+@register(
+    "acctbal_deciles",
+    f"""
+SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n,
+       ROUND(AVG(c_acctbal), {_R}) AS avg_bal,
+       ROUND(MIN(c_acctbal), {_R}) AS min_bal,
+       ROUND(MAX(c_acctbal), {_R}) AS max_bal
+FROM (
+  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+GROUP BY decile
+""",
+)
+def q_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (c,) = _t(spark, sf_dir, "customer")
+    return rel.acctbal_deciles(c)
+
+
+@register(
+    "events_hourly",
+    f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), {_R}) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+GROUP BY 1, 2
+""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    return rel.events_hourly(e)
+
+
+@register(
+    "sessionize",
+    f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       ROUND(SUM(value), {_R}) AS session_value
+FROM sessed
+GROUP BY user_id, session_seq
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    return rel.sessionize(e)
+
+
+@register(
+    "status_pivot",
+    f"""
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), {_R}) AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), {_R}) AS qty_fulfilled
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return rel.status_pivot(li)
+
+
+@register(
+    "customer_number_extract",
+    r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+       'cust:' || CAST(c_custkey AS VARCHAR) AS cust_key,
+       str_split(c_name, '#')[1] AS name_prefix
+FROM customer
+""",
+)
+def q_customer_number_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (c,) = _t(spark, sf_dir, "customer")
+    return rel.customer_number_extract(c)
+
+
+@register(
+    "props_json_extract",
+    """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (e,) = _t(spark, sf_dir, "events")
+    return rel.props_json_extract(e)

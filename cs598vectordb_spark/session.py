@@ -29,6 +29,10 @@ def get_spark(app_name: str = "cs598vectordb_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark reads them as long
+        # nanos and sources/tables.py converts to micro-precision timestamps
+        # (same floor-truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # exact kNN uses an explicit crossJoin(broadcast(queries)); keep the

@@ -21,7 +21,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One parquet table. Column pruning + predicate pushdown reach the
     scan because we return the raw relation and let callers select/filter
     declaratively (verify: .explain shows ReadSchema/PushedFilters)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is TIMESTAMP(NANOS) in parquet — read as long nanos (see
+    # session.py) and floor-truncated to micro precision here, matching
+    # DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) on the oracle side.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
