@@ -60,6 +60,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from cs598vectordb_spark import queries_vector  # noqa: F401
+    from cs598vectordb_spark import queries_updates  # noqa: F401
     from cs598vectordb_spark import queries_relational  # noqa: F401
     from cs598vectordb_spark import queries_text  # noqa: F401
     from cs598vectordb_spark import queries_index  # noqa: F401

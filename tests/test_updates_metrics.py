@@ -1,0 +1,64 @@
+"""Snapshot update protocol + recall metrics (FIXTURES.md protocol)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.operators import updates as upd
+from cs598vectordb_spark.operators.knn import knn_exact
+from cs598vectordb_spark.operators.metrics import per_query_recall, recall_at_k
+from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+
+@pytest.mark.parametrize("pct", [25, 50, 75])
+def test_delete_insert_restores_v0(spark, sf_dir, pct):
+    v0 = load_table(spark, sf_dir, "embeddings")
+    n = v0.count()
+    v1 = upd.delete_tail_pct(v0, pct)
+    assert v1.count() == n - (n * pct) // 100
+    v2 = upd.insert_rows(v1, upd.deleted_tail_slice(v0, pct))
+    c0 = upd.snapshot_checksum(v0).collect()[0]
+    c2 = upd.snapshot_checksum(v2).collect()[0]
+    assert c0 == c2
+
+
+def test_upsert_guard_blocks_existing(spark, sf_dir):
+    v0 = load_table(spark, sf_dir, "embeddings")
+    n = v0.count()
+    cands = spark.range(n - 10, n + 10).select(F.col("id").alias("vec_id"))
+    admitted = upd.upsert_guard(v0, cands)
+    assert admitted.count() == 10
+    assert admitted.agg(F.min("vec_id")).collect()[0][0] == n
+
+
+def test_exact_recall_is_one(spark, sf_dir):
+    """recall(knn_exact vs itself) == 1.0 — the self-consistency axiom
+    (SURVEY.md §5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 20)
+    truth = knn_exact(emb, q, k=10)
+    assert recall_at_k(truth, truth, 10).collect()[0][0] == 1.0
+
+
+def test_recall_after_restore_matches_baseline(spark, sf_dir):
+    """The reference's stability signal: delete+reinsert → recall returns
+    to baseline exactly (hnswlib log: 0.9811 pre and post)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 20)
+    baseline = knn_exact(emb, q, k=10)
+    v2 = upd.insert_rows(upd.delete_tail_pct(emb, 50), upd.deleted_tail_slice(emb, 50))
+    after = knn_exact(v2, q, k=10)
+    assert recall_at_k(after, baseline, 10).collect()[0][0] == 1.0
+
+
+def test_per_query_recall_degrades_after_delete(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 20)
+    truth = knn_exact(emb, q, k=10)
+    pred = knn_exact(upd.delete_tail_pct(emb, 50), q, k=10)
+    rows = per_query_recall(pred, truth, 10).collect()
+    assert len(rows) == 20
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    # deleting half the base must lose at least some neighbors overall
+    assert sum(r.recall for r in rows) / len(rows) < 1.0
