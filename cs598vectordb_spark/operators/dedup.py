@@ -1,0 +1,307 @@
+"""Deduplication operators for the training-data pipeline surface.
+
+The reference has no dedup (it is an ANN benchmark), but the north star
+(BASELINE.json) extends the engine with LLM-data-pipeline operators. All
+four classic families are here, each Spark-first:
+
+* exact        — md5 fingerprint hash-groupBy (one shuffle on the hash)
+* MinHash+LSH  — shingle → k minhashes → banded signatures → bucket join;
+                 candidate generation never compares all pairs: the join
+                 is on (band, signature), so cost is ~|collisions|, the
+                 textbook 100 TB-safe near-dup plan
+* SimHash      — 64-bit sign-of-weighted-bit-votes fingerprint (Arrow
+                 mapInPandas kernel), near-dups = small Hamming distance
+* n-gram Jaccard — exact set-similarity on shingles for candidate
+                 verification and top-k similar-document search
+
+Determinism: every hash is seeded/closed-form (rolling hash, fixed affine
+minhash params from SEED, md5) — no engine-version-dependent hashing in
+oracle-facing paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import SEED
+from cs598vectordb_spark.functions.text import (
+    MINHASH_PRIME,
+    normalize_ws,
+    rolling_hash,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text: keep the lowest
+    id as canonical, count members. Single hash-aggregate; at scale the
+    shuffle key is the 128-bit digest (uniform, skew-free)."""
+    fp = docs.select(
+        F.col(id_col), F.md5(normalize_ws(F.col(text_col))).alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+
+def minhash_params(k: int = 16, seed: int = SEED) -> list[tuple[int, int]]:
+    """Deterministic affine minhash coefficients (a, b): h_i(x) =
+    (a_i*x + b_i) mod P. Shared with the DuckDB oracle generator."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME)) for _ in range(k)]
+
+
+def shingle_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, hashes ARRAY<BIGINT>): rolling-hash of each distinct
+    3-gram word shingle."""
+    sh = docs.select(F.col(id_col), word_shingles(F.col(text_col)).alias("shingles"))
+    return sh.select(
+        id_col,
+        F.expr(
+            "transform(shingles, s -> "
+            "aggregate(transform(sequence(1, length(s)), "
+            "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007))"
+        ).alias("hashes"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): column-per-minhash signature, computed as
+    array mins over the shingle-hash array — a pure projection, no
+    explode/groupBy needed, so it parallelizes perfectly per row."""
+    params = minhash_params(k)
+    hashed = shingle_hashes(docs, text_col, id_col)
+    cols = [F.col(id_col)]
+    for i, (a, b) in enumerate(params):
+        cols.append(
+            F.array_min(
+                F.expr(
+                    f"transform(hashes, h -> (h * CAST({a} AS BIGINT) "
+                    f"+ CAST({b} AS BIGINT)) % CAST({MINHASH_PRIME} AS BIGINT))"
+                )
+            ).alias(f"mh_{i}")
+        )
+    return hashed.select(*cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become a candidate
+    pair. The self-join is on (band, sig) — a bucket join, not a cross
+    product. Skewed buckets (degenerate signatures) would hotspot one
+    reducer at scale; AQE skew-join handles moderate cases, and a bucket-
+    size cap (drop buckets > N) is the standard escape hatch."""
+    band_cols = []
+    for b in range(bands):
+        sig = F.concat_ws("-", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)])
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach true shingle-set Jaccard to candidate pairs (the verify
+    stage after LSH candidate generation)."""
+    sh = docs.select(F.col(id_col), word_shingles(F.col(text_col)).alias("shingles"))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full pipeline: signatures → banded candidates → Jaccard verify."""
+    sigs = minhash_signatures(docs, k, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, bands, rows, id_col)
+    return jaccard_verify(pairs, docs, text_col, id_col)
+
+
+# ------------------------------------------------------------ jaccard
+
+
+def jaccard_topk(
+    docs: DataFrame,
+    n_query_docs: int = 20,
+    topk: int = 3,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most-similar documents (by shingle Jaccard) for each of the
+    first `n_query_docs` docs, blocked on `block_col` — similarity search
+    over text. Blocking bounds the pair count (per-block product, not
+    global cross join)."""
+    sh = docs.select(F.col(id_col), F.col(block_col), word_shingles(F.col(text_col)).alias("shingles"))
+    q = sh.filter(F.col(id_col) < n_query_docs).select(
+        F.col(id_col).alias("q_doc"), F.col(block_col), F.col("shingles").alias("sh_q")
+    )
+    c = sh.select(F.col(id_col).alias("cand_doc"), F.col(block_col), F.col("shingles").alias("sh_c"))
+    inter = F.size(F.array_intersect("sh_q", "sh_c")).cast("double")
+    union = F.size(F.array_union("sh_q", "sh_c")).cast("double")
+    scored = (
+        q.join(c, block_col)
+        .filter(F.col("q_doc") != F.col("cand_doc"))
+        .select("q_doc", "cand_doc", F.round(inter / union, 6).alias("jaccard"))
+    )
+    w = Window.partitionBy("q_doc").orderBy(F.col("jaccard").desc(), F.col("cand_doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("q_doc", "rank", "cand_doc", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document (Arrow mapInPandas kernel).
+
+    Token hash = first 8 bytes of md5 (deterministic across processes —
+    never Python's salted hash()). Bit b of the output = sign of the
+    count-weighted vote of token-hash bits. Near-dups have small Hamming
+    distance. Python cost is one md5 per DISTINCT token per batch (vocab
+    is cached), the vote matrix is numpy."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def th(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                cache[tok] = v
+            return v
+
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for row_i, text in enumerate(pdf[text_col].tolist()):
+                toks = text.lower().split()
+                if not toks:
+                    continue
+                hs = np.array([th(t) for t in toks], dtype=np.uint64)
+                # bit matrix: (n_tokens, bits) of ±1 votes
+                bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = (2 * bits_m - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for b_i in np.nonzero(votes > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(b_i)
+                out[row_i] = sig
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out.astype(np.int64)})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, simhash long")
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 16,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on block_col.
+    At 100 TB scale the block join would be replaced by multi-probe
+    banding on simhash prefixes (same LSH trick as minhash)."""
+    sigs = simhash(docs, text_col, id_col)
+    blocks = docs.select(F.col(id_col), F.col(block_col))
+    s = sigs.join(blocks, id_col)
+    a = s.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(block_col)
+    )
+    b = s.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(block_col)
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, block_col)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------- embedding near-duplicates
+
+
+def embedding_near_dup_topk(
+    embeddings: DataFrame,
+    topk: int = 5,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-cosine-similar pairs per block — embedding-space
+    near-dup detection. Blocked pair join (per-label products); at scale
+    the block key would be an IVF centroid / LSH bucket instead of a
+    given label, same plan shape."""
+    from cs598vectordb_spark.functions.distance import cosine_similarity
+
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(block_col)
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(block_col)
+    )
+    pairs = (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col(block_col),
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("v_a", "v_b"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(block_col).orderBy(
+        F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(block_col, "rank", "id_a", "id_b", "cos_sim")
+    )

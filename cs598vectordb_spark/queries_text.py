@@ -1,1 +1,315 @@
-"""Placeholder — filled in as operators land."""
+"""Text/dedup queries()/oracle_sql() entries (the LLM-pipeline surface).
+
+The MinHash oracle SQL is generated from the same seeded coefficients the
+Spark operator uses (dedup.minhash_params), so both engines compute the
+identical signature matrix. Rolling hashes share one closed-form formula.
+SimHash is registered rows-only (md5-bit machinery is not reasonably
+expressible in DuckDB SQL); its correctness is pinned by unit tests on
+known near-duplicate constructions instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import ORACLE_ROUND as _R
+from cs598vectordb_spark.functions.text import MINHASH_PRIME, ROLLING_MOD
+from cs598vectordb_spark.operators import dedup, textops
+from cs598vectordb_spark.registry import register
+from cs598vectordb_spark.sources.tables import load_table
+
+# ---- shared DuckDB fragments -------------------------------------------
+
+# distinct 3-gram word shingles of `text`
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(tokens)-1), "
+    "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))"
+)
+_TOKENS_CTE = (
+    "SELECT doc_id, lang, string_split_regex("
+    "trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+') AS tokens "
+    "FROM documents"
+)
+
+# rolling hash of a string s (matches functions.text.rolling_hash)
+def _duck_rolling(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {ROLLING_MOD})"
+    )
+
+
+def _duck_minhash_sigs(k: int = 16) -> str:
+    """CTE chain: documents → shingles → rolling-hashed shingles → k
+    minhash columns, identical to dedup.minhash_signatures."""
+    params = dedup.minhash_params(k)
+    mh = ",\n    ".join(
+        f"list_min(list_transform(hashes, h -> (h * CAST({a} AS BIGINT) "
+        f"+ CAST({b} AS BIGINT)) % CAST({MINHASH_PRIME} AS BIGINT))) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles
+  FROM ({_TOKENS_CTE})
+),
+hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {_duck_rolling("s")}) AS hashes
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, {mh} FROM hashed
+)"""
+
+
+def _duck_bands(bands: int = 8, rows: int = 2) -> str:
+    parts = []
+    for b in range(bands):
+        sig = " || '-' || ".join(f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        parts.append(f"SELECT doc_id, {b} AS band, {sig} AS sig FROM sigs")
+    return " UNION ALL ".join(parts)
+
+
+# ---- exact dedup --------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs)
+
+
+# ---- minhash LSH --------------------------------------------------------
+
+
+@register(
+    "minhash_signatures",
+    f"""
+WITH {_duck_minhash_sigs(16)}
+SELECT * FROM sigs
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature matrix itself faces the oracle — pins every hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, k=16)
+
+
+@register(
+    "minhash_lsh_dedup",
+    f"""
+WITH {_duck_minhash_sigs(16)},
+bands AS ({_duck_bands(8, 2)}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.doc_a
+JOIN sh sb ON sb.doc_id = p.doc_b
+""",
+)
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline; candidates from banded bucket
+    join, verified with true shingle Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, k=16, bands=8, rows=2)
+
+
+# ---- jaccard top-k similarity -------------------------------------------
+
+
+@register(
+    "jaccard_topk",
+    f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES} AS shingles
+  FROM ({_TOKENS_CTE})
+),
+scored AS (
+  SELECT q.doc_id AS q_doc, c.doc_id AS cand_doc,
+         ROUND(CAST(len(list_intersect(q.shingles, c.shingles)) AS DOUBLE)
+               / len(list_distinct(list_concat(q.shingles, c.shingles))), 6) AS jaccard
+  FROM sh q JOIN sh c ON q.lang = c.lang AND q.doc_id != c.doc_id
+  WHERE q.doc_id < 20
+)
+SELECT q_doc, CAST(rank AS INTEGER) AS rank, cand_doc, jaccard
+FROM (
+  SELECT q_doc, cand_doc, jaccard,
+         row_number() OVER (PARTITION BY q_doc ORDER BY jaccard DESC, cand_doc ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+)
+def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_topk(docs, n_query_docs=20, topk=3)
+
+
+# ---- simhash (rows-only: md5 bit votes not DuckDB-expressible) ----------
+
+
+@register("simhash_near_dups")
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 26, blocked by lang). Rows-only
+    driver check; semantics pinned by tests/test_dedup.py on constructed
+    near-duplicates. Random 64-bit pairs center at Hamming 32 (σ≈4), so 26
+    ≈ −1.5σ: a real near-dup cut that still yields rows on synthetic data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=26)
+
+
+# ---- embedding near-dup --------------------------------------------------
+
+
+@register(
+    "embedding_near_dup",
+    """
+WITH pairs AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / ( sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
+         , 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, CAST(rank AS INTEGER) AS rank, id_a, id_b, cos_sim
+FROM (
+  SELECT label, id_a, id_b, cos_sim,
+         row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, id_a ASC, id_b ASC) AS rank
+  FROM pairs
+) WHERE rank <= 5
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_topk(emb, topk=5)
+
+
+# ---- text analysis -------------------------------------------------------
+
+
+@register(
+    "doc_stats",
+    f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / greatest(len(string_split_regex(trim(text), '\\s+')), 1), {_R}) AS avg_token_len
+FROM documents
+""",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.doc_stats(docs)
+
+
+@register(
+    "quality_scores",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ROUND(punct_ratio, {_R}) AS punct_ratio,
+       ROUND(alpha_ratio, {_R}) AS alpha_ratio,
+       ROUND(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * alpha_ratio + 0.2 * (1.0 - punct_ratio), {_R}) AS quality
+FROM base
+""",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_scores(docs)
+
+
+def _duck_lang_score(lg: str, markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter(string_split_regex(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+'), "
+        f"t -> list_contains([{lst}], t)))"
+    )
+
+
+def _lang_detect_oracle() -> str:
+    from cs598vectordb_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n       ".join(
+        f"{_duck_lang_score(lg, LANG_MARKERS[lg])} AS score_{lg}" for lg in langs
+    )
+    best = f"greatest({', '.join(f'score_{lg}' for lg in langs)})"
+    pred = "'und'"
+    for lg in reversed(langs):
+        pred = f"CASE WHEN {best} > 0 AND score_{lg} = {best} THEN '{lg}' ELSE {pred} END"
+    cols = ", ".join(f"score_{lg}" for lg in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {scores}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang, {pred} AS detected_lang, {cols}
+FROM scored
+"""
+
+
+@register("lang_detect", _lang_detect_oracle())
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.lang_detect(docs)
+
+
+@register(
+    "fingerprints",
+    f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_fp,
+       {_duck_rolling("text")} AS rolling_fp
+FROM documents
+""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.fingerprints(docs)
+
+
+@register(
+    "source_summary",
+    f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), {_R}) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY source
+""",
+)
+def q_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.source_summary(docs)

@@ -1,0 +1,88 @@
+"""Dedup + text ops: constructed duplicates prove the semantics the
+DuckDB gate can't see (SimHash), plus pipeline sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.operators import dedup, textops
+from cs598vectordb_spark.sources.tables import load_table
+
+
+def _docs_with_dups(spark):
+    """4 docs: 0 and 1 are exact duplicates (modulo whitespace/case);
+    2 is a one-word edit of 0 (near-dup); 3 is unrelated."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest tonight while everyone sleeps soundly"
+    )
+    near = base.replace("forest", "jungle")
+    other = (
+        "completely different content about spark query engines and "
+        "distributed columnar execution with arrow batches everywhere here"
+    )
+    rows = [
+        (0, base, "en"),
+        (1, "  " + base.upper() + "  ", "en"),
+        (2, near, "en"),
+        (3, other, "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dedup_exact_finds_constructed_dup(spark):
+    docs = _docs_with_dups(spark)
+    groups = dedup.dedup_exact(docs).collect()
+    by_canon = {r.canonical_id: r.n_copies for r in groups}
+    assert by_canon[0] == 2  # doc 0 and 1 collapse
+    assert by_canon[2] == 1 and by_canon[3] == 1
+
+
+def test_simhash_near_dup_detects_edit(spark):
+    docs = _docs_with_dups(spark)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_dups(docs, max_hamming=20).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0  # exact dup → distance 0
+    assert (0, 2) in pairs  # one-word edit → small distance
+    assert (0, 3) not in pairs and (2, 3) not in pairs  # unrelated far apart
+
+
+def test_minhash_lsh_catches_exact_and_near(spark):
+    docs = _docs_with_dups(spark)
+    out = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.minhash_lsh_dedup(docs).collect()}
+    assert out.get((0, 1)) == 1.0  # identical shingle sets... modulo case
+    assert (0, 2) in out and out[(0, 2)] > 0.5
+
+
+def test_minhash_jaccard_estimate_tracks_truth(spark, sf_dir):
+    """Signature agreement rate ≈ true Jaccard (the MinHash property),
+    checked on the near-dup pair where it is far from 0."""
+    docs = _docs_with_dups(spark)
+    sigs = {r.doc_id: [r[f"mh_{i}"] for i in range(16)] for r in dedup.minhash_signatures(docs, 16).collect()}
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 16
+    true_j = dedup.jaccard_verify(
+        spark.createDataFrame([(0, 2)], "doc_a long, doc_b long"), docs
+    ).collect()[0].jaccard
+    assert abs(agree - true_j) <= 0.35  # 16 hashes → coarse but correlated
+
+
+def test_lang_detect_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.lang_detect(docs)
+    assert out.count() == docs.count()
+    vals = {r.detected_lang for r in out.select("detected_lang").distinct().collect()}
+    assert vals <= {"de", "en", "es", "zh", "und"}
+
+
+def test_quality_scores_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.quality_scores(docs)
+    bad = out.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count()
+    assert bad == 0
+
+
+def test_embedding_near_dup_ranks(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_dup_topk(emb, topk=5)
+    per_label = out.groupBy("label").count().collect()
+    assert all(r["count"] == 5 for r in per_label)
+    assert out.filter(F.col("cos_sim") > 1.000001).count() == 0
