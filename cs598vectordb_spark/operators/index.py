@@ -1,0 +1,343 @@
+"""Approximate-NN index builds — "index = materialized table" (SURVEY.md
+§2.3 T1/T2/T4).
+
+The reference's indexes are opaque in-memory structures (HNSW graph
+dynamic_script_faiss.py:53-57, IVF-PQ multi_tenant_script.py:94-99). Spark
+has no graph index; the capability (sub-linear approximate top-k) is
+delivered the Spark-native way:
+
+* LSH (T1 analog): MLlib BucketedRandomProjectionLSH fit → the *hash
+  table* is materialized as rows (vec_id, table_idx, bucket). Search is a
+  bucket equi-join (query hashes ⋈ base hashes) → candidate set → exact
+  re-rank. OR-amplification across numHashTables. The join is the index
+  probe: at 100 TB the hash table is bucketed-by (table_idx, bucket) so
+  the probe shuffles only the (tiny) query side.
+
+* IVF (T2 analog): KMeans centroids (nlist) → base table written
+  PARTITIONED BY centroid_id. A query probes its nprobe nearest
+  centroids; the scan prunes to those partitions — the reference's
+  "nprobe=10 of nlist=100 lists" is literally parquet partition pruning
+  here (SURVEY.md §4).
+
+* autotune (T4 analog, MRPT build_autotune_sample(0.9, 10),
+  dynamic_script_mrpt.py:44-47): grid-search index params on a query
+  sample against the exact oracle, return the cheapest config whose
+  recall clears the target.
+
+All randomized steps take SEED.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import DEFAULT_K, SEED
+from cs598vectordb_spark.functions.distance import squared_l2
+
+# ------------------------------------------------------------------ LSH
+
+
+@dataclass
+class LshIndex:
+    """Materialized LSH index: hyperplane matrix + bucketed hash table.
+
+    projections has shape (num_tables * hashes_per_table, dim); table t's
+    compound bucket is the '|'-joined floors of its hashes_per_table
+    projections (AND-amplification within a table, OR across tables)."""
+
+    hash_table: DataFrame  # (vec_id, table_idx, bucket)
+    projections: np.ndarray
+    bucket_length: float
+    num_tables: int
+    hashes_per_table: int = 1
+
+
+def _random_projections(num_tables: int, dim: int, seed: int = SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((num_tables, dim))
+    return proj / np.linalg.norm(proj, axis=1, keepdims=True)
+
+
+def _bucket_expr(
+    vec_col: str, projections: np.ndarray, bucket_length: float, hashes_per_table: int = 1
+) -> list[F.Column]:
+    """Compound bucket per table: '|'-joined floor((v·p)/bucketLength) of
+    the table's hashes_per_table projections, as codegen'd expressions
+    (unit hyperplanes inlined as array literals — no MLlib runtime dep,
+    deterministic across engines and Spark versions)."""
+
+    def _floor_hash(row: np.ndarray) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in row])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.floor(dot / F.lit(bucket_length)).cast("long").cast("string")
+
+    num_tables = projections.shape[0] // hashes_per_table
+    cols = []
+    for t in range(num_tables):
+        parts = [
+            _floor_hash(projections[t * hashes_per_table + h])
+            for h in range(hashes_per_table)
+        ]
+        cols.append(F.concat_ws("|", *parts).alias(f"b_{t}"))
+    return cols
+
+
+def build_lsh_index(
+    base: DataFrame,
+    bucket_length: float = 1.0,
+    num_tables: int = 8,
+    hashes_per_table: int = 1,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> LshIndex:
+    """Fit + materialize: one long-form hash table (vec_id, table_idx,
+    bucket). Long form keeps the probe a plain equi-join and lets the
+    table be written bucketed by (table_idx, bucket) at scale."""
+    if dim is None:
+        dim = len(base.select(vec_col).first()[0])
+    proj = _random_projections(num_tables * hashes_per_table, dim, seed)
+    wide = base.select(F.col(id_col), *_bucket_expr(vec_col, proj, bucket_length, hashes_per_table))
+    stack = F.explode(
+        F.array(*[
+            F.struct(F.lit(t).alias("table_idx"), F.col(f"b_{t}").alias("bucket"))
+            for t in range(num_tables)
+        ])
+    )
+    table = wide.select(F.col(id_col), stack.alias("tb")).select(
+        id_col, F.col("tb.table_idx").alias("table_idx"), F.col("tb.bucket").alias("bucket")
+    )
+    return LshIndex(table, proj, bucket_length, num_tables, hashes_per_table)
+
+
+def lsh_candidates(
+    index: LshIndex,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, _q_emb, vec_id) candidate set: OR-amplified bucket join."""
+    qh = queries.select(
+        F.col("q_id"),
+        F.col(vec_col).alias("_q_emb"),
+        *_bucket_expr(vec_col, index.projections, index.bucket_length, index.hashes_per_table),
+    )
+    q_long = qh.select(
+        "q_id",
+        "_q_emb",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("table_idx"), F.col(f"b_{t}").alias("bucket"))
+                for t in range(index.num_tables)
+            ])
+        ).alias("tb"),
+    ).select(
+        "q_id", "_q_emb", F.col("tb.table_idx").alias("table_idx"), F.col("tb.bucket").alias("bucket")
+    )
+    return (
+        index.hash_table.join(F.broadcast(q_long), ["table_idx", "bucket"])
+        .select("q_id", "_q_emb", id_col)
+        .distinct()
+    )
+
+
+def knn_lsh(
+    index: LshIndex,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe: hash queries with the same projections, bucket-join against
+    the hash table (OR over tables), exact re-rank candidates.
+
+    Plan shape at scale: broadcast the hashed queries (small side) into
+    the join, dedupe candidates, then one exact-distance pass over
+    |candidates| rows — never over the full base."""
+    cand = lsh_candidates(index, queries, id_col, vec_col)
+    scored = cand.join(base.select(F.col(id_col), F.col(vec_col).alias("_b_emb")), id_col).select(
+        "q_id", id_col, squared_l2("_q_emb", "_b_emb").alias("dist")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col(id_col).alias("vec_id"), "dist")
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+
+@dataclass
+class IvfIndex:
+    """Materialized IVF index: centroid matrix + centroid-assigned base."""
+
+    assigned: DataFrame  # base columns + centroid_id
+    centroids: np.ndarray  # (nlist, dim)
+    nlist: int
+
+
+def _kmeans_fit(X: np.ndarray, k: int, seed: int = SEED, iters: int = 20) -> np.ndarray:
+    """Plain numpy Lloyd's on a driver-side sample. The reference trains
+    its coarse quantizer on a 100K sample (xt, multi_tenant_script.py:96)
+    — sampling-to-driver IS the reference's own design; at 100 TB use
+    df.sample() to bound the sample. Deterministic k-means++ init."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    # k-means++ seeding
+    cents = [X[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(((X[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(-1), axis=1)
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents.append(X[rng.choice(n, p=probs)])
+    C = np.array(cents)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def build_ivf_index(
+    base: DataFrame,
+    nlist: int = 16,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> IvfIndex:
+    """Train centroids on a bounded sample, then assign every base row to
+    its nearest centroid with a vectorized Arrow kernel. The assigned
+    table is the index; at scale it is written
+    .write.partitionBy('centroid_id') so probes prune partitions."""
+    import pandas as pd
+
+    # orderBy+limit = distributed top-N (deterministic sample; a bare
+    # limit() is partition-order-dependent and would make centroids
+    # unstable across runs)
+    sample = base.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    C = _kmeans_fit(X, nlist, seed)
+    bc = base.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                np.square(B).sum(1, keepdims=True)
+                - 2.0 * (B @ Cb.T)
+                + np.square(Cb).sum(1)[None, :]
+            )
+            pdf = pdf.assign(centroid_id=d2.argmin(axis=1).astype(np.int32))
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    in_schema = base.select(id_col, vec_col).schema
+    out_schema = StructType(list(in_schema.fields) + [StructField("centroid_id", IntegerType())])
+    assigned = base.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return IvfIndex(assigned, C, nlist)
+
+
+def knn_ivf(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe nprobe nearest centroids per query (driver-side — queries
+    and centroids are both driver-sized), then equi-join (q_id ↔
+    centroid_id) against the assigned table and re-rank exactly.
+
+    The (q_id, centroid_id) probe list is broadcast; the join against a
+    centroid-partitioned table is partition-pruned — the Spark rendering
+    of 'nprobe of nlist inverted lists' (multi_tenant_script.py:98)."""
+    spark = queries.sparkSession
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    d2 = (
+        np.square(Q).sum(1, keepdims=True)
+        - 2.0 * (Q @ index.centroids.T)
+        + np.square(index.centroids).sum(1)[None, :]
+    )
+    nearest = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qid), int(c))
+        for qid, row in zip(qpdf["q_id"].tolist(), nearest)
+        for c in row
+    ]
+    probes = spark.createDataFrame(probe_rows, "q_id long, centroid_id int")
+    qv = queries.select(F.col("q_id"), F.col(vec_col).alias("_q_emb"))
+
+    cand = index.assigned.join(F.broadcast(probes), "centroid_id").join(
+        F.broadcast(qv), "q_id"
+    )
+    scored = cand.select(
+        "q_id", id_col, squared_l2("_q_emb", vec_col).alias("dist")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", F.col(id_col).alias("vec_id"), "dist")
+    )
+
+
+# ------------------------------------------------------------- autotune
+
+
+def autotune_lsh(
+    base: DataFrame,
+    queries: DataFrame,
+    truth: DataFrame,
+    target_recall: float = 0.7,
+    k: int = DEFAULT_K,
+    grid: list[tuple[float, int]] | None = None,
+) -> tuple[dict, list[dict]]:
+    """T4: sweep (bucket_length, num_tables), score recall against the
+    exact oracle, return (best config clearing the target with the
+    fewest tables, full trace). Mirrors MRPT's autotune-to-0.9
+    (dynamic_script_mrpt.py:46)."""
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+
+    grid = grid or [(0.1, 4), (0.1, 8), (0.25, 4), (0.25, 8), (0.5, 4), (0.5, 8), (1.0, 8)]
+    n_q = queries.count()
+    n_b = base.count()
+    trace = []
+    best = None
+    for bucket_length, num_tables in grid:
+        idx = build_lsh_index(base, bucket_length, num_tables)
+        # true probe cost: fraction of the |Q|×|B| product actually scored
+        n_cand = lsh_candidates(idx, queries).count()
+        selectivity = n_cand / (n_q * n_b) if n_q and n_b else 1.0
+        pred = knn_lsh(idx, base, queries, k)
+        rec = recall_at_k(pred, truth, k).collect()[0][0]
+        entry = {
+            "bucket_length": bucket_length,
+            "num_tables": num_tables,
+            "recall": rec,
+            "selectivity": round(selectivity, 4),
+        }
+        trace.append(entry)
+        if rec >= target_recall and (best is None or selectivity < best["selectivity"]):
+            best = entry
+    return best or {}, trace

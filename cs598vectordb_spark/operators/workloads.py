@@ -1,0 +1,142 @@
+"""Workload protocols — the reference's experiment drivers re-expressed
+as deterministic batch phases (SURVEY.md §2.5 W1-W3).
+
+* W2 dynamic protocol (dynamic_script_faiss.py:75-117): the reference
+  interleaves a background search thread with delete/insert on a shared
+  index. Here phases are explicit and snapshots are immutable, so the
+  same measurements (qps/latency/recall per interval, per phase) come out
+  of a deterministic schedule: baseline → post-delete → post-insert.
+
+* W3 multi-tenant (multi_tenant_script.py:121-180): N driver threads
+  submit the same kNN job concurrently under the FAIR scheduler — Spark's
+  equivalent of N clients sharing one index; per-client metrics aggregate
+  with tenant_summary (mean latency/qps, SUM qps as throughput).
+
+Metrics rows follow FIXTURES.md's metrics schema (phase as a column
+replacing the reference's −1..−4 sentinel intervals).
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cs598vectordb_spark.config import DEFAULT_K, UPDATE_PERCENTS
+from cs598vectordb_spark.operators import updates as upd
+from cs598vectordb_spark.operators.knn import knn_exact
+from cs598vectordb_spark.operators.metrics import recall_at_k
+
+METRICS_SCHEMA = (
+    "run_id string, backend string, phase string, interval int, n_queries long, "
+    "qps double, latency_ms double, recall double, update_pct int, n_clients int"
+)
+
+
+def _searcher(backend: str):
+    """Search dispatch by backend name (exact / lsh / ivf) — the analog of
+    the reference's per-backend build/search closures
+    (multi_tenant_script.py:130-136)."""
+    if backend == "exact":
+        def run(base: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+            return knn_exact(base, queries, k)
+        return run
+    if backend == "lsh":
+        from cs598vectordb_spark.operators.index import build_lsh_index, knn_lsh
+
+        def run(base: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+            idx = build_lsh_index(base, bucket_length=2.0, num_tables=16, hashes_per_table=4)
+            return knn_lsh(idx, base, queries, k)
+        return run
+    if backend == "ivf":
+        from cs598vectordb_spark.operators.index import build_ivf_index, knn_ivf
+
+        def run(base: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+            idx = build_ivf_index(base, nlist=16)
+            return knn_ivf(idx, queries, k, nprobe=8)
+        return run
+    raise ValueError(f"unknown backend {backend}")
+
+
+def _measure(search_df: DataFrame, truth: DataFrame, n_queries: int, k: int) -> tuple[float, float, float]:
+    t0 = time.time()
+    search_df.count()
+    elapsed = max(time.time() - t0, 1e-9)
+    rec = recall_at_k(search_df, truth, k).collect()[0][0]
+    return n_queries / elapsed, elapsed * 1000.0, rec
+
+
+def dynamic_protocol(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    backend: str = "exact",
+    update_percents: list[int] | None = None,
+    intervals_per_phase: int = 2,
+    k: int = DEFAULT_K,
+    run_id: str = "run0",
+) -> DataFrame:
+    """W2: measure → delete pct → measure → insert → measure, per pct.
+    Returns the metrics table. Recall is scored against the *baseline*
+    truth, reproducing the reference's fixed ground-truth scoring
+    (gt loaded once, dynamic_script_faiss.py:21)."""
+    update_percents = update_percents or UPDATE_PERCENTS
+    search = _searcher(backend)
+    n_q = queries.count()
+    truth = knn_exact(base, queries, k).cache()
+    truth.count()
+
+    rows = []
+    interval = 0
+
+    def record(phase: str, pct: int, snapshot: DataFrame) -> None:
+        nonlocal interval
+        for _ in range(intervals_per_phase):
+            qps, lat, rec = _measure(search(snapshot, queries, k), truth, n_q, k)
+            rows.append((run_id, backend, phase, interval, n_q, qps, lat, rec, pct, 1))
+            interval += 1
+
+    record("baseline", 0, base)
+    for pct in update_percents:
+        v1 = upd.delete_tail_pct(base, pct)
+        record("post_delete", pct, v1)
+        v2 = upd.insert_rows(v1, upd.deleted_tail_slice(base, pct))
+        record("post_insert", pct, v2)
+    truth.unpersist()
+    return spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
+def multi_tenant(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    backend: str = "exact",
+    client_counts: list[int] | None = None,
+    k: int = DEFAULT_K,
+    run_id: str = "run0",
+) -> DataFrame:
+    """W3: for each N in client_counts, N concurrent driver threads each
+    run the full query batch once against the shared snapshot (FAIR
+    scheduler pools → true job concurrency inside one application)."""
+    client_counts = client_counts or [2, 4]
+    search = _searcher(backend)
+    n_q = queries.count()
+    truth = knn_exact(base, queries, k).cache()
+    truth.count()
+    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+
+    rows = []
+    for n_clients in client_counts:
+        def client(i: int) -> tuple[float, float, float]:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"pool{i}")
+            return _measure(search(base, queries, k), truth, n_q, k)
+
+        with ThreadPoolExecutor(max_workers=n_clients) as ex:
+            results = list(ex.map(client, range(n_clients)))
+        for i, (qps, lat, rec) in enumerate(results):
+            rows.append(
+                (run_id, backend, f"client{i}", i, n_q, qps, lat, rec, 0, n_clients)
+            )
+    truth.unpersist()
+    return spark.createDataFrame(rows, METRICS_SCHEMA)

@@ -1,1 +1,120 @@
-"""Placeholder — filled in as operators land."""
+"""ANN-index + workload queries() entries (SURVEY.md §2.3 T1/T2/T4, §2.5).
+
+These are the genuinely non-SQL-expressible ops (seeded random
+projections, k-means centroids, wall-clock metrics) — registered without
+oracle_sql, so the driver records the weaker rows-only check. Their
+correctness contract lives in tests/test_index.py: recall floors vs the
+exact oracle (≥0.70, the reference's Annoy floor; autotuned target 0.9 —
+BASELINE.md) and protocol invariants (recall returns to baseline after
+insert, phases ordered).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cs598vectordb_spark.config import DEFAULT_K, DEFAULT_N_QUERIES
+from cs598vectordb_spark.operators import workloads
+from cs598vectordb_spark.operators.index import (
+    autotune_lsh,
+    build_ivf_index,
+    build_lsh_index,
+    knn_ivf,
+    knn_lsh,
+)
+from cs598vectordb_spark.operators.knn import knn_exact
+from cs598vectordb_spark.operators.metrics import (
+    phase_regions,
+    recall_at_k,
+    summary_last5,
+    tenant_summary,
+)
+from cs598vectordb_spark.registry import register
+from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+_K = DEFAULT_K
+_NQ = DEFAULT_N_QUERIES
+
+
+def _setup(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, queries_from_embeddings(emb, _NQ)
+
+
+@register("knn_lsh")
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/Q2: LSH bucket-join approximate kNN (AND×4, OR×16, bl=2.0 —
+    the autotuned high-recall point on this data)."""
+    emb, q = _setup(spark, sf_dir)
+    idx = build_lsh_index(emb, bucket_length=2.0, num_tables=16, hashes_per_table=4)
+    return knn_lsh(idx, emb, q, k=_K).select("q_id", "rank", "vec_id")
+
+
+@register("knn_ivf")
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/Q2: IVF partition-pruned kNN (nlist=16, nprobe=8 — scans ~50%
+    of lists, the reference's nprobe/nlist knob)."""
+    emb, q = _setup(spark, sf_dir)
+    idx = build_ivf_index(emb, nlist=16)
+    return knn_ivf(idx, q, k=_K, nprobe=8).select("q_id", "rank", "vec_id")
+
+
+@register("lsh_recall")
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of knn_lsh vs exact — the reference's headline metric."""
+    emb, q = _setup(spark, sf_dir)
+    idx = build_lsh_index(emb, bucket_length=2.0, num_tables=16, hashes_per_table=4)
+    return recall_at_k(knn_lsh(idx, emb, q, _K), knn_exact(emb, q, _K), _K)
+
+
+@register("ivf_recall")
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _setup(spark, sf_dir)
+    idx = build_ivf_index(emb, nlist=16)
+    return recall_at_k(knn_ivf(idx, q, _K, nprobe=8), knn_exact(emb, q, _K), _K)
+
+
+@register("lsh_autotune")
+def q_lsh_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: the autotune sweep trace (param grid × recall × probe cost);
+    the chosen config is the cheapest clearing the 0.7 floor."""
+    emb, q_full = _setup(spark, sf_dir)
+    q = q_full.limit(20)
+    truth = knn_exact(emb, q, _K)
+    _, trace = autotune_lsh(emb, q, truth, target_recall=0.7, k=_K)
+    return spark.createDataFrame(
+        [(t["bucket_length"], t["num_tables"], t["recall"], t["selectivity"]) for t in trace],
+        "bucket_length double, num_tables int, recall double, selectivity double",
+    )
+
+
+@register("dynamic_protocol")
+def q_dynamic_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-(backend, update_pct) mean qps/latency/recall of the last 5
+    intervals — the reference's summary table (dynamic_script_faiss.py:
+    119-125). Wall-clock values vary run to run; shape and recall column
+    are the stable contract."""
+    emb, q = _setup(spark, sf_dir)
+    m = workloads.dynamic_protocol(
+        spark, emb, q, backend="exact", update_percents=[50], intervals_per_phase=2
+    )
+    return summary_last5(m)
+
+
+@register("dynamic_phase_regions")
+def q_dynamic_phase_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: interval spans per phase from the same protocol run."""
+    emb, q = _setup(spark, sf_dir)
+    m = workloads.dynamic_protocol(
+        spark, emb, q, backend="exact", update_percents=[50], intervals_per_phase=2
+    )
+    return phase_regions(m)
+
+
+@register("multi_tenant")
+def q_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: tenant scaling summary (mean latency/qps, sum-qps throughput,
+    mean recall per client count) — multi_tenant_script.py:175-180."""
+    emb, q = _setup(spark, sf_dir)
+    m = workloads.multi_tenant(spark, emb, q, backend="exact", client_counts=[2, 4])
+    return tenant_summary(m)

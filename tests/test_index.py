@@ -1,0 +1,91 @@
+"""ANN index correctness: recall floors vs the exact oracle, protocol
+invariants (the reference's accepted evidence, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.operators import workloads
+from cs598vectordb_spark.operators.index import (
+    autotune_lsh,
+    build_ivf_index,
+    build_lsh_index,
+    knn_ivf,
+    knn_lsh,
+)
+from cs598vectordb_spark.operators.knn import knn_exact
+from cs598vectordb_spark.operators.metrics import recall_at_k, summary_last5, tenant_summary
+from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+K = 10
+NQ = 20
+
+
+@pytest.fixture(scope="module")
+def setup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    q = queries_from_embeddings(emb, NQ).cache()
+    truth = knn_exact(emb, q, K).cache()
+    truth.count()
+    return emb, q, truth
+
+
+def test_lsh_recall_floor(setup):
+    """≥ 0.70: the reference's accepted Annoy floor (BASELINE.md)."""
+    emb, q, truth = setup
+    idx = build_lsh_index(emb, bucket_length=2.0, num_tables=16, hashes_per_table=4)
+    rec = recall_at_k(knn_lsh(idx, emb, q, K), truth, K).collect()[0][0]
+    assert rec >= 0.70, rec
+
+
+def test_ivf_recall_floor(setup):
+    emb, q, truth = setup
+    idx = build_ivf_index(emb, nlist=16)
+    rec = recall_at_k(knn_ivf(idx, q, K, nprobe=8), truth, K).collect()[0][0]
+    assert rec >= 0.70, rec
+
+
+def test_ivf_full_probe_is_exact(setup):
+    """nprobe == nlist degenerates to exact search (recall 1.0) — the
+    IVF consistency axiom."""
+    emb, q, truth = setup
+    idx = build_ivf_index(emb, nlist=8)
+    rec = recall_at_k(knn_ivf(idx, q, K, nprobe=8), truth, K).collect()[0][0]
+    assert rec == 1.0
+
+
+def test_autotune_meets_target(setup):
+    emb, q, truth = setup
+    best, trace = autotune_lsh(emb, q, truth, target_recall=0.7, k=K)
+    assert best, f"no config cleared 0.7: {trace}"
+    assert best["recall"] >= 0.7
+    # the chosen config is the cheapest passing one
+    passing = [t for t in trace if t["recall"] >= 0.7]
+    assert best["selectivity"] == min(t["selectivity"] for t in passing)
+
+
+def test_dynamic_protocol_recall_recovers(spark, setup):
+    """Reference stability signal: post-insert recall == baseline recall
+    (logs/dynamic_updates_hnswlib.txt shows 0.9811 at both ends)."""
+    emb, q, _ = setup
+    m = workloads.dynamic_protocol(
+        spark, emb, q, backend="exact", update_percents=[50], intervals_per_phase=1
+    ).cache()
+    rows = {r.phase: r for r in m.collect()}
+    assert rows["baseline"].recall == 1.0
+    assert rows["post_insert"].recall == 1.0  # restored snapshot == v0
+    assert rows["post_delete"].recall < 1.0  # half the base gone
+    s = summary_last5(m).collect()
+    assert len(s) >= 1
+
+
+def test_multi_tenant_rows_and_throughput(spark, setup):
+    emb, q, _ = setup
+    m = workloads.multi_tenant(spark, emb, q, backend="exact", client_counts=[2])
+    out = tenant_summary(m).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_clients == 2
+    assert row.total_qps > row.avg_qps  # sum over clients exceeds mean
+    assert row.avg_recall == 1.0
