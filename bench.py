@@ -1,0 +1,82 @@
+"""Engine benchmark — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timing one full
+action per query (count — forces the complete plan, no driver collect
+overhead). Prints exactly one JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Also reports knn QPS in "extra" (the reference's headline metric shape:
+queries/sec for the batch, dynamic_script_faiss.py:37).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as entrymod
+    from cs598vectordb_spark.config import DEFAULT_N_QUERIES
+    from cs598vectordb_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    headline = [
+        # vector surface
+        "knn_exact",
+        "knn_cosine",
+        "knn_lsh",
+        "knn_ivf",
+        "recall_low_dim",
+        "knn_post_delete",
+        # relational surface
+        "pricing_summary",
+        "shipping_priority",
+        "local_supplier_volume",
+        "order_priority_count",
+        "sessionize",
+        "events_hourly",
+        # LLM pipeline surface
+        "dedup_exact",
+        "minhash_lsh_dedup",
+        "jaccard_topk",
+        "quality_scores",
+    ]
+
+    # JVM + Arrow warmup so query 1 doesn't absorb session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        rows[name] = n
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    knn_qps = round(DEFAULT_N_QUERIES / timings["knn_exact"], 1) if timings["knn_exact"] else 0.0
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "extra": {"knn_exact_qps": knn_qps, "rows": rows},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

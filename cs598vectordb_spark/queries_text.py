@@ -117,11 +117,11 @@ pairs AS (
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
-       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+       ROUND(CAST(len(list_intersect(list_distinct(ha.hashes), list_distinct(hb.hashes))) AS DOUBLE)
+             / len(list_distinct(list_concat(ha.hashes, hb.hashes))), 6) AS jaccard
 FROM pairs p
-JOIN sh sa ON sa.doc_id = p.doc_a
-JOIN sh sb ON sb.doc_id = p.doc_b
+JOIN hashed ha ON ha.doc_id = p.doc_a
+JOIN hashed hb ON hb.doc_id = p.doc_b
 """,
 )
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,11 +141,16 @@ WITH sh AS (
   SELECT doc_id, lang, {_SHINGLES} AS shingles
   FROM ({_TOKENS_CTE})
 ),
+hashed AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(shingles, s -> {_duck_rolling("s")})) AS hset
+  FROM sh
+),
 scored AS (
   SELECT q.doc_id AS q_doc, c.doc_id AS cand_doc,
-         ROUND(CAST(len(list_intersect(q.shingles, c.shingles)) AS DOUBLE)
-               / len(list_distinct(list_concat(q.shingles, c.shingles))), 6) AS jaccard
-  FROM sh q JOIN sh c ON q.lang = c.lang AND q.doc_id != c.doc_id
+         ROUND(CAST(len(list_intersect(q.hset, c.hset)) AS DOUBLE)
+               / len(list_distinct(list_concat(q.hset, c.hset))), 6) AS jaccard
+  FROM hashed q JOIN hashed c ON q.lang = c.lang AND q.doc_id != c.doc_id
   WHERE q.doc_id < 20
 )
 SELECT q_doc, CAST(rank AS INTEGER) AS rank, cand_doc, jaccard
