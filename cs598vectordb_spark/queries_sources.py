@@ -1,0 +1,134 @@
+"""Source/sink queries()/oracle_sql() entries (SURVEY.md §2.1 S1/S2/S5/S6).
+
+Each query is a full round-trip: derive rows from the parquet testdata,
+sink them through the binary/text format under test, re-scan with the
+engine reader, and return a projection the DuckDB oracle recomputes
+directly from the parquet views. A hash match therefore proves the sink
+and the scan are both lossless — the same evidence the reference gets from
+its fvecs loaders reproducing SIFT ground truth.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.registry import register
+from cs598vectordb_spark.sources.logs import scan_metric_log, write_metric_log
+from cs598vectordb_spark.sources.tables import load_table
+from cs598vectordb_spark.sources.vecfiles import read_fvecs, read_ivecs, write_vecs
+
+_IO_ROOT = "/tmp/cs598_spark_io"
+
+
+def _io_dir(sf_dir: str, kind: str) -> str:
+    return os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), kind)
+
+
+@register(
+    "scan_fvecs",
+    """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+FROM embeddings
+""",
+)
+def q_scan_fvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: embeddings → sharded fvecs files → binaryFile+mapInPandas scan.
+
+    float32 survives the round-trip bit-exactly, so the per-vector L2 norm
+    (accumulated left-to-right in double, same as the oracle's list_sum)
+    hash-matches the parquet originals (ref reader:
+    dynamic_script_faiss.py:14-15).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _io_dir(sf_dir, "fvecs")
+    write_vecs(emb, path, "float32", rows_per_shard=200)
+    back = read_fvecs(spark, path)
+    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.expr(sq)), 4).alias("norm"),
+    )
+
+
+@register(
+    "scan_ivecs",
+    """
+SELECT vec_id,
+       CAST(3 AS INTEGER) AS n,
+       CAST(label + vec_id % 7 + len(embedding) AS BIGINT) AS s
+FROM embeddings
+""",
+)
+def q_scan_ivecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: int-vector round-trip through ivecs shards (ref reader:
+    dynamic_script_faiss.py:9-12). Payload = [label, vec_id%7, dim]."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ints = emb.select(
+        "vec_id",
+        F.array(
+            F.col("label"),
+            (F.col("vec_id") % 7).cast("int"),
+            F.size("embedding"),
+        ).alias("ints"),
+    )
+    path = _io_dir(sf_dir, "ivecs")
+    write_vecs(ints, path, "int32", vec_col="ints", rows_per_shard=200)
+    back = read_ivecs(spark, path)
+    return back.select(
+        "vec_id",
+        F.size("ints").alias("n"),
+        F.expr("aggregate(ints, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("s"),
+    )
+
+
+_LOG_METRICS_SQL = """
+SELECT CASE event_id % 3 WHEN 0 THEN 25 WHEN 1 THEN 50 ELSE 75 END AS update_pct,
+       CAST(hour(ts) % 6 + 1 AS INTEGER) AS interval,
+       ROUND(COUNT(*) / 10.0, 2) AS qps,
+       ROUND(SUM(value), 2) AS latency_ms,
+       ROUND(CAST(1.0 AS DOUBLE) - ((event_id % 3) * 6 + hour(ts) % 6 + 1) * CAST(0.001 AS DOUBLE), 4) AS recall
+FROM events
+GROUP BY event_id % 3, hour(ts) % 6
+"""
+
+
+@register("scan_logs", _LOG_METRICS_SQL)
+def q_scan_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6: metric rows → reference-format text log → regex re-scan.
+
+    The metric rows are a deterministic aggregate of `events` (so DuckDB
+    can recompute them without seeing the file); what the hash certifies is
+    that `write_metric_log` and `scan_metric_log` preserve every value
+    through the `Interval N: QPS = ...` line format the reference emits and
+    re-parses (dynamic_script_faiss.py:127-129, plots.py:13-44).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("event_id") % 3
+    metrics = (
+        ev.groupBy(sec.alias("sec"), (F.hour("ts") % 6 + 1).cast("int").alias("interval"))
+        .agg(
+            F.round(F.count("*") / 10.0, 2).alias("qps"),
+            F.round(F.sum("value"), 2).alias("latency_ms"),
+        )
+        .select(
+            F.element_at(
+                F.array(F.lit(25), F.lit(50), F.lit(75)), F.col("sec").cast("int") + 1
+            ).alias("update_pct"),
+            "interval",
+            "qps",
+            "latency_ms",
+            F.round(1.0 - (F.col("sec") * 6 + F.col("interval")) * 0.001, 4).alias(
+                "recall"
+            ),
+        )
+    )
+    path = _io_dir(sf_dir, "metric_log")
+    write_metric_log(metrics, path)
+    return scan_metric_log(spark, path)

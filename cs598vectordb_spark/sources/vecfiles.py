@@ -1,0 +1,171 @@
+"""fvecs/ivecs binary vector-file source and sink (SURVEY.md §2.1 S1/S2).
+
+The reference loads SIFT1M from `fvecs`/`ivecs` files — a per-row layout of
+`int32 dim` followed by `dim` little-endian values (float32 for fvecs, int32
+for ivecs), with the row's implicit file position as the vector id
+(/root/reference/dynamic_script_faiss.py:9-22, id assignment :57).
+
+Spark-first design:
+
+* **Reader**: `binaryFile` source + `mapInPandas` numpy decode. One file is
+  one unsplittable blob, so parallelism = number of files; that is exactly
+  how fvecs corpora shard in practice (one file per shard). At 100 TB you
+  hold thousands of shard files and every executor decodes its own — no
+  shuffle, no driver involvement.
+* **Ids across shards**: the writer encodes the shard's starting id in the
+  file name (`part-<start12>.fvecs`), so the reader assigns
+  `vec_id = start + row_position` without a manifest join. A foreign file
+  with no encoded offset gets `start = 0` — the reference's single-file
+  semantics.
+* **Writer**: executors write their own shards (`foreachPartition`); the
+  shard id is `vec_id div rows_per_shard`, which is monotone in `vec_id`,
+  so a range-ish `repartition` + `sortWithinPartitions` gives each shard
+  contiguous sorted rows. Local filesystem here; on a cluster the same
+  writer body would open an HDFS/S3 stream instead.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SHARD_RE = re.compile(r"part-(\d+)\.[fi]vecs$")
+
+
+# ------------------------------------------------------------------ write
+
+
+def _encode_rows(vecs: list[np.ndarray], value_dtype: str) -> bytes:
+    out = bytearray()
+    for v in vecs:
+        a = np.asarray(v, dtype=value_dtype)
+        out += np.int32(a.size).tobytes()
+        out += a.tobytes()
+    return bytes(out)
+
+
+def write_vecs(
+    df: DataFrame,
+    path: str,
+    value_dtype: str = "float32",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_shard: int = 100_000,
+) -> None:
+    """Write (id, vector) rows as sharded fvecs/ivecs files under `path`.
+
+    Requires dense ids 0..N-1 (the reference's implicit-position contract).
+    Each shard file is named `part-<start id>.{f,i}vecs` so readers recover
+    global ids from the name alone.
+    """
+    ext = "fvecs" if value_dtype == "float32" else "ivecs"
+    os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):
+        if old.endswith((".fvecs", ".ivecs")):
+            os.remove(os.path.join(path, old))
+
+    prepared = (
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_vec"))
+        .withColumn("_shard", (F.col("_id") / rows_per_shard).cast("long"))
+        .repartition("_shard")
+        .sortWithinPartitions("_id")
+    )
+
+    def write_partition(rows) -> None:
+        cur_shard, ids, vecs = None, [], []
+
+        def flush() -> None:
+            if cur_shard is None or not ids:
+                return
+            start = min(ids)
+            fname = os.path.join(path, f"part-{start:012d}.{ext}")
+            with open(fname, "wb") as f:
+                f.write(_encode_rows(vecs, value_dtype))
+
+        for r in rows:
+            if r._shard != cur_shard:
+                flush()
+                cur_shard, ids, vecs = r._shard, [], []
+            ids.append(r._id)
+            vecs.append(r._vec)
+        flush()
+
+    prepared.foreachPartition(write_partition)
+
+
+# ------------------------------------------------------------------- read
+
+
+def _decode_blob(content: bytes, value_dtype: str) -> list[np.ndarray]:
+    """Decode one fvecs/ivecs blob into per-row value arrays.
+
+    Fast path: constant dim → one vectorized reshape (the reference assumes
+    this, dynamic_script_faiss.py:10-12). Ragged dims fall back to a walk —
+    the format permits them even though SIFT never uses them.
+    """
+    raw = np.frombuffer(content, dtype=np.int32)
+    if raw.size == 0:
+        return []
+    d = int(raw[0])
+    if d > 0 and raw.size % (d + 1) == 0:
+        mat = raw.reshape(-1, d + 1)
+        if (mat[:, 0] == d).all():
+            vals = mat[:, 1:].copy()
+            if value_dtype != "int32":
+                vals = vals.view(value_dtype)
+            return list(vals)
+    rows, off = [], 0
+    while off < raw.size:
+        d = int(raw[off])
+        vals = raw[off + 1 : off + 1 + d]
+        rows.append(vals if value_dtype == "int32" else vals.copy().view(value_dtype))
+        off += d + 1
+    return rows
+
+
+def read_vecs(
+    spark: SparkSession,
+    path: str,
+    value_dtype: str = "float32",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id BIGINT, <vec_col> ARRAY<FLOAT|INT>) from fvecs/ivecs files.
+
+    Plan shape: binaryFile scan (one task per file) → Arrow-batched decode.
+    No shuffle; ids derived locally from the file name.
+    """
+    ext = "fvecs" if value_dtype == "float32" else "ivecs"
+    spark_type = "array<float>" if value_dtype == "float32" else "array<int>"
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", f"*.{ext}").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"].tolist(), pdf["content"].tolist()):
+                m = _SHARD_RE.search(fpath)
+                start = int(m.group(1)) if m else 0
+                rows = _decode_blob(content, value_dtype)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.arange(start, start + len(rows), dtype=np.int64),
+                        vec_col: rows,
+                    }
+                )
+
+    return files.select("path", "content").mapInPandas(
+        decode, f"vec_id long, {vec_col} {spark_type}"
+    )
+
+
+def read_fvecs(spark: SparkSession, path: str, vec_col: str = "embedding") -> DataFrame:
+    return read_vecs(spark, path, "float32", vec_col)
+
+
+def read_ivecs(spark: SparkSession, path: str, vec_col: str = "ints") -> DataFrame:
+    return read_vecs(spark, path, "int32", vec_col)

@@ -1,0 +1,92 @@
+"""fvecs/ivecs binary source + metric-log sink/scan (SURVEY §2.1 S1/S2/S5/S6)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.sources.logs import scan_metric_log, write_metric_log
+from cs598vectordb_spark.sources.tables import load_table
+from cs598vectordb_spark.sources.vecfiles import (
+    _decode_blob,
+    read_fvecs,
+    read_ivecs,
+    write_vecs,
+)
+
+
+def test_fvecs_roundtrip_multishard(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "fv")
+    write_vecs(emb, path, "float32", rows_per_shard=64)
+    shards = [f for f in os.listdir(path) if f.endswith(".fvecs")]
+    assert len(shards) > 1, "expected multiple shard files"
+
+    back = read_fvecs(spark, path)
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    got = {r["vec_id"]: r["embedding"] for r in back.collect()}
+    assert set(got) == set(orig)
+    for vid in orig:
+        assert got[vid] == pytest.approx(orig[vid], abs=0.0), vid  # bit-exact
+
+
+def test_ivecs_roundtrip(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.array((F.col("vec_id") % 100).cast("int"), F.lit(7)).alias("ints")
+    )
+    path = str(tmp_path / "iv")
+    write_vecs(emb, path, "int32", vec_col="ints", rows_per_shard=1000)
+    back = {r["vec_id"]: r["ints"] for r in read_ivecs(spark, path).collect()}
+    assert back[13] == [13, 7]
+    assert len(back) == emb.count()
+
+
+def test_foreign_file_ids_start_at_zero(spark, tmp_path):
+    """A file without an encoded shard offset gets implicit row-position
+    ids — the reference's single-file contract (dynamic_script_faiss.py:57)."""
+    raw = b""
+    for row in ([1.0, 2.0], [3.0, 4.0]):
+        raw += np.int32(2).tobytes() + np.asarray(row, dtype=np.float32).tobytes()
+    p = tmp_path / "sift_base.fvecs"
+    p.write_bytes(raw)
+    rows = sorted(read_fvecs(spark, str(tmp_path)).collect(), key=lambda r: r["vec_id"])
+    assert [r["vec_id"] for r in rows] == [0, 1]
+    assert rows[1]["embedding"] == [3.0, 4.0]
+
+
+def test_ragged_decode_fallback():
+    raw = b""
+    for row in ([1], [2, 3, 4]):
+        raw += np.int32(len(row)).tobytes() + np.asarray(row, dtype=np.int32).tobytes()
+    rows = _decode_blob(raw, "int32")
+    assert [list(r) for r in rows] == [[1], [2, 3, 4]]
+
+
+def test_metric_log_roundtrip(spark, tmp_path):
+    data = [
+        (25, 1, 4957.83, 2017.01, 0.9769),
+        (25, 2, 4897.69, 2041.78, 0.9769),
+        (50, 1, 5000.14, 1999.95, 0.9811),
+    ]
+    metrics = spark.createDataFrame(
+        data, "update_pct int, interval int, qps double, latency_ms double, recall double"
+    )
+    path = str(tmp_path / "log")
+    write_metric_log(metrics, path)
+
+    # file format parity with the reference's log lines
+    txt = sorted(
+        line
+        for f in os.listdir(path)
+        if f.endswith(".txt") or f.startswith("part-")
+        for line in open(os.path.join(path, f))
+    )
+    assert "--- 25% Update ---\n" in txt
+    assert "Interval 1: QPS = 4957.83 queries/sec, Latency = 2017.01 ms, Recall = 0.9769\n" in txt
+
+    back = scan_metric_log(spark, path)
+    got = {(r["update_pct"], r["interval"]): (r["qps"], r["latency_ms"], r["recall"]) for r in back.collect()}
+    assert got == {(p, i): (q, l, r) for p, i, q, l, r in data}
