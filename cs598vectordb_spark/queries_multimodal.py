@@ -1,0 +1,125 @@
+"""Multimodal-surface queries()/oracle_sql() entries.
+
+The media table is synthesized deterministically from `documents`
+(operators.multimodal.media_table), so every oracle rebuilds the identical
+payload BYTES as a hex string in DuckDB (`md5` concat) and re-derives the
+kernel outputs with hex-pair arithmetic — a byte-exact check that the
+binary column plumbing (Arrow batches through mapInPandas) is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cs598vectordb_spark.operators.multimodal import (
+    frame_sample,
+    media_features,
+    media_summary,
+    media_table,
+    resize_plan,
+)
+from cs598vectordb_spark.registry import register
+from cs598vectordb_spark.sources.tables import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_table(load_table(spark, sf_dir, "documents"))
+
+
+# hex of the synthesized payload, as a CTE over documents
+_MEDIA_HEX = """
+media AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         array_to_string(list_transform(generate_series(1::BIGINT, 1 + doc_id % 4),
+                                        i -> md5(text || ':' || i)), '') AS hex
+  FROM documents
+)
+"""
+
+
+def _hexval(pos: str) -> str:
+    """Value of the hex digit at 1-based string position `pos`."""
+    c = f"substr(hex, ({pos})::INT, 1)"
+    return f"(CASE WHEN {c} BETWEEN '0' AND '9' THEN ascii({c}) - 48 ELSE ascii({c}) - 87 END)"
+
+
+def _byte(k: str) -> str:
+    """Value of the 1-based `k`-th payload byte from its two hex digits."""
+    return f"({_hexval(f'2*({k})-1')} * 16 + {_hexval(f'2*({k})')})"
+
+
+@register(
+    "media_features",
+    f"""
+WITH {_MEDIA_HEX},
+feat AS (
+  SELECT doc_id, kind,
+         length(hex) // 2 AS n_bytes,
+         {_byte("1")} AS first_byte,
+         list_sum(list_transform(generate_series(1::BIGINT, length(hex) // 2),
+                                 k -> {_byte("k")})) AS byte_sum
+  FROM media
+)
+SELECT doc_id, kind, CAST(n_bytes AS INTEGER) AS n_bytes,
+       CAST(first_byte AS INTEGER) AS first_byte,
+       CAST(byte_sum AS BIGINT) AS byte_sum,
+       CAST(byte_sum % 997 AS BIGINT) AS checksum
+FROM feat
+""",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode feature extraction over the binary payload (Arrow
+    mapInPandas kernel; real-codec slot documented in decode_media)."""
+    return media_features(_media(spark, sf_dir))
+
+
+@register(
+    "media_frame_sample",
+    f"""
+WITH {_MEDIA_HEX}
+SELECT doc_id, frame_idx,
+       CAST({_byte("4*frame_idx+1")} + {_byte("4*frame_idx+2")}
+          + {_byte("4*frame_idx+3")} + {_byte("4*frame_idx+4")} AS BIGINT) AS frame_sum
+FROM media, UNNEST(generate_series(0::BIGINT, length(hex) // 8 - 1, 2)) AS t(frame_idx)
+WHERE kind = 'video'
+""",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd 4-byte frame of each video payload, vectorized per row."""
+    return frame_sample(_media(spark, sf_dir), stride=2, frame_bytes=4)
+
+
+@register(
+    "media_resize",
+    f"""
+WITH {_MEDIA_HEX}
+SELECT doc_id,
+       CAST(32 * (1 + doc_id % 8) AS INTEGER) AS width,
+       CAST(32 * (1 + doc_id % 5) AS INTEGER) AS height,
+       CAST(16 * (1 + doc_id % 8) AS INTEGER) AS new_width,
+       CAST(16 * (1 + doc_id % 5) AS INTEGER) AS new_height,
+       CAST(length(hex) // 2 AS INTEGER) AS n_bytes
+FROM media WHERE kind = 'image'
+""",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning for image rows — metadata halved, payload counted
+    (real pixel resample lives behind the decode_media stub)."""
+    return resize_plan(_media(spark, sf_dir), scale=2)
+
+
+@register(
+    "media_summary",
+    f"""
+WITH {_MEDIA_HEX}
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(length(hex) // 2) AS BIGINT) AS total_bytes,
+       ROUND(AVG(32 * (1 + doc_id % 8)), 4) AS avg_width,
+       ROUND(AVG(8000 * (1 + doc_id % 3)), 4) AS avg_sample_rate
+FROM media GROUP BY kind
+""",
+)
+def q_media_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind metadata/byte dashboard over the struct column."""
+    return media_summary(_media(spark, sf_dir))

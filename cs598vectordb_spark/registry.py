@@ -65,5 +65,6 @@ def _ensure_loaded() -> None:
     from cs598vectordb_spark import queries_text  # noqa: F401
     from cs598vectordb_spark import queries_index  # noqa: F401
     from cs598vectordb_spark import queries_sources  # noqa: F401
+    from cs598vectordb_spark import queries_multimodal  # noqa: F401
 
     _LOADED = True
