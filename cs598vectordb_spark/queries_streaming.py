@@ -1,0 +1,98 @@
+"""Streaming-surface queries()/oracle_sql() entries.
+
+Each callable runs a real Structured Streaming job to completion
+(availableNow) and returns the drained sink as a batch DataFrame; the
+DuckDB oracle recomputes the deterministic emission set relationally
+(append-mode emission == windows closed by the final watermark).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cs598vectordb_spark.queries_sources import _io_dir
+from cs598vectordb_spark.registry import register
+from cs598vectordb_spark.streaming.jobs import (
+    hourly_counts,
+    ingest_updates,
+    sessionize_stream,
+    stateful_user_counts,
+)
+
+
+@register(
+    "stream_events_hourly",
+    """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+  FROM ev GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events, sum_value
+FROM agg
+WHERE hour + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM ev) - INTERVAL 1 HOUR
+""",
+)
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming agg; oracle = batch agg
+    restricted to windows the final watermark closed."""
+    return hourly_counts(spark, sf_dir, delay="1 hour")
+
+
+@register(
+    "stream_sessionize",
+    """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end_gap,
+         COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+  FROM sessed GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, session_end_gap, n_events, session_value
+FROM sess
+WHERE session_end_gap <= (SELECT MAX(ts) FROM ev) - INTERVAL 30 MINUTE
+""",
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(30 min gap) per user over the event stream; oracle =
+    the batch lag/sum sessionizer restricted to watermark-closed sessions."""
+    return sessionize_stream(spark, sf_dir, gap="30 minutes", delay="30 minutes")
+
+
+@register(
+    "stream_stateful_counts",
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running counter across 3 ordered
+    micro-batches; max(running) per user == plain relational count."""
+    work = os.path.join(_io_dir(sf_dir, "stream_state"), "splits")
+    return stateful_user_counts(spark, sf_dir, work, n_splits=3)
+
+
+@register(
+    "stream_ingest_updates",
+    """
+SELECT COUNT(*) AS n, SUM(vec_id) AS sum_vec_id, SUM(label) AS sum_label
+FROM embeddings WHERE vec_id % 10 <> 7
+""",
+)
+def q_stream_ingest_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC: ordered delete/delete/insert op files applied to
+    versioned snapshots; net effect is the oracle's WHERE clause."""
+    return ingest_updates(spark, sf_dir, _io_dir(sf_dir, "stream_ingest"))

@@ -66,5 +66,6 @@ def _ensure_loaded() -> None:
     from cs598vectordb_spark import queries_index  # noqa: F401
     from cs598vectordb_spark import queries_sources  # noqa: F401
     from cs598vectordb_spark import queries_multimodal  # noqa: F401
+    from cs598vectordb_spark import queries_streaming  # noqa: F401
 
     _LOADED = True

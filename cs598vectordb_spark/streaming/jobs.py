@@ -1,0 +1,241 @@
+"""Structured Streaming surface (SURVEY.md §2.6 streaming row).
+
+The reference's "dynamic" workload is phased batch updates driven by
+threads (/root/reference/dynamic_script_faiss.py:75-117) — no event-time
+semantics. This module supplies the streaming capabilities a Spark-native
+engine owes the same data: file-source micro-batches, event-time windows
+with watermarks, session windows, arbitrary stateful processing
+(applyInPandasWithState), and foreachBatch CDC-style snapshot ingest (the
+streaming variant of U1/U2 delete/insert).
+
+Determinism contract (what makes these oracle-checkable):
+* trigger(availableNow) drains the source and runs a final no-data batch,
+  so append-mode emission is exactly "window.end <= max(event_ts) - delay"
+  — a closed-form predicate the DuckDB oracle reproduces.
+* multi-batch runs split input into one file per micro-batch
+  (maxFilesPerTrigger=1) with staggered mtimes; the file source processes
+  oldest-first, fixing batch order.
+
+Scale notes: state stores partition by grouping key (shuffle.partitions
+state shards); watermarks bound state size — without them session state
+would grow forever at 100 TB/day. foreachBatch snapshot writes would be
+Delta/Iceberg MERGE on a cluster; plain parquet versions model the same
+snapshot-isolation semantics the reference gets from full rebuilds.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MEM_SEQ = itertools.count()
+
+
+def _run_to_memory(writer_df: DataFrame, mode: str = "append") -> DataFrame:
+    """Start an availableNow stream into a uniquely-named memory sink, wait
+    for it to drain, and return the sink contents as a batch DataFrame."""
+    name = f"stream_sink_{os.getpid()}_{next(_MEM_SEQ)}"
+    q = (
+        writer_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return writer_df.sparkSession.table(name)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema pinned from the
+    batch reader; TIMESTAMP(NANOS) → micros exactly as sources/tables.py)."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def hourly_counts(spark: SparkSession, sf_dir: str, delay: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate; emits the windows the final
+    watermark closed: hour + 1h <= max(ts) - delay."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", delay: str = "30 minutes"
+) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user. Emitted sessions
+    are those the final watermark closed: last_event + gap <= max(ts) -
+    delay. Boundary semantics match the batch sessionizer for all real
+    data (they differ only on a gap of exactly 1800.000000s)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end_gap"),
+        "n_events",
+        "session_value",
+    )
+
+
+# ------------------------------------------------------- multi-batch input
+
+
+def split_events_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_splits: int = 3
+) -> None:
+    """Materialize events as `n_splits` single-file parquets (split on
+    event_id % n) with staggered mtimes so the file source replays them as
+    ordered micro-batches."""
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    now = time.time()
+    for i in range(n_splits):
+        tmp = os.path.join(out_dir, f"_tmp{i}")
+        ev.filter(F.col("event_id") % n_splits == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(out_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+
+def stateful_user_counts(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_splits: int = 3
+) -> DataFrame:
+    """Arbitrary stateful op via applyInPandasWithState: a per-user running
+    event counter across micro-batches. Each batch emits the user's updated
+    running total; the batch result reduces to max(running) per user ==
+    total events per user, which the oracle recomputes relationally.
+
+    This is the engine's `applyInPandasWithState` slot — swap the counter
+    body for any custom per-key streaming state machine (the reference has
+    none; its background loop keeps no per-key state)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    split_events_files(spark, sf_dir, work_dir, n_splits)
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work_dir)
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "running": [total]})
+
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, running long",
+        stateStructType="running long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(counted, mode="update")
+    return out.groupBy("user_id").agg(F.max("running").alias("n_events"))
+
+
+def ingest_updates(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """foreachBatch CDC ingest — the streaming variant of U1 delete / U2
+    insert (ref rebuild-deletes dynamic_script_faiss.py:92-108): an ordered
+    op stream (delete %10==3, delete %10==7, re-insert %10==3) applied
+    micro-batch-by-micro-batch to versioned embedding snapshots. Returns
+    the final snapshot summary; net effect = delete of vec_id%10==7.
+    """
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ops_dir = os.path.join(work_dir, "ops")
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    os.makedirs(ops_dir)
+
+    def op_df(op: str, pred):
+        rows = emb.filter(pred)
+        return rows.select(
+            F.lit(op).alias("op"),
+            "vec_id",
+            (F.col("embedding") if op == "insert" else F.lit(None).cast("array<float>")).alias("embedding"),
+            (F.col("label") if op == "insert" else F.lit(None).cast("int")).alias("label"),
+        )
+
+    plan = [
+        op_df("delete", F.col("vec_id") % 10 == 3),
+        op_df("delete", F.col("vec_id") % 10 == 7),
+        op_df("insert", F.col("vec_id") % 10 == 3),
+    ]
+    now = time.time()
+    for i, df in enumerate(plan):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(ops_dir, f"op{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    versions = {"cur": os.path.join(work_dir, "snap_v0")}
+    emb.write.mode("overwrite").parquet(versions["cur"])
+
+    ops_schema = "op string, vec_id long, embedding array<float>, label int"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snap = spark.read.parquet(versions["cur"])
+        dels = batch_df.filter(F.col("op") == "delete").select("vec_id")
+        ins = batch_df.filter(F.col("op") == "insert").select("vec_id", "embedding", "label")
+        new = snap.join(F.broadcast(dels), "vec_id", "left_anti").unionByName(ins)
+        nxt = os.path.join(work_dir, f"snap_v{batch_id + 1}")
+        new.write.mode("overwrite").parquet(nxt)
+        versions["cur"] = nxt
+
+    stream = (
+        spark.readStream.schema(ops_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ops_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(versions["cur"])
+    return final.select(
+        F.count("*").alias("n"),
+        F.sum("vec_id").alias("sum_vec_id"),
+        F.sum("label").alias("sum_label"),
+    )

@@ -1,0 +1,92 @@
+"""Structured Streaming surface: watermark semantics, state, CDC ingest."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.streaming.jobs import (
+    _run_to_memory,
+    hourly_counts,
+    ingest_updates,
+    stateful_user_counts,
+)
+
+
+def test_hourly_counts_match_closed_batch_windows(spark, sf_dir):
+    got = hourly_counts(spark, sf_dir, delay="1 hour")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    max_ts = ev.select(F.max("ts")).first()[0]
+    exp = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("hour") + F.expr("INTERVAL 2 HOURS") <= F.lit(max_ts))
+    )
+    got_m = {(r["hour"], r["event_type"]): r["n_events"] for r in got.collect()}
+    exp_m = {(r["hour"], r["event_type"]): r["n_events"] for r in exp.collect()}
+    assert got_m == exp_m and got_m
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """Append-mode + watermark must drop a row older than the watermark —
+    the semantics a 100 TB late-arrival pipeline depends on."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    schema = "ts timestamp, k string"
+
+    def write_file(rows, name, mtime):
+        tmp = str(tmp_path / ("_" + name))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    import datetime as dt
+
+    h = lambda hh, mm=0: dt.datetime(2024, 1, 1, hh, mm)
+    now = time.time()
+    # The late-row filter uses the watermark with one batch of lag (it
+    # must: a window still in state may legally absorb late rows — only
+    # an already-EVICTED window's rows are dropped). So the hour-1 window
+    # is evicted at the end of batch 1, and batch 2's hour-1 row hits a
+    # closed window and is discarded.
+    write_file([(h(1, 30), "a"), (h(6, 0), "a")], "b0", now - 300)
+    write_file([(h(7, 30), "a")], "b1", now - 200)
+    write_file([(h(1, 31), "late"), (h(8, 30), "a")], "b2", now - 100)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_memory(agg)
+    counts = {r["w"]["start"].hour: r["n"] for r in out.collect()}
+    # hour-1 window was closed by batch 2's watermark with ONLY the on-time
+    # row; the late row did not resurrect or augment it
+    assert counts.get(1) == 1, counts
+
+
+def test_stateful_counts_and_ingest(spark, sf_dir, tmp_path):
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in stateful_user_counts(spark, sf_dir, str(tmp_path / "st"), 3).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = {r["user_id"]: r["cnt"] for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert got == exp
+
+    summary = ingest_updates(spark, sf_dir, str(tmp_path / "ing")).first()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = emb.filter(F.col("vec_id") % 10 != 7)
+    assert summary["n"] == kept.count()
+    assert summary["sum_vec_id"] == kept.select(F.sum("vec_id")).first()[0]
