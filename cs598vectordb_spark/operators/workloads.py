@@ -107,6 +107,34 @@ def dynamic_protocol(
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 
 
+def bench_loop(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    backend: str = "exact",
+    intervals: int = 3,
+    k: int = DEFAULT_K,
+    run_id: str = "run0",
+) -> DataFrame:
+    """W1: the reference's background search loop
+    (dynamic_script_faiss.py:31-43) as a bounded driver loop — re-run the
+    full query batch `intervals` times against one immutable snapshot,
+    appending a (qps, latency, recall) metrics row per interval. No
+    threads needed: without concurrent updates the loop is just repeated
+    measurement, and snapshot immutability is what the reference's
+    commented-out lock failed to guarantee."""
+    search = _searcher(backend)
+    n_q = queries.count()
+    truth = knn_exact(base, queries, k).cache()
+    truth.count()
+    rows = []
+    for interval in range(intervals):
+        qps, lat, rec = _measure(search(base, queries, k), truth, n_q, k)
+        rows.append((run_id, backend, "steady", interval, n_q, qps, lat, rec, 0, 1))
+    truth.unpersist()
+    return spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
 def multi_tenant(
     spark: SparkSession,
     base: DataFrame,

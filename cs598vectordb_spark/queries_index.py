@@ -88,6 +88,15 @@ def q_lsh_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bench_loop")
+def q_bench_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: bounded steady-state search loop — per-interval qps/latency/
+    recall rows (dynamic_script_faiss.py:31-43). Recall is deterministic
+    (exact backend ⇒ 1.0); wall-clock columns vary, so rows-only check."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.bench_loop(spark, emb, q, backend="exact", intervals=3)
+
+
 @register("dynamic_protocol")
 def q_dynamic_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: per-(backend, update_pct) mean qps/latency/recall of the last 5

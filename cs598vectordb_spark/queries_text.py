@@ -318,3 +318,34 @@ GROUP BY source
 def q_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.source_summary(docs)
+
+
+# GPT-2-style pre-tokenizer shape, ASCII classes only so Java regex and
+# RE2 agree match-for-match: contraction suffix | optional-space letters |
+# optional-space digits | optional-space punctuation run | whitespace run.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@register(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')) AS n_tokens_bpe
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenizer (the unit a training-data budget is priced in). Both are
+    single-pass JVM regex ops — no UDF, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens_ws"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_tokens_bpe"),
+    )

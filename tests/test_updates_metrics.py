@@ -62,3 +62,16 @@ def test_per_query_recall_degrades_after_delete(spark, sf_dir):
     assert all(0.0 <= r.recall <= 1.0 for r in rows)
     # deleting half the base must lose at least some neighbors overall
     assert sum(r.recall for r in rows) / len(rows) < 1.0
+
+
+def test_bench_loop_steady_state(spark, sf_dir):
+    from cs598vectordb_spark.operators import workloads
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 20)
+    m = workloads.bench_loop(spark, emb, q, backend="exact", intervals=2)
+    rows = m.collect()
+    assert len(rows) == 2
+    assert all(r["recall"] == 1.0 for r in rows)  # exact backend
+    assert all(r["phase"] == "steady" and r["qps"] > 0 for r in rows)
