@@ -52,8 +52,12 @@ def main() -> int:
         "quality_scores",
     ]
 
-    # JVM + Arrow warmup so query 1 doesn't absorb session startup.
+    # JVM + Python-worker warmup so query 1 doesn't absorb session startup
+    # (the first mapInPandas otherwise pays ~2s forking 32 Arrow workers).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(10000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

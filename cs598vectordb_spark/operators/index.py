@@ -62,32 +62,45 @@ def _random_projections(num_tables: int, dim: int, seed: int = SEED) -> np.ndarr
     return proj / np.linalg.norm(proj, axis=1, keepdims=True)
 
 
-def _bucket_expr(
-    vec_col: str, projections: np.ndarray, bucket_length: float, hashes_per_table: int = 1
-) -> list[F.Column]:
-    """Compound bucket per table: '|'-joined floor((v·p)/bucketLength) of
-    the table's hashes_per_table projections, as codegen'd expressions
-    (unit hyperplanes inlined as array literals — no MLlib runtime dep,
-    deterministic across engines and Spark versions)."""
+def _hash_long(
+    df: DataFrame,
+    projections: np.ndarray,
+    bucket_length: float,
+    hashes_per_table: int,
+    vec_col: str,
+    keep_cols: list[str],
+    out_schema: str,
+) -> DataFrame:
+    """Long-form LSH hashing (one output row per input row per table) as a
+    single Arrow kernel: all num_tables × hashes_per_table projections are
+    ONE numpy GEMM per batch, then compound buckets are '|'-joined floors
+    (AND-amplification within a table, OR across tables).
 
-    def _floor_hash(row: np.ndarray) -> F.Column:
-        arr = F.array(*[F.lit(float(x)) for x in row])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.floor(dot / F.lit(bucket_length)).cast("long").cast("string")
+    This replaced a Catalyst formulation that inlined every hyperplane as
+    a 64-literal array with zip_with+aggregate per projection — a
+    multi-thousand-node expression tree that blew past codegen limits and
+    ran interpreted, ~10× slower than this kernel. The GEMM shape also
+    survives 100 TB: hashing is embarrassingly parallel, no shuffle."""
+    proj = projections
+    num_tables = proj.shape[0] // hashes_per_table
 
-    num_tables = projections.shape[0] // hashes_per_table
-    cols = []
-    for t in range(num_tables):
-        parts = [
-            _floor_hash(projections[t * hashes_per_table + h])
-            for h in range(hashes_per_table)
-        ]
-        cols.append(F.concat_ws("|", *parts).alias(f"b_{t}"))
-    return cols
+    def kern(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            H = np.floor((V @ proj.T) / bucket_length).astype(np.int64)
+            per_table = [
+                ["|".join(map(str, row)) for row in H[:, t * hashes_per_table : (t + 1) * hashes_per_table]]
+                for t in range(num_tables)
+            ]
+            out = pdf[keep_cols].iloc[np.repeat(np.arange(n), num_tables)].reset_index(drop=True)
+            out["table_idx"] = np.tile(np.arange(num_tables, dtype=np.int32), n)
+            out["bucket"] = [per_table[t][i] for i in range(n) for t in range(num_tables)]
+            yield out
+
+    return df.mapInPandas(kern, out_schema)
 
 
 def build_lsh_index(
@@ -106,15 +119,14 @@ def build_lsh_index(
     if dim is None:
         dim = len(base.select(vec_col).first()[0])
     proj = _random_projections(num_tables * hashes_per_table, dim, seed)
-    wide = base.select(F.col(id_col), *_bucket_expr(vec_col, proj, bucket_length, hashes_per_table))
-    stack = F.explode(
-        F.array(*[
-            F.struct(F.lit(t).alias("table_idx"), F.col(f"b_{t}").alias("bucket"))
-            for t in range(num_tables)
-        ])
-    )
-    table = wide.select(F.col(id_col), stack.alias("tb")).select(
-        id_col, F.col("tb.table_idx").alias("table_idx"), F.col("tb.bucket").alias("bucket")
+    table = _hash_long(
+        base.select(id_col, vec_col),
+        proj,
+        bucket_length,
+        hashes_per_table,
+        vec_col,
+        keep_cols=[id_col],
+        out_schema=f"{id_col} long, table_idx int, bucket string",
     )
     return LshIndex(table, proj, bucket_length, num_tables, hashes_per_table)
 
@@ -125,27 +137,21 @@ def lsh_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(q_id, _q_emb, vec_id) candidate set: OR-amplified bucket join."""
-    qh = queries.select(
-        F.col("q_id"),
-        F.col(vec_col).alias("_q_emb"),
-        *_bucket_expr(vec_col, index.projections, index.bucket_length, index.hashes_per_table),
-    )
-    q_long = qh.select(
-        "q_id",
-        "_q_emb",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("table_idx"), F.col(f"b_{t}").alias("bucket"))
-                for t in range(index.num_tables)
-            ])
-        ).alias("tb"),
-    ).select(
-        "q_id", "_q_emb", F.col("tb.table_idx").alias("table_idx"), F.col("tb.bucket").alias("bucket")
+    """(q_id, vec_id) candidate set: OR-amplified bucket join. Dedup runs
+    on the bare id pair — re-attaching the query embedding happens after,
+    so the distinct never shuffles array payloads."""
+    q_long = _hash_long(
+        queries.select("q_id", vec_col),
+        index.projections,
+        index.bucket_length,
+        index.hashes_per_table,
+        vec_col,
+        keep_cols=["q_id"],
+        out_schema="q_id long, table_idx int, bucket string",
     )
     return (
         index.hash_table.join(F.broadcast(q_long), ["table_idx", "bucket"])
-        .select("q_id", "_q_emb", id_col)
+        .select("q_id", id_col)
         .distinct()
     )
 
@@ -165,8 +171,11 @@ def knn_lsh(
     the join, dedupe candidates, then one exact-distance pass over
     |candidates| rows — never over the full base."""
     cand = lsh_candidates(index, queries, id_col, vec_col)
-    scored = cand.join(base.select(F.col(id_col), F.col(vec_col).alias("_b_emb")), id_col).select(
-        "q_id", id_col, squared_l2("_q_emb", "_b_emb").alias("dist")
+    qv = queries.select(F.col("q_id"), F.col(vec_col).alias("_q_emb"))
+    scored = (
+        cand.join(base.select(F.col(id_col), F.col(vec_col).alias("_b_emb")), id_col)
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", id_col, squared_l2("_q_emb", "_b_emb").alias("dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
     return (
@@ -326,11 +335,17 @@ def autotune_lsh(
     best = None
     for bucket_length, num_tables in grid:
         idx = build_lsh_index(base, bucket_length, num_tables)
-        # true probe cost: fraction of the |Q|×|B| product actually scored
-        n_cand = lsh_candidates(idx, queries).count()
-        selectivity = n_cand / (n_q * n_b) if n_q and n_b else 1.0
-        pred = knn_lsh(idx, base, queries, k)
-        rec = recall_at_k(pred, truth, k).collect()[0][0]
+        # hash table feeds both the selectivity count and the search —
+        # persist so each grid point hashes the base exactly once
+        idx.hash_table = idx.hash_table.persist()
+        try:
+            # true probe cost: fraction of the |Q|×|B| product actually scored
+            n_cand = lsh_candidates(idx, queries).count()
+            selectivity = n_cand / (n_q * n_b) if n_q and n_b else 1.0
+            pred = knn_lsh(idx, base, queries, k)
+            rec = recall_at_k(pred, truth, k).collect()[0][0]
+        finally:
+            idx.hash_table.unpersist()
         entry = {
             "bucket_length": bucket_length,
             "num_tables": num_tables,
