@@ -190,11 +190,26 @@ def knn_lsh(
 
 @dataclass
 class IvfIndex:
-    """Materialized IVF index: centroid matrix + centroid-assigned base."""
+    """Materialized IVF index: centroid matrix + centroid-assigned base.
+    When `path` is set, `assigned` is backed by a parquet table
+    PARTITIONED BY centroid_id, so probe filters prune whole partitions."""
 
     assigned: DataFrame  # base columns + centroid_id
     centroids: np.ndarray  # (nlist, dim)
     nlist: int
+    path: str | None = None
+
+
+def materialize_ivf(index: IvfIndex, path: str) -> IvfIndex:
+    """Write the assigned table PARTITIONED BY centroid_id and re-open it
+    — the literal Spark rendering of 'nlist inverted lists on disk'
+    (multi_tenant_script.py:94-99). After this, knn_ivf's centroid_id IN
+    (probed) filter becomes parquet PartitionFilters: a probe of
+    nprobe/nlist lists reads nprobe/nlist of the bytes."""
+    spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    assigned = spark.read.parquet(path)
+    return IvfIndex(assigned, index.centroids, index.nlist, path)
 
 
 def _kmeans_fit(X: np.ndarray, k: int, seed: int = SEED, iters: int = 20) -> np.ndarray:
@@ -297,8 +312,15 @@ def knn_ivf(
     probes = spark.createDataFrame(probe_rows, "q_id long, centroid_id int")
     qv = queries.select(F.col("q_id"), F.col(vec_col).alias("_q_emb"))
 
-    cand = index.assigned.join(F.broadcast(probes), "centroid_id").join(
-        F.broadcast(qv), "q_id"
+    # static IN-list on the union of probed centroids: semantically
+    # subsumed by the probe join, but it reaches the SCAN — on a
+    # partitionBy(centroid_id) table (materialize_ivf) it becomes
+    # PartitionFilters and unprobed lists are never read.
+    probe_set = sorted({c for _, c in probe_rows})
+    cand = (
+        index.assigned.filter(F.col("centroid_id").isin(probe_set))
+        .join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(qv), "q_id")
     )
     scored = cand.select(
         "q_id", id_col, squared_l2("_q_emb", vec_col).alias("dist")

@@ -59,6 +59,24 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(idx, q, k=_K, nprobe=8).select("q_id", "rank", "vec_id")
 
 
+@register("knn_ivf_materialized")
+def q_knn_ivf_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 on-disk: the assigned table written PARTITIONED BY centroid_id
+    and probed through parquet PartitionFilters — identical rows to
+    knn_ivf, but the scan reads only the nprobe/nlist probed lists
+    (verified by tests/test_plans.py)."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.index import materialize_ivf
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    emb, q = _setup(spark, sf_dir)
+    idx = materialize_ivf(
+        build_ivf_index(emb, nlist=16), _os.path.join(_io_dir(sf_dir, "ivf_index"), "t")
+    )
+    return knn_ivf(idx, q, k=_K, nprobe=8).select("q_id", "rank", "vec_id")
+
+
 @register("lsh_recall")
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of knn_lsh vs exact — the reference's headline metric."""

@@ -266,3 +266,72 @@ GROUP BY event_type
 def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e,) = _t(spark, sf_dir, "events")
     return rel.props_json_extract(e)
+
+
+@register(
+    "asof_attribution",
+    """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, c.ts,
+       e.event_id AS err_id, e.ts AS ts_r,
+       epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click attributed to the user's latest
+    at-or-earlier error. Spark side is the union-merge formulation (one
+    shuffle on user_id); oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.asof import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    j = asof_join(clicks, errors, by="user_id", ts_col="ts", right_cols=["err_id"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("err_id_r").alias("err_id"),
+        "ts_r",
+        (F.unix_micros("ts") - F.unix_micros("ts_r")).alias("gap_us"),
+    )
+
+
+@register(
+    "range_click_burst",
+    """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+errors AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+clicks AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts, COUNT(r.ts) AS n_clicks_10m
+FROM errors l LEFT JOIN clicks r
+  ON l.user_id = r.user_id AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL 600 SECONDS
+GROUP BY l.event_id, l.user_id, l.ts
+""",
+)
+def q_range_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: clicks within 10 minutes after each error,
+    equality-keyed on user so Catalyst runs hash-join + band filter."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.asof import range_count_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_count_join(
+        errors, clicks, by="user_id", ts_col="ts", window_seconds=600, count_name="n_clicks_10m"
+    ).select("event_id", "user_id", "ts", "n_clicks_10m")

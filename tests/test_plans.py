@@ -1,0 +1,89 @@
+"""Physical-plan assertions — the scale claims, checked against .explain.
+
+Each test pins a plan property the 100 TB story depends on: predicate
+pushdown reaching the parquet scan, partition pruning on the IVF index
+table, broadcast (not shuffle) joins on the small side, map-side top-k
+before the exchange, and column pruning. A regression that silently turns
+one of these into a full scan/shuffle fails here even though results stay
+correct.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import DEFAULT_K
+from cs598vectordb_spark.operators.index import (
+    build_ivf_index,
+    build_lsh_index,
+    knn_ivf,
+    knn_lsh,
+    materialize_ivf,
+)
+from cs598vectordb_spark.operators.knn import knn_exact
+from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def emb_q(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb, queries_from_embeddings(emb, 20)
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir, emb_q):
+    emb, q = emb_q
+    df = knn_exact(emb.filter(F.col("label") == 3), q, k=DEFAULT_K)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "EqualTo(label,3)" in plan, plan
+
+
+def test_ivf_partition_pruning_and_equality(spark, sf_dir, emb_q, tmp_path):
+    emb, q = emb_q
+    idx = build_ivf_index(emb, nlist=8)
+    mat = materialize_ivf(idx, str(tmp_path / "ivf"))
+
+    pruned = knn_ivf(mat, q, k=DEFAULT_K, nprobe=3)
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+    # the probe list must appear as an IN filter on the partition column
+    assert " IN " in plan.split("PartitionFilters", 1)[1][:400], plan
+
+    # materialization changes bytes-read, never results
+    memory = knn_ivf(idx, q, k=DEFAULT_K, nprobe=3)
+    a = sorted(map(tuple, pruned.select("q_id", "rank", "vec_id").collect()))
+    b = sorted(map(tuple, memory.select("q_id", "rank", "vec_id").collect()))
+    assert a == b
+
+
+def test_lsh_probe_is_broadcast_join(spark, emb_q):
+    emb, q = emb_q
+    idx = build_lsh_index(emb, bucket_length=2.0, num_tables=8, hashes_per_table=2)
+    plan = plan_of(knn_lsh(idx, emb, q, k=DEFAULT_K))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_uses_window_group_limit(spark, emb_q):
+    emb, q = emb_q
+    plan = plan_of(knn_exact(emb, q, k=DEFAULT_K))
+    # map-side partial top-k before the exchange: only |parts|*|Q|*k rows shuffle
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_column_pruning_on_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(F.count("*").alias("n"))
+    plan = plan_of(hourly)
+    scan = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "props" not in scan and "value" not in scan, scan
