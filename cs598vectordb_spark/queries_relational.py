@@ -335,3 +335,46 @@ def q_range_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_count_join(
         errors, clicks, by="user_id", ts_col="ts", window_seconds=600, count_name="n_clicks_10m"
     ).select("event_id", "user_id", "ts", "n_clicks_10m")
+
+
+@register(
+    "lineitem_rollup",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), {_R}) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (flag → flag+status → grand total) —
+    one pass, partial aggregation per grouping set."""
+    from pyspark.sql import functions as F
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "priority_customers_setops",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1-%'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_priority_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT set algebra over order predicates."""
+    from pyspark.sql import functions as F
+
+    (o,) = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p1 = o.filter(F.col("o_orderpriority").startswith("1-")).select("o_custkey")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(p1).exceptAll(open_.distinct())

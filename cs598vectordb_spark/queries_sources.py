@@ -132,3 +132,63 @@ def q_scan_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _io_dir(sf_dir, "metric_log")
     write_metric_log(metrics, path)
     return scan_metric_log(spark, path)
+
+
+@register(
+    "load_dataset",
+    """
+SELECT 'embeddings' AS tbl, COUNT(*) AS n, CAST(MAX(len(embedding)) AS INTEGER) AS dim FROM embeddings
+UNION ALL
+SELECT 'queries', COUNT(*), CAST(MAX(len(embedding)) AS INTEGER) FROM embeddings WHERE vec_id < 100
+UNION ALL
+SELECT 'documents', COUNT(*), CAST(NULL AS INTEGER) FROM documents
+UNION ALL
+SELECT 'events', COUNT(*), CAST(NULL AS INTEGER) FROM events
+""",
+)
+def q_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the reference's xb/xq(+aux) quartet loader
+    (dynamic_script_faiss.py:17-22) — table manifest with row counts and
+    vector dims; ground truth is computed (knn_exact), not loaded."""
+    from cs598vectordb_spark.sources.tables import queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 100)
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    null_dim = F.lit(None).cast("int")
+
+    def manifest(df: DataFrame, name: str, dim_col) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("tbl"), F.count("*").alias("n"), dim_col.alias("dim")
+        )
+
+    return (
+        manifest(emb, "embeddings", F.max(F.size("embedding")))
+        .unionByName(manifest(q, "queries", F.max(F.size("embedding"))))
+        .unionByName(manifest(docs, "documents", F.max(null_dim)))
+        .unionByName(manifest(ev, "events", F.max(null_dim)))
+    )
+
+
+@register(
+    "ingest",
+    """
+SELECT COUNT(*) AS n, SUM(vec_id) AS sum_vec_id,
+       CAST(SUM(len(embedding)) AS BIGINT) AS total_vals
+FROM embeddings
+""",
+)
+def q_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: bulk ingest — write the embeddings snapshot as parquet (the
+    engine's ingestion path, vs the reference's add_with_ids /
+    coll.insert) and verify the re-read copy checksums identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _io_dir(sf_dir, "ingest_snapshot")
+    emb.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("vec_id").alias("sum_vec_id"),
+        F.sum(F.size("embedding")).alias("total_vals"),
+    )
