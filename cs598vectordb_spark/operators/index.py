@@ -219,12 +219,16 @@ def _kmeans_fit(X: np.ndarray, k: int, seed: int = SEED, iters: int = 20) -> np.
     df.sample() to bound the sample. Deterministic k-means++ init."""
     rng = np.random.default_rng(seed)
     n = X.shape[0]
-    # k-means++ seeding
+    # k-means++ seeding with the incremental nearest-centroid distance
+    # (O(k·n·d), not O(k²·n·d) — matters for 256-centroid PQ codebooks);
+    # identical draws to the naive recompute, so seeded results are stable.
     cents = [X[rng.integers(n)]]
+    d2 = np.square(X - cents[0]).sum(-1)
     for _ in range(1, k):
-        d2 = np.min(((X[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(-1), axis=1)
         probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
-        cents.append(X[rng.choice(n, p=probs)])
+        new = X[rng.choice(n, p=probs)]
+        cents.append(new)
+        d2 = np.minimum(d2, np.square(X - new).sum(-1))
     C = np.array(cents)
     for _ in range(iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)

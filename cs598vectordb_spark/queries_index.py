@@ -145,3 +145,38 @@ def q_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, q = _setup(spark, sf_dir)
     m = workloads.multi_tenant(spark, emb, q, backend="exact", client_counts=[2, 4])
     return tenant_summary(m)
+
+
+@register("pq_reconstruction")
+def q_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality dashboard: mean squared reconstruction error + achieved
+    compression (the reference's exact config: m=16 subquantizers × 8 bits,
+    multi_tenant_script.py:95 — 16× on these 64-dim vectors, 32× on
+    SIFT's 128). Deterministic (seeded k-means) but not
+    ANSI-expressible → rows-only."""
+    from cs598vectordb_spark.operators.pq import pq_decode_error, train_pq
+
+    emb, _ = _setup(spark, sf_dir)
+    cb = train_pq(emb, m=16, ksub=256)
+    return pq_decode_error(emb, cb)
+
+
+@register("knn_pq")
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/PQ: asymmetric-distance top-k over the m-byte encoded table."""
+    from cs598vectordb_spark.operators.pq import knn_pq, pq_encode, train_pq
+
+    emb, q = _setup(spark, sf_dir)
+    cb = train_pq(emb, m=16, ksub=256)
+    return knn_pq(pq_encode(emb, cb), cb, q, k=_K).select("q_id", "rank", "vec_id")
+
+
+@register("pq_recall")
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of ADC-PQ search vs exact — the compression/recall
+    trade-off the reference plots for IVF-PQ."""
+    from cs598vectordb_spark.operators.pq import knn_pq, pq_encode, train_pq
+
+    emb, q = _setup(spark, sf_dir)
+    cb = train_pq(emb, m=16, ksub=256)
+    return recall_at_k(knn_pq(pq_encode(emb, cb), cb, q, _K), knn_exact(emb, q, _K), _K)

@@ -43,6 +43,9 @@ def emb_q(spark, sf_dir):
 
 def test_predicate_pushdown_reaches_scan(spark, sf_dir, emb_q):
     emb, q = emb_q
+    # a cached InMemoryRelation from another test would shadow the parquet
+    # scan and hide PushedFilters — assert against the real scan
+    spark.catalog.clearCache()
     df = knn_exact(emb.filter(F.col("label") == 3), q, k=DEFAULT_K)
     plan = plan_of(df)
     assert "PushedFilters" in plan and "EqualTo(label,3)" in plan, plan
