@@ -35,9 +35,12 @@ def main() -> int:
         "knn_exact",
         "knn_cosine",
         "knn_lsh",
-        "knn_ivf",
+        "knn_ivf_materialized",
+        "knn_pq",
         "recall_low_dim",
         "knn_post_delete",
+        # io surface
+        "scan_fvecs",
         # relational surface
         "pricing_summary",
         "shipping_priority",
@@ -45,11 +48,17 @@ def main() -> int:
         "order_priority_count",
         "sessionize",
         "events_hourly",
+        "asof_attribution",
+        "salted_user_stats",
         # LLM pipeline surface
         "dedup_exact",
         "minhash_lsh_dedup",
         "jaccard_topk",
         "quality_scores",
+        "token_counts",
+        "media_features",
+        # streaming surface
+        "stream_events_hourly",
     ]
 
     # JVM + Python-worker warmup so query 1 doesn't absorb session startup

@@ -378,3 +378,36 @@ def q_priority_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = o.filter(F.col("o_orderpriority").startswith("1-")).select("o_custkey")
     open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.intersect(p1).exceptAll(open_.distinct())
+
+
+@register(
+    "salted_user_stats",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       MAX(event_id) AS max_event
+FROM events GROUP BY user_id
+""",
+)
+def q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (potentially skewed) user
+    key — bit-identical to the direct groupBy (the oracle IS the direct
+    groupBy), only the shuffle layout changes: hot keys fan out across 8
+    partial reducers before the tiny final combine."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.skew import salted_agg
+
+    (ev,) = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        key="user_id",
+        aggs={
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value"),
+            "max_event": ("max", "event_id"),
+        },
+        n_salts=8,
+        salt_src="event_id",
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 4))
