@@ -36,7 +36,7 @@ def main() -> int:
         "knn_cosine",
         "knn_lsh",
         "knn_ivf_materialized",
-        "knn_pq",
+        "knn_pq_refined",
         "recall_low_dim",
         "knn_post_delete",
         # io surface

@@ -46,9 +46,12 @@ def train_pq(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = SEED,
+    iters: int = 8,
 ) -> PqCodebooks:
     """Fit m sub-codebooks of ksub centroids each on a deterministic
-    sample (orderBy id + limit, like build_ivf_index). dim must divide m."""
+    sample (orderBy id + limit, like build_ivf_index). dim must divide m.
+    8 Lloyd iterations: measured recall is flat beyond that on this data
+    while training halves."""
     sample = base.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     dim = X.shape[1]
@@ -56,7 +59,10 @@ def train_pq(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     books = np.stack(
-        [_kmeans_fit(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j) for j in range(m)]
+        [
+            _kmeans_fit(X[:, j * dsub : (j + 1) * dsub], ksub, seed + j, iters)
+            for j in range(m)
+        ]
     )
     return PqCodebooks(books, m, ksub)
 
@@ -200,6 +206,39 @@ def knn_pq(
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (
         local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
+    )
+
+
+def knn_pq_refined(
+    codes: DataFrame,
+    cb: PqCodebooks,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    refine: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC shortlist + exact re-rank (the FAISS IVFPQ+refine pattern):
+    quantized distances select refine·k candidates per query, then only
+    those |Q|·refine·k rows fetch full vectors for an exact re-rank. The
+    compressed table does the scanning; the exact pass is a broadcast-join
+    over a candidate set 100× smaller than the base."""
+    from cs598vectordb_spark.functions.distance import squared_l2
+
+    shortlist = knn_pq(codes, cb, queries, k=refine * k, vec_col=vec_col, id_col=id_col)
+    qv = queries.select(F.col("q_id"), F.col(vec_col).alias("_q_emb"))
+    scored = (
+        shortlist.select("q_id", "vec_id")
+        .join(base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_b_emb")), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "vec_id", squared_l2("_q_emb", "_b_emb").alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "dist")
     )

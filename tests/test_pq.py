@@ -48,3 +48,16 @@ def test_adc_recall_clears_reference_floor(spark, emb_q):
     truth = knn_exact(emb, q, k=10)
     rec = recall_at_k(pred, truth, 10).collect()[0][0]
     assert rec >= 0.70, rec
+
+
+def test_refined_recall_beats_plain_adc(spark, emb_q):
+    from cs598vectordb_spark.operators.pq import knn_pq_refined
+
+    emb, q = emb_q
+    cb = train_pq(emb, m=16, ksub=256)
+    codes = pq_encode(emb, cb)
+    truth = knn_exact(emb, q, k=10)
+    plain = recall_at_k(knn_pq(codes, cb, q, 10), truth, 10).collect()[0][0]
+    refined = recall_at_k(knn_pq_refined(codes, cb, emb, q, 10), truth, 10).collect()[0][0]
+    assert refined >= plain
+    assert refined >= 0.9, (plain, refined)
