@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) — the reference has none (SURVEY §5);
+these pin algebraic contracts on randomized inputs, not fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cs598vectordb_spark.operators.asof import asof_join
+from cs598vectordb_spark.operators.skew import salted_agg
+from cs598vectordb_spark.sources.vecfiles import _decode_blob, _encode_rows
+
+# ---------------------------------------------------------- pure (fast)
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(width=32, allow_nan=False, allow_infinity=False), min_size=1, max_size=8),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_fvecs_codec_roundtrip(rows):
+    blob = _encode_rows([np.asarray(r, dtype=np.float32) for r in rows], "float32")
+    back = _decode_blob(blob, "float32")
+    assert len(back) == len(rows)
+    for orig, got in zip(rows, back):
+        assert np.array_equal(np.asarray(orig, dtype=np.float32), got)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=8),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_ivecs_codec_roundtrip(rows):
+    blob = _encode_rows([np.asarray(r, dtype=np.int32) for r in rows], "int32")
+    back = _decode_blob(blob, "int32")
+    assert [list(b) for b in back] == rows
+
+
+# ---------------------------------------------------------- spark (slow)
+
+_event = st.tuples(
+    st.integers(0, 3),  # key
+    st.integers(0, 10_000),  # seconds offset
+    st.integers(0, 1000),  # payload
+)
+
+
+@given(st.lists(_event, min_size=1, max_size=25), st.lists(_event, min_size=0, max_size=25))
+@settings(max_examples=8, deadline=None)
+def test_asof_join_matches_bruteforce(lrows, rrows):
+    spark = _spark()
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda rows, payload: [
+        (k, t0 + dt.timedelta(seconds=s), p) for k, s, p in rows
+    ]
+    # unique (key, ts) per side — duplicate-ts tie order is unspecified
+    lrows = list({(k, s): (k, s, p) for k, s, p in lrows}.values())
+    rrows = list({(k, s): (k, s, p) for k, s, p in rrows}.values())
+    left = spark.createDataFrame(mk(lrows, "lv"), "user_id long, ts timestamp, lv long")
+    right = spark.createDataFrame(
+        mk(rrows, "rv"), "user_id long, ts timestamp, rv long"
+    ) if rrows else spark.createDataFrame([], "user_id long, ts timestamp, rv long")
+
+    got = {
+        (r["user_id"], r["ts"]): r["rv_r"]
+        for r in asof_join(left, right, by="user_id", ts_col="ts", right_cols=["rv"]).collect()
+    }
+    for k, s, p in lrows:
+        lts = t0 + dt.timedelta(seconds=s)
+        matches = [(s2, p2) for k2, s2, p2 in rrows if k2 == k and s2 <= s]
+        expect = max(matches)[1] if matches else None
+        assert got[(k, lts)] == expect, (k, s, matches)
+
+
+@given(st.lists(_event, min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_salted_agg_equals_direct(rows):
+    spark = _spark()
+    df = spark.createDataFrame(rows, "user_id long, sec long, payload long")
+    got = {
+        r["user_id"]: (r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df,
+            key="user_id",
+            aggs={"n": ("count", "payload"), "s": ("sum", "payload"), "mx": ("max", "sec")},
+            n_salts=4,
+            salt_src="sec",
+        ).collect()
+    }
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0, None])
+    for k, s, p in rows:
+        e = exp[k]
+        e[0] += 1
+        e[1] += p
+        e[2] = s if e[2] is None else max(e[2], s)
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def _spark():
+    from cs598vectordb_spark.session import get_spark
+
+    return get_spark("tests", cpus=8)
