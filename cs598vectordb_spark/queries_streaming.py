@@ -96,3 +96,30 @@ def q_stream_ingest_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch CDC: ordered delete/delete/insert op files applied to
     versioned snapshots; net effect is the oracle's WHERE clause."""
     return ingest_updates(spark, sf_dir, _io_dir(sf_dir, "stream_ingest"))
+
+
+@register(
+    "stream_dedup",
+    r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+w AS (
+  SELECT fingerprint,
+         MIN((doc_id % 3) * 10000000 + doc_id) % 10000000 AS winner_id
+  FROM fp GROUP BY fingerprint
+)
+SELECT f.doc_id, f.doc_id <> w.winner_id AS is_dup, CAST(w.winner_id AS BIGINT) AS winner_id
+FROM fp f JOIN w USING (fingerprint)
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first-seen-wins fingerprint state across 3
+    ordered micro-batches (applyInPandasWithState). Winner per
+    fingerprint = argmin (batch index, doc_id), which the oracle encodes
+    as a lexicographic MIN."""
+    from cs598vectordb_spark.streaming.jobs import stream_dedup
+
+    return stream_dedup(spark, sf_dir, _io_dir(sf_dir, "stream_dedup"), n_splits=3)

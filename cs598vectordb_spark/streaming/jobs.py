@@ -170,6 +170,84 @@ def stateful_user_counts(
     return out.groupBy("user_id").agg(F.max("running").alias("n_events"))
 
 
+def stream_dedup(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_splits: int = 3
+) -> DataFrame:
+    """Streaming exact dedup over a document stream — the incremental form
+    of operators.dedup.dedup_exact, keyed on md5(normalized text) with
+    first-seen-wins state (applyInPandasWithState): the first batch that
+    carries a fingerprint claims it (lowest doc_id inside that batch);
+    docs arriving in later batches, or behind the winner in the same
+    batch, emit is_dup=true. State is one (winner_id) per distinct
+    fingerprint — the bounded dedup cache a 100 TB crawl keeps per shard.
+
+    Batch order is doc_id % n_splits (ordered files), so the winner of a
+    fingerprint is the doc minimizing (doc_id % n_splits, doc_id) — a
+    closed form the DuckDB oracle reproduces."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    batch = spark.read.parquet(docs_path)
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    os.makedirs(work_dir)
+    fp = batch.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fingerprint"),
+    )
+    now = time.time()
+    for i in range(n_splits):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        fp.filter(F.col("doc_id") % n_splits == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(work_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    stream = (
+        spark.readStream.schema("doc_id long, fingerprint string")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "batch*.parquet")
+        .parquet(work_dir)
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        winner = state.get[0] if state.exists else None
+        out_ids, out_dup = [], []
+        for pdf in pdf_iter:
+            for did in sorted(pdf["doc_id"].tolist()):
+                if winner is None:
+                    winner = did
+                    out_dup.append(False)
+                else:
+                    out_dup.append(True)
+                out_ids.append(did)
+        state.update((winner,))
+        yield pd.DataFrame(
+            {
+                "fingerprint": [key[0]] * len(out_ids),
+                "doc_id": out_ids,
+                "is_dup": out_dup,
+                "winner_id": [winner] * len(out_ids),
+            }
+        )
+
+    deduped = stream.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType="fingerprint string, doc_id long, is_dup boolean, winner_id long",
+        stateStructType="winner long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(deduped, mode="update")
+    return out.select("doc_id", "is_dup", "winner_id")
+
+
 def ingest_updates(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     """foreachBatch CDC ingest — the streaming variant of U1 delete / U2
     insert (ref rebuild-deletes dynamic_script_faiss.py:92-108): an ordered

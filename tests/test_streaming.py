@@ -90,3 +90,22 @@ def test_stateful_counts_and_ingest(spark, sf_dir, tmp_path):
     kept = emb.filter(F.col("vec_id") % 10 != 7)
     assert summary["n"] == kept.count()
     assert summary["sum_vec_id"] == kept.select(F.sum("vec_id")).first()[0]
+
+
+def test_stream_dedup_agrees_with_batch_dedup(spark, sf_dir, tmp_path):
+    """The streaming first-seen-wins dedup must mark the same duplicate
+    SETS as the batch groupBy (winners may differ: batch keeps min doc_id,
+    streaming keeps min (batch, doc_id)) — group membership is invariant."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.dedup import dedup_exact
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.streaming.jobs import stream_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = stream_dedup(spark, sf_dir, str(tmp_path / "sd"), n_splits=3)
+    batch = dedup_exact(docs)
+    n_groups_stream = got.filter(~F.col("is_dup")).count()
+    n_groups_batch = batch.select("fingerprint").distinct().count()
+    assert n_groups_stream == n_groups_batch
+    assert got.count() == docs.count()
