@@ -372,6 +372,32 @@ def knn_ivf(
     )
 
 
+def build_ivf_index_mllib(
+    base: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> IvfIndex:
+    """T2 via MLlib: distributed KMeans over the FULL base table (no
+    driver sample) — the path for bases too big to sample meaningfully.
+    array_to_vector at the MLlib boundary only; the stored table stays
+    ARRAY<FLOAT> (SURVEY §7 hard-part e). Assignment reuses the trained
+    model's transform, then drops the UDT column immediately."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = base.select(
+        id_col, vec_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="_features", predictionCol="centroid_id").fit(feats)
+    assigned = model.transform(feats).select(
+        id_col, vec_col, F.col("centroid_id").cast("int")
+    )
+    C = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return IvfIndex(assigned, C, nlist)
+
+
 # ------------------------------------------------------------- autotune
 
 

@@ -216,3 +216,14 @@ def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, q = _setup(spark, sf_dir)
     idx = build_lsh_index(emb, bucket_length=2.0, num_tables=8, hashes_per_table=4)
     return knn_lsh(idx, emb, q, k=_K, n_probes=3).select("q_id", "rank", "vec_id")
+
+
+@register("knn_ivf_mllib")
+def q_knn_ivf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 with MLlib-trained centroids: distributed KMeans over the full
+    base (the no-sample path for 100 TB bases), same probe plan."""
+    from cs598vectordb_spark.operators.index import build_ivf_index_mllib
+
+    emb, q = _setup(spark, sf_dir)
+    idx = build_ivf_index_mllib(emb, nlist=16)
+    return knn_ivf(idx, q, k=_K, nprobe=8).select("q_id", "rank", "vec_id")

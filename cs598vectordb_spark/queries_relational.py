@@ -411,3 +411,34 @@ def q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_src="event_id",
     )
     return out.withColumn("sum_value", F.round("sum_value", 4))
+
+
+@register(
+    "customer_order_gaps",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(epoch(o_orderdate) - epoch(lag(o_orderdate) OVER w) AS BIGINT) AS gap_s,
+       CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS price_rank,
+       lead(o_orderkey) OVER w AS next_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/dense_rank windows: per-customer inter-order gaps and
+    spend ranks — one shuffle per distinct partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    (o,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.unix_timestamp("o_orderdate") - F.unix_timestamp(F.lag("o_orderdate").over(w))
+        ).alias("gap_s"),
+        F.dense_rank().over(wp).alias("price_rank"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
