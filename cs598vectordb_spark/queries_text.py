@@ -166,15 +166,51 @@ def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_topk(docs, n_query_docs=20, topk=3)
 
 
-# ---- simhash (rows-only: md5 bit votes not DuckDB-expressible) ----------
+# ---- simhash -------------------------------------------------------------
+# Full DuckDB oracle: token hash = first 8 bytes of md5 (BIT-typed, so
+# get_bit(bits, 63-b) is exactly the kernel's bit b); 64 per-bit vote sums;
+# signature reassembled as signed two's-complement BIGINT; pairs by
+# bit_count(xor()). Generated SQL — 64 mechanical columns.
+
+_SH_VOTES = ",\n    ".join(
+    f"SUM(CASE WHEN get_bit(bits, {63 - b}) = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SH_SIG = (
+    " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(63))
+    + " + CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END"
+)
+
+_SIMHASH_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, lang, CAST(unhex(substr(md5(tok), 1, 16)) AS BIT) AS bits FROM toks
+),
+votes AS (
+  SELECT doc_id, lang,
+    {_SH_VOTES}
+  FROM tb GROUP BY doc_id, lang
+),
+sigs AS (
+  SELECT doc_id, lang, CAST({_SH_SIG} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 26
+"""
 
 
-@register("simhash_near_dups")
+@register("simhash_near_dups", _SIMHASH_ORACLE)
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 26, blocked by lang). Rows-only
-    driver check; semantics pinned by tests/test_dedup.py on constructed
-    near-duplicates. Random 64-bit pairs center at Hamming 32 (σ≈4), so 26
-    ≈ −1.5σ: a real near-dup cut that still yields rows on synthetic data."""
+    """SimHash near-dup pairs (Hamming ≤ 26, blocked by lang), now under
+    the full value-hash oracle: DuckDB recomputes every 64-bit signature
+    from md5 token bits. Random 64-bit pairs center at Hamming 32 (σ≈4),
+    so 26 ≈ −1.5σ: a real near-dup cut that still yields rows on
+    synthetic data."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dups(docs, max_hamming=26)
 
