@@ -442,3 +442,58 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(wp).alias("price_rank"),
         F.lead("o_orderkey").over(w).alias("next_order"),
     )
+
+
+@register(
+    "decimal_revenue",
+    """
+SELECT l_returnflag,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS discount_amount
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL arithmetic (order-independent, unlike double sums —
+    no rounding dance needed on either side): money columns summed as
+    DECIMAL(18,2)/(18,4)."""
+    from pyspark.sql import functions as F
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).alias("revenue"),
+        F.sum(price * disc).alias("discount_amount"),
+    )
+
+
+@register(
+    "sql_text_surface",
+    """
+SELECT n.n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_sql_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textual SQL entry point (Q3 analog — the reference pushes kNN
+    into server query languages; our engine's query language IS Spark
+    SQL): temp views registered, the query given as SQL text, same
+    Catalyst plan as the DataFrame API."""
+    from cs598vectordb_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS STRING) AS total
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )
