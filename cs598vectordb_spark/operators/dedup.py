@@ -359,3 +359,54 @@ def embedding_near_dup_topk(
         .filter(F.col("rank") <= topk)
         .select(block_col, "rank", "id_a", "id_b", "cos_sim")
     )
+
+
+def simhash_banded_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded SimHash near-dup pairs — the 100 TB path the blocked
+    variant's docstring promises: split each 64-bit signature into
+    n_bands 16-bit bands and equi-join on (band_idx, band_value), so
+    candidates meet in hash buckets instead of a per-block cross join.
+
+    Pigeonhole guarantee: with max_hamming < n_bands, two signatures
+    within the threshold MUST agree on at least one full band, so the
+    banded candidate set loses nothing — output is exactly the
+    exhaustive pair set (the DuckDB oracle computes it exhaustively).
+    """
+    assert max_hamming < n_bands, "pigeonhole requires max_hamming < n_bands"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash(docs, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select(id_col, "simhash", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val"))
+
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

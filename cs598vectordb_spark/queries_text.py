@@ -3,9 +3,9 @@
 The MinHash oracle SQL is generated from the same seeded coefficients the
 Spark operator uses (dedup.minhash_params), so both engines compute the
 identical signature matrix. Rolling hashes share one closed-form formula.
-SimHash is registered rows-only (md5-bit machinery is not reasonably
-expressible in DuckDB SQL); its correctness is pinned by unit tests on
-known near-duplicate constructions instead.
+SimHash faces a full value-hash oracle too: DuckDB's BIT type exposes the
+md5 bits (get_bit on the 8-byte prefix), so the 64 per-bit vote sums and
+the signed signature are recomputed exactly in SQL.
 """
 
 from __future__ import annotations
@@ -385,3 +385,24 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).alias("n_tokens_ws"),
         F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_tokens_bpe"),
     )
+
+
+_SIMHASH_BANDED_ORACLE = _SIMHASH_ORACLE.replace(
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 26""",
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+
+
+@register("simhash_banded", _SIMHASH_BANDED_ORACLE)
+def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash (4×16-bit bands, Hamming ≤ 3): candidates meet in
+    band buckets, and the pigeonhole bound makes the banded set EXACTLY
+    the exhaustive pair set — which is what the oracle computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_banded_pairs(docs, max_hamming=3, n_bands=4)

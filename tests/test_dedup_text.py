@@ -86,3 +86,32 @@ def test_embedding_near_dup_ranks(spark, sf_dir):
     per_label = out.groupBy("label").count().collect()
     assert all(r["count"] == 5 for r in per_label)
     assert out.filter(F.col("cos_sim") > 1.000001).count() == 0
+
+
+def test_banded_simhash_equals_exhaustive(spark, sf_dir):
+    """Pigeonhole: hamming <= 3 over 4 bands forces a shared band, so the
+    banded candidate set is lossless vs the exhaustive pair scan."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.dedup import simhash, simhash_banded_pairs
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_banded_pairs(docs, max_hamming=3, n_bands=4).collect()
+    }
+    sigs = simhash(docs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    exhaustive = {
+        (r["doc_a"], r["doc_b"], r["h"])
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("h")
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == exhaustive and banded
