@@ -90,3 +90,23 @@ def test_column_pruning_on_events(spark, sf_dir):
     plan = plan_of(hourly)
     scan = plan.split("ReadSchema", 1)[1].splitlines()[0]
     assert "props" not in scan and "value" not in scan, scan
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The union-merge as-of join must not degrade into a join+filter
+    cross product: no SortMergeJoin/BroadcastNestedLoopJoin, and the only
+    exchange is the per-key window partitioning."""
+    from cs598vectordb_spark.operators.asof import asof_join
+    from cs598vectordb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    plan = plan_of(asof_join(clicks, errors, by="user_id", ts_col="ts", right_cols=["err_id"]))
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
+    import re
+
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange == 1, (n_exchange, plan)
