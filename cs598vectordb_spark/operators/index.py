@@ -443,3 +443,37 @@ def autotune_lsh(
         if rec >= target_recall and (best is None or selectivity < best["selectivity"]):
             best = entry
     return best or {}, trace
+
+
+def autotune_ivf(
+    base: DataFrame,
+    queries: DataFrame,
+    truth: DataFrame,
+    target_recall: float = 0.9,
+    k: int = DEFAULT_K,
+    nlist: int = 16,
+    nprobes: list[int] | None = None,
+) -> tuple[dict, list[dict]]:
+    """T4 for IVF: sweep nprobe on one built index, score recall against
+    the exact oracle, return the cheapest probe count clearing the
+    target (the reference's fixed nprobe=10-of-100 becomes a measured
+    choice). Selectivity here is nprobe/nlist — the fraction of lists
+    (and, on a materialized index, of bytes) each query touches."""
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+
+    nprobes = nprobes or [1, 2, 4, 8, 12, 16]
+    idx = build_ivf_index(base, nlist=nlist)
+    idx.assigned = idx.assigned.persist()
+    trace, best = [], None
+    try:
+        for npb in nprobes:
+            if npb > nlist:
+                continue
+            rec = recall_at_k(knn_ivf(idx, queries, k, nprobe=npb), truth, k).collect()[0][0]
+            entry = {"nlist": nlist, "nprobe": npb, "recall": rec, "selectivity": round(npb / nlist, 4)}
+            trace.append(entry)
+            if rec >= target_recall and best is None:
+                best = entry
+    finally:
+        idx.assigned.unpersist()
+    return best or {}, trace

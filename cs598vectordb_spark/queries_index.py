@@ -227,3 +227,19 @@ def q_knn_ivf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, q = _setup(spark, sf_dir)
     idx = build_ivf_index_mllib(emb, nlist=16)
     return knn_ivf(idx, q, k=_K, nprobe=8).select("q_id", "rank", "vec_id")
+
+
+@register("ivf_autotune")
+def q_ivf_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/IVF: nprobe sweep trace — recall vs fraction of lists touched;
+    the chosen config is the cheapest clearing 0.9 (MRPT's target)."""
+    from cs598vectordb_spark.operators.index import autotune_ivf
+
+    emb, q_full = _setup(spark, sf_dir)
+    q = q_full.limit(20)
+    truth = knn_exact(emb, q, _K)
+    _, trace = autotune_ivf(emb, q, truth, target_recall=0.9, k=_K)
+    return spark.createDataFrame(
+        [(t["nlist"], t["nprobe"], t["recall"], t["selectivity"]) for t in trace],
+        "nlist int, nprobe int, recall double, selectivity double",
+    )

@@ -152,3 +152,39 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb.filter(F.col("label") == 3), q, k=_K).select(
         "q_id", "rank", "vec_id"
     )
+
+
+@register(
+    "semantic_doc_search",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20
+),
+pairs AS (
+  SELECT q.q_id, b.vec_id,
+         {_L2.format(a="q.q_emb", b="b.embedding")} AS dist
+  FROM q CROSS JOIN embeddings b
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+  FROM pairs QUALIFY rank <= 5
+)
+SELECT r.q_id, r.rank, r.vec_id, d.lang, d.source,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+""",
+)
+def q_semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic search end to end: vector top-k then a broadcast join back
+    to the documents table for payload columns — the query an LLM
+    retrieval pipeline actually runs (doc_id ↔ vec_id shared id space,
+    FIXTURES.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = queries_from_embeddings(emb, 20)
+    hits = knn_exact(emb, q, k=5).select("q_id", "rank", "vec_id")
+    return hits.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "lang", "source", "n_chars")),
+        "vec_id",
+    ).select("q_id", "rank", "vec_id", "lang", "source", "n_chars")
