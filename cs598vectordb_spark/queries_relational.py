@@ -448,23 +448,29 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_revenue",
     """
 SELECT l_returnflag,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS discount_amount
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS VARCHAR) AS discount_amount
 FROM lineitem GROUP BY l_returnflag
 """,
 )
 def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DECIMAL arithmetic (order-independent, unlike double sums —
     no rounding dance needed on either side): money columns summed as
-    DECIMAL(18,2)/(18,4)."""
+    DECIMAL(18,2)/(18,4). The final aggregates are rendered as strings on
+    BOTH sides: round 1 showed the math matching but the driver's
+    canonicalization of Decimal-typed cells differing between engines
+    (CORRECTNESS_r01 hash_match=false with rows/schema green) — a string
+    column hashes representation-independently. Fixed scale is pinned by
+    the intermediate DECIMAL(38,2)/(38,6) cast so both engines print the
+    same digit count."""
     from pyspark.sql import functions as F
 
     (li,) = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(price).alias("revenue"),
-        F.sum(price * disc).alias("discount_amount"),
+        F.sum(price).cast("decimal(38,2)").cast("string").alias("revenue"),
+        F.sum(price * disc).cast("decimal(38,6)").cast("string").alias("discount_amount"),
     )
 
 

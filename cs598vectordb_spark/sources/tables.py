@@ -17,14 +17,46 @@ from pyspark.sql import functions as F
 from cs598vectordb_spark.config import DEFAULT_N_QUERIES, TABLES
 
 
+_RUNTIME_CONFS = (
+    # events.parquet carries TIMESTAMP(NANOS); without this a session
+    # throws PARQUET_TYPE_ILLEGAL on read. Runtime-settable SQLConf.
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # Timestamps render in the session timezone when collected; the DuckDB
+    # oracle's TIMESTAMPs are timezone-free, so pin UTC for parity.
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def _align_session(spark: SparkSession) -> None:
+    """Make any session — including a bare driver-constructed
+    SparkSession.builder.getOrCreate() with no engine configs — able to
+    read the testdata and hash-match the oracle. Both confs are
+    runtime-settable; best-effort so a locked-down conf can't break reads
+    that would otherwise succeed."""
+    for key, val in _RUNTIME_CONFS:
+        try:
+            if spark.conf.get(key, None) != val:
+                spark.conf.set(key, val)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One parquet table. Column pruning + predicate pushdown reach the
     scan because we return the raw relation and let callers select/filter
     declaratively (verify: .explain shows ReadSchema/PushedFilters)."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in parquet — read as long nanos (see
-    # session.py) and floor-truncated to micro precision here, matching
-    # DuckDB's CAST(TIMESTAMP_NS AS TIMESTAMP) on the oracle side.
+    _align_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # retry once with the nanos conf forced (e.g. a session that
+        # rejected the soft set above, or raced a concurrent unset)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    # events.ts is TIMESTAMP(NANOS) in parquet — read as long nanos and
+    # floor-truncated to micro precision here, matching DuckDB's
+    # CAST(TIMESTAMP_NS AS TIMESTAMP) on the oracle side.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

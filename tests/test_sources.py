@@ -90,3 +90,38 @@ def test_metric_log_roundtrip(spark, tmp_path):
     back = scan_metric_log(spark, path)
     got = {(r["update_pct"], r["interval"]): (r["qps"], r["latency_ms"], r["recall"]) for r in back.collect()}
     assert got == {(p, i): (q, l, r) for p, i, q, l, r in data}
+
+
+def test_bare_session_reads_events(sf_dir):
+    """Regression for round 1's biggest failure: the DRIVER constructs its
+    own bare SparkSession (no engine configs), and events.parquet's
+    TIMESTAMP(NANOS) column made every events query throw
+    PARQUET_TYPE_ILLEGAL there while passing under get_spark(). load_table
+    must set what it needs at runtime — pin that with a subprocess running
+    a truly unconfigured session."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        # mirror the driver: NO engine configs (ui off only to avoid port binds)
+        spark = (SparkSession.builder.master("local[4]").appName("bare-driver-sim")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        import __spark_entry__ as em
+        qs = em.queries()
+        n = qs["events_hourly"](spark, {sf_dir!r}).count()
+        assert n > 0, n
+        rows = qs["events_last5_summary"](spark, {sf_dir!r}).collect()
+        assert rows, rows
+        print("BARE_OK", n)
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "BARE_OK" in proc.stdout, proc.stdout

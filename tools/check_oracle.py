@@ -53,15 +53,39 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def _bare_spark():
+    """A session shaped like the driver's: NO engine configs (no
+    nanosAsLong, no UTC pin, default shuffle partitions semantics) — every
+    queries() entry must survive this, setting what it needs at runtime.
+    Round 1 lesson: 9 queries passed the old get_spark()-based gate and
+    died in the driver's bare session on events.parquet's TIMESTAMP(NANOS).
+    Set SPARK_GRAFT_ORACLE_ENGINE_SESSION=1 to use the tuned builder."""
+    if os.environ.get("SPARK_GRAFT_ORACLE_ENGINE_SESSION"):
+        from cs598vectordb_spark.session import get_spark
+
+        return get_spark("oracle-check")
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-check")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
-    from cs598vectordb_spark.session import get_spark
 
     only = set(sys.argv[1:])
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark("oracle-check")
+    spark = _bare_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
