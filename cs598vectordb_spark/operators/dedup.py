@@ -216,36 +216,65 @@ def jaccard_topk(
     docs: DataFrame,
     n_query_docs: int = 20,
     topk: int = 3,
-    block_col: str = "lang",
+    k_minhash: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-k most-similar documents (by shingle Jaccard) for each of the
-    first `n_query_docs` docs, blocked on `block_col` — similarity search
-    over text. Blocking bounds the pair count (per-block product, not
-    global cross join). Jaccard is computed over distinct shingle-HASH
+    first `n_query_docs` docs — similarity search over text.
+
+    Candidate generation goes through the MinHash machinery instead of a
+    per-block cross join (round 1's `lang`-blocked variant was per-block
+    quadratic — at 100 TB a language block IS the corpus): a candidate is
+    any doc agreeing with the query on at least one of `k_minhash`
+    single-row bands, i.e. sharing the min-hashed shingle for some hash
+    function. Expected candidate count tracks true Jaccard (P[collide on
+    one band] = J), so cost is ~|similar pairs|, not |block|².
+
+    The query side is `n_query_docs` rows → its exploded band table is
+    broadcast; the verify stage joins candidate ids back to the cached
+    shingle-hash sets. Jaccard is computed over distinct shingle-HASH
     sets (long arrays intersect much faster than string arrays; values
     are identical cross-engine)."""
-    hs = shingle_hashes(docs, text_col, id_col).select(
-        F.col(id_col), F.array_distinct("hashes").alias("hset")
-    ).join(docs.select(F.col(id_col), F.col(block_col)), id_col)
-    q = hs.filter(F.col(id_col) < n_query_docs).select(
-        F.col(id_col).alias("q_doc"), F.col(block_col), F.col("hset").alias("sh_q")
-    )
-    c = hs.select(F.col(id_col).alias("cand_doc"), F.col(block_col), F.col("hset").alias("sh_c"))
-    inter = F.size(F.array_intersect("sh_q", "sh_c")).cast("double")
-    union = F.size(F.array_union("sh_q", "sh_c")).cast("double")
-    scored = (
-        q.join(c, block_col)
-        .filter(F.col("q_doc") != F.col("cand_doc"))
-        .select("q_doc", "cand_doc", F.round(inter / union, 6).alias("jaccard"))
-    )
-    w = Window.partitionBy("q_doc").orderBy(F.col("jaccard").desc(), F.col("cand_doc").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("q_doc", "rank", "cand_doc", "jaccard")
-    )
+    hashed = shingle_hashes(docs, text_col, id_col).persist()
+    try:
+        sigs = minhash_signatures(docs, k_minhash, text_col, id_col, hashed=hashed)
+        bands = sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(i).alias("band"), F.col(f"mh_{i}").alias("sig"))
+                    for i in range(k_minhash)
+                ])
+            ).alias("bs"),
+        ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        qb = bands.filter(F.col(id_col) < n_query_docs).select(
+            F.col(id_col).alias("q_doc"), "band", "sig"
+        )
+        cand = (
+            bands.join(F.broadcast(qb), ["band", "sig"])
+            .filter(F.col("q_doc") != F.col(id_col))
+            .select("q_doc", F.col(id_col).alias("cand_doc"))
+            .distinct()
+        )
+        hs = hashed.select(F.col(id_col), F.array_distinct("hashes").alias("hset"))
+        joined = (
+            cand.join(hs.select(F.col(id_col).alias("q_doc"), F.col("hset").alias("sh_q")), "q_doc")
+            .join(hs.select(F.col(id_col).alias("cand_doc"), F.col("hset").alias("sh_c")), "cand_doc")
+        )
+        inter = F.size(F.array_intersect("sh_q", "sh_c")).cast("double")
+        union = F.size(F.array_union("sh_q", "sh_c")).cast("double")
+        scored = joined.select("q_doc", "cand_doc", F.round(inter / union, 6).alias("jaccard"))
+        w = Window.partitionBy("q_doc").orderBy(F.col("jaccard").desc(), F.col("cand_doc").asc())
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("q_doc", "rank", "cand_doc", "jaccard")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
+    return out
 
 
 # ------------------------------------------------------------ simhash
@@ -275,7 +304,7 @@ def simhash(
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.uint64)
             for row_i, text in enumerate(pdf[text_col].tolist()):
-                toks = text.lower().split()
+                toks = (text or "").lower().split()
                 if not toks:
                     continue
                 hs = np.array([th(t) for t in toks], dtype=np.uint64)
@@ -293,71 +322,92 @@ def simhash(
 
 def simhash_near_dups(
     docs: DataFrame,
-    max_hamming: int = 16,
+    max_hamming: int = 7,
+    n_bands: int = 8,
     block_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on block_col.
-    At 100 TB scale the block join would be replaced by multi-probe
-    banding on simhash prefixes (same LSH trick as minhash)."""
-    sigs = simhash(docs, text_col, id_col)
-    blocks = docs.select(F.col(id_col), F.col(block_col))
-    s = sigs.join(blocks, id_col)
-    a = s.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(block_col)
-    )
-    b = s.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), F.col(block_col)
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        a.join(b, block_col)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    """Near-dup pairs by SimHash Hamming distance, restricted to
+    same-`block_col` pairs, with BANDED candidate generation.
+
+    Round 1's formulation compared every same-lang pair (per-block
+    quadratic — at 100 TB a language block IS the corpus) under a
+    threshold (16) so loose it passed ~the entire block product. Now
+    candidates meet in (band_idx, band_val, block) hash buckets — 8 bands
+    of 8 bits — and the pigeonhole bound (max_hamming < n_bands) makes
+    the banded set EXACTLY the exhaustive same-block pair set at the
+    threshold, so correctness is unchanged while the join cost tracks
+    |near-dups|, not |block|²."""
+    return simhash_banded_pairs(
+        docs,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        text_col=text_col,
+        id_col=id_col,
+        block_col=block_col,
     )
 
 
 # ------------------------------------------- embedding near-duplicates
 
 
+def sign_bucket(vec_col: str, n_bits: int = 4):
+    """LSH bucket id from the sign bits of the first n_bits coordinates —
+    axis-aligned random-hyperplane hashing for cosine similarity.
+
+    Chosen over learned/sampled hyperplanes for the oracle-facing path
+    because a single float32 comparison against 0 involves NO summation:
+    it is bit-for-bit identical in any engine, so the bucket assignment
+    (and therefore the exact output) is reproducible in ANSI SQL. At
+    cluster scale the same plan shape takes an IVF centroid id or a
+    seeded-hyperplane LSH signature as the bucket key."""
+    col = F.lit(0)
+    for j in range(n_bits):
+        col = col + F.lit(1 << j) * (F.element_at(F.col(vec_col), j + 1) > 0).cast("int")
+    return col
+
+
 def embedding_near_dup_topk(
     embeddings: DataFrame,
     topk: int = 5,
-    block_col: str = "label",
+    n_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top-k most-cosine-similar pairs per block — embedding-space
-    near-dup detection. Blocked pair join (per-label products); at scale
-    the block key would be an IVF centroid / LSH bucket instead of a
-    given label, same plan shape."""
+    """Top-k most-cosine-similar pairs per LSH bucket — embedding-space
+    near-dup detection. Round 1 blocked on the dataset's `label` column
+    (a gift the data won't give at 100 TB, and per-label quadratic); the
+    block key is now a sign-bit LSH bucket computed from the vectors
+    themselves. Near-identical vectors agree on all sign bits, so true
+    near-dups land in the same bucket; bucket population is ~N/2^n_bits,
+    so the per-bucket pair product shrinks quadratically with added
+    bits — n_bits is the knob that keeps buckets executor-sized as N
+    grows."""
     from cs598vectordb_spark.functions.distance import cosine_similarity
 
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(block_col)
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(vec_col, n_bits).alias("bucket")
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(block_col)
-    )
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
     pairs = (
-        a.join(b, block_col)
+        a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            F.col(block_col),
+            "bucket",
             "id_a",
             "id_b",
             F.round(cosine_similarity("v_a", "v_b"), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy(block_col).orderBy(
+    w = Window.partitionBy("bucket").orderBy(
         F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
-        .select(block_col, "rank", "id_a", "id_b", "cos_sim")
+        .select("bucket", "rank", "id_a", "id_b", "cos_sim")
     )
 
 
@@ -367,24 +417,34 @@ def simhash_banded_pairs(
     n_bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    block_col: str | None = None,
 ) -> DataFrame:
-    """Banded SimHash near-dup pairs — the 100 TB path the blocked
-    variant's docstring promises: split each 64-bit signature into
-    n_bands 16-bit bands and equi-join on (band_idx, band_value), so
-    candidates meet in hash buckets instead of a per-block cross join.
+    """Banded SimHash near-dup pairs — the 100 TB formulation: split each
+    64-bit signature into n_bands (64/n_bands)-bit bands and equi-join on
+    (band_idx, band_value[, block]), so candidates meet in hash buckets
+    instead of a per-block cross join.
 
     Pigeonhole guarantee: with max_hamming < n_bands, two signatures
     within the threshold MUST agree on at least one full band, so the
     banded candidate set loses nothing — output is exactly the
     exhaustive pair set (the DuckDB oracle computes it exhaustively).
-    """
+
+    The Hamming filter runs BEFORE the duplicate-pair distinct: bit_count
+    on the joined rows is a codegen'd bitop, so the distinct's shuffle
+    only carries pairs already under the threshold."""
     assert max_hamming < n_bands, "pigeonhole requires max_hamming < n_bands"
+    assert 64 % n_bands == 0, "64-bit signature must split evenly into bands"
     width = 64 // n_bands
     mask = (1 << width) - 1
     sigs = simhash(docs, text_col, id_col)
+    if block_col is not None:
+        sigs = sigs.join(docs.select(F.col(id_col), F.col(block_col)), id_col)
+    join_keys = ["band_idx", "band_val"] + ([block_col] if block_col else [])
+    extra = [F.col(block_col)] if block_col else []
     bands = sigs.select(
         F.col(id_col),
         F.col("simhash"),
+        *extra,
         F.explode(
             F.array(*[
                 F.struct(
@@ -394,19 +454,19 @@ def simhash_banded_pairs(
                 for b in range(n_bands)
             ])
         ).alias("bv"),
-    ).select(id_col, "simhash", F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val"))
+    ).select(id_col, "simhash", *extra, F.col("bv.band_idx").alias("band_idx"), F.col("bv.band_val").alias("band_val"))
 
     a = bands.select(
-        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val", *extra
     )
     b = bands.select(
-        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val", *extra
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, ["band_idx", "band_val"])
+        a.join(b, join_keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -137,21 +137,23 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_topk",
     f"""
-WITH sh AS (
-  SELECT doc_id, lang, {_SHINGLES} AS shingles
-  FROM ({_TOKENS_CTE})
+WITH {_duck_minhash_sigs(16)},
+bands AS ({_duck_bands(16, 1)}),
+cand AS (
+  SELECT DISTINCT q.doc_id AS q_doc, c.doc_id AS cand_doc
+  FROM bands q JOIN bands c ON q.band = c.band AND q.sig = c.sig AND q.doc_id != c.doc_id
+  WHERE q.doc_id < 20
 ),
-hashed AS (
-  SELECT doc_id, lang,
-         list_distinct(list_transform(shingles, s -> {_duck_rolling("s")})) AS hset
-  FROM sh
+hs AS (
+  SELECT doc_id, list_distinct(hashes) AS hset FROM hashed
 ),
 scored AS (
-  SELECT q.doc_id AS q_doc, c.doc_id AS cand_doc,
-         ROUND(CAST(len(list_intersect(q.hset, c.hset)) AS DOUBLE)
-               / len(list_distinct(list_concat(q.hset, c.hset))), 6) AS jaccard
-  FROM hashed q JOIN hashed c ON q.lang = c.lang AND q.doc_id != c.doc_id
-  WHERE q.doc_id < 20
+  SELECT cand.q_doc, cand.cand_doc,
+         ROUND(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.hset, b.hset))), 6) AS jaccard
+  FROM cand
+  JOIN hs a ON a.doc_id = cand.q_doc
+  JOIN hs b ON b.doc_id = cand.cand_doc
 )
 SELECT q_doc, CAST(rank AS INTEGER) AS rank, cand_doc, jaccard
 FROM (
@@ -162,8 +164,13 @@ FROM (
 """,
 )
 def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text similarity search: top-3 by true shingle Jaccard among
+    MinHash-band candidates (any shared single-row band of 16) — the
+    round-1 lang-blocked quadratic candidate stage replaced by the LSH
+    bucket join; the oracle reproduces the banding, so candidate sets
+    are identical by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_topk(docs, n_query_docs=20, topk=3)
+    return dedup.jaccard_topk(docs, n_query_docs=20, topk=3, k_minhash=16)
 
 
 # ---- simhash -------------------------------------------------------------
@@ -181,7 +188,7 @@ _SH_SIG = (
     + " + CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END"
 )
 
-_SIMHASH_ORACLE = rf"""
+_SIMHASH_CTES = rf"""
 WITH toks AS (
   SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
   FROM documents
@@ -197,52 +204,76 @@ votes AS (
 sigs AS (
   SELECT doc_id, lang, CAST({_SH_SIG} AS BIGINT) AS simhash FROM votes
 )
+"""
+
+# lang-restricted pairs at Hamming ≤ 7 (engine side: 8×8-bit bands, exact
+# by pigeonhole)
+_SIMHASH_ORACLE = (
+    _SIMHASH_CTES
+    + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 26
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
 """
+)
 
 
 @register("simhash_near_dups", _SIMHASH_ORACLE)
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 26, blocked by lang), now under
-    the full value-hash oracle: DuckDB recomputes every 64-bit signature
-    from md5 token bits. Random 64-bit pairs center at Hamming 32 (σ≈4),
-    so 26 ≈ −1.5σ: a real near-dup cut that still yields rows on
-    synthetic data."""
+    """SimHash near-dup pairs (Hamming ≤ 7, same-lang), under the full
+    value-hash oracle: DuckDB recomputes every 64-bit signature from md5
+    token bits and compares pairs exhaustively; the engine generates
+    candidates through 8×8-bit bands, exact by pigeonhole (≤7 < 8 bands).
+    Random 64-bit pairs center at Hamming 32 (σ≈4) — round 1's threshold
+    of 26 passed ~the whole block product (29,904 pairs from 500 docs);
+    ≤7 is a >6σ cut that keeps only true near-dups."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_dups(docs, max_hamming=26)
+    return dedup.simhash_near_dups(docs, max_hamming=7, n_bands=8)
 
 
 # ---- embedding near-dup --------------------------------------------------
 
 
+_DUCK_SIGN_BUCKET = " + ".join(
+    f"{1 << j} * (CASE WHEN embedding[{j + 1}] > 0 THEN 1 ELSE 0 END)" for j in range(4)
+)
+
+
 @register(
     "embedding_near_dup",
-    """
-WITH pairs AS (
-  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+    f"""
+WITH be AS (
+  SELECT vec_id, embedding, {_DUCK_SIGN_BUCKET} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND(
            list_sum(list_transform(list_zip(a.embedding, b.embedding),
                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
            / ( sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
          , 6) AS cos_sim
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM be a JOIN be b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT label, CAST(rank AS INTEGER) AS rank, id_a, id_b, cos_sim
+SELECT bucket, CAST(rank AS INTEGER) AS rank, id_a, id_b, cos_sim
 FROM (
-  SELECT label, id_a, id_b, cos_sim,
-         row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, id_a ASC, id_b ASC) AS rank
+  SELECT bucket, id_a, id_b, cos_sim,
+         row_number() OVER (PARTITION BY bucket ORDER BY cos_sim DESC, id_a ASC, id_b ASC) AS rank
   FROM pairs
 ) WHERE rank <= 5
 """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup top-5 per sign-bit LSH bucket (4 bits → 16
+    buckets) — round 1 blocked on the given `label` column; the block key
+    now comes from the vectors themselves, so the operator stands without
+    labeled data and per-bucket pair cost is tunable via n_bits. Sign
+    tests are single float32 comparisons — deterministic cross-engine, so
+    the bucket assignment is reproduced exactly in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_topk(emb, topk=5)
+    return dedup.embedding_near_dup_topk(emb, topk=5, n_bits=4)
 
 
 # ---- text analysis -------------------------------------------------------
@@ -387,15 +418,15 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BANDED_ORACLE = _SIMHASH_ORACLE.replace(
-    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 26""",
-    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+# global (unblocked) pairs at Hamming ≤ 3 (engine side: 4×16-bit bands)
+_SIMHASH_BANDED_ORACLE = (
+    _SIMHASH_CTES
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 )
 
 

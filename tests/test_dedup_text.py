@@ -39,11 +39,22 @@ def test_dedup_exact_finds_constructed_dup(spark):
 
 
 def test_simhash_near_dup_detects_edit(spark):
+    # wide threshold needs many narrow bands for the pigeonhole bound
     docs = _docs_with_dups(spark)
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in dedup.simhash_near_dups(docs, max_hamming=20).collect()}
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_near_dups(docs, max_hamming=20, n_bands=32).collect()
+    }
     assert (0, 1) in pairs and pairs[(0, 1)] == 0  # exact dup → distance 0
     assert (0, 2) in pairs  # one-word edit → small distance
     assert (0, 3) not in pairs and (2, 3) not in pairs  # unrelated far apart
+
+
+def test_simhash_tolerates_null_text(spark):
+    rows = [(0, "some repeated text some repeated text", "en"), (1, None, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert got[1] == 0  # empty vote vector → all-zero signature, no crash
 
 
 def test_minhash_lsh_catches_exact_and_near(spark):
@@ -82,10 +93,20 @@ def test_quality_scores_bounded(spark, sf_dir):
 
 def test_embedding_near_dup_ranks(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_dup_topk(emb, topk=5)
-    per_label = out.groupBy("label").count().collect()
-    assert all(r["count"] == 5 for r in per_label)
+    out = dedup.embedding_near_dup_topk(emb, topk=5, n_bits=4)
+    per_bucket = out.groupBy("bucket").count().collect()
+    assert all(r["count"] == 5 for r in per_bucket)
+    assert len(per_bucket) == 16  # every sign-bit bucket populated at this sf
     assert out.filter(F.col("cos_sim") > 1.000001).count() == 0
+
+
+def test_jaccard_topk_banded_candidates_rank_near_dups_first(spark):
+    """The MinHash-band candidate stage must keep the true near-dups of a
+    query doc and rank the exact dup above the edit."""
+    docs = _docs_with_dups(spark)
+    out = {(r.q_doc, r.rank): r.cand_doc for r in dedup.jaccard_topk(docs, n_query_docs=1, topk=3).collect()}
+    assert out[(0, 1)] == 1  # exact dup first (jaccard 1.0)
+    assert out[(0, 2)] == 2  # near-dup second
 
 
 def test_banded_simhash_equals_exhaustive(spark, sf_dir):
