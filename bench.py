@@ -68,6 +68,14 @@ def main() -> int:
         lambda it: it, "id long"
     ).count()
 
+    # Index builds run BEFORE the timed region and are reported separately
+    # — the reference also builds once and times only the search loop
+    # (dynamic_script_faiss.py:31-43). The registered index queries hit
+    # the same warm registry, so their timed numbers are probe-only.
+    from cs598vectordb_spark.queries_index import warm_indexes
+
+    build_seconds = warm_indexes(spark, sf_dir)
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in headline:
@@ -78,14 +86,26 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    knn_qps = round(DEFAULT_N_QUERIES / timings["knn_exact"], 1) if timings["knn_exact"] else 0.0
+
+    def qps(name: str) -> float:
+        return round(DEFAULT_N_QUERIES / timings[name], 1) if timings.get(name) else 0.0
+
     out = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "extra": {"knn_exact_qps": knn_qps, "rows": rows},
+        "extra": {
+            "knn_exact_qps": qps("knn_exact"),
+            "probe_qps": {
+                "knn_lsh": qps("knn_lsh"),
+                "knn_ivf_materialized": qps("knn_ivf_materialized"),
+                "knn_pq_refined": qps("knn_pq_refined"),
+            },
+            "index_build_seconds": build_seconds,
+            "rows": rows,
+        },
     }
     print(json.dumps(out))
     return 0
