@@ -30,7 +30,8 @@ from cs598vectordb_spark.operators.metrics import recall_at_k
 
 METRICS_SCHEMA = (
     "run_id string, backend string, phase string, interval int, n_queries long, "
-    "qps double, latency_ms double, recall double, update_pct int, n_clients int"
+    "qps double, latency_ms double, recall double, update_pct int, n_clients int, "
+    "exclusive boolean"
 )
 
 
@@ -76,11 +77,33 @@ def dynamic_protocol(
     intervals_per_phase: int = 2,
     k: int = DEFAULT_K,
     run_id: str = "run0",
+    exclusive: bool = True,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """W2: measure → delete pct → measure → insert → measure, per pct.
     Returns the metrics table. Recall is scored against the *baseline*
     truth, reproducing the reference's fixed ground-truth scoring
-    (gt loaded once, dynamic_script_faiss.py:21)."""
+    (gt loaded once, dynamic_script_faiss.py:21).
+
+    `exclusive` mirrors the reference's two protocol modes
+    (dynamic_script_faiss.py:75-117):
+
+    * exclusive=True — searches and updates alternate; every interval
+      sees a settled snapshot (deterministic, the oracle-friendly mode).
+    * exclusive=False — each update phase MATERIALIZES the new snapshot
+      (parquet write = the "index rebuild") in a background thread while
+      the search loop keeps measuring against the still-serving previous
+      snapshot; those intervals are tagged phase='during_delete'/
+      'during_insert'. The qps dip in during-rows vs baseline is the
+      engine's analog of the reference's −52%-QPS-during-rebuild headline
+      (BASELINE.md FAISS row). Requires concurrent job scheduling —
+      FAIR in the engine's session builder; under a FIFO session the
+      during-rows still measure, serialized behind rebuild stages.
+    """
+    import os
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
     update_percents = update_percents or UPDATE_PERCENTS
     search = _searcher(backend)
     n_q = queries.count()
@@ -94,14 +117,44 @@ def dynamic_protocol(
         nonlocal interval
         for _ in range(intervals_per_phase):
             qps, lat, rec = _measure(search(snapshot, queries, k), truth, n_q, k)
-            rows.append((run_id, backend, phase, interval, n_q, qps, lat, rec, pct, 1))
+            rows.append((run_id, backend, phase, interval, n_q, qps, lat, rec, pct, 1, exclusive))
             interval += 1
+
+    def record_during(phase: str, pct: int, serving: DataFrame, rebuild) -> None:
+        """Measure against `serving` while `rebuild()` runs concurrently;
+        at least one interval even if the rebuild wins the race."""
+        nonlocal interval
+        with _TPE(max_workers=1) as ex:
+            fut = ex.submit(rebuild)
+            while True:
+                qps, lat, rec = _measure(search(serving, queries, k), truth, n_q, k)
+                rows.append((run_id, backend, phase, interval, n_q, qps, lat, rec, pct, 1, exclusive))
+                interval += 1
+                if fut.done():
+                    break
+            fut.result()
+
+    if not exclusive and scratch_dir is None:
+        os.makedirs("/tmp/cs598_spark_io", exist_ok=True)
+        scratch_dir = tempfile.mkdtemp(prefix="dyn_", dir="/tmp/cs598_spark_io")
 
     record("baseline", 0, base)
     for pct in update_percents:
         v1 = upd.delete_tail_pct(base, pct)
+        if not exclusive:
+            p1 = os.path.join(scratch_dir, f"del{pct}")
+            record_during(
+                "during_delete", pct, base, lambda v=v1, p=p1: v.write.mode("overwrite").parquet(p)
+            )
+            v1 = spark.read.parquet(p1)
         record("post_delete", pct, v1)
         v2 = upd.insert_rows(v1, upd.deleted_tail_slice(base, pct))
+        if not exclusive:
+            p2 = os.path.join(scratch_dir, f"ins{pct}")
+            record_during(
+                "during_insert", pct, v1, lambda v=v2, p=p2: v.write.mode("overwrite").parquet(p)
+            )
+            v2 = spark.read.parquet(p2)
         record("post_insert", pct, v2)
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)
@@ -130,7 +183,7 @@ def bench_loop(
     rows = []
     for interval in range(intervals):
         qps, lat, rec = _measure(search(base, queries, k), truth, n_q, k)
-        rows.append((run_id, backend, "steady", interval, n_q, qps, lat, rec, 0, 1))
+        rows.append((run_id, backend, "steady", interval, n_q, qps, lat, rec, 0, 1, True))
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 
@@ -145,26 +198,36 @@ def multi_tenant(
     run_id: str = "run0",
 ) -> DataFrame:
     """W3: for each N in client_counts, N concurrent driver threads each
-    run the full query batch once against the shared snapshot (FAIR
-    scheduler pools → true job concurrency inside one application)."""
-    client_counts = client_counts or [2, 4]
+    run the full query batch once against the shared snapshot — the
+    reference's 10..50-client sweep (multi_tenant_script.py:121).
+
+    Scheduler note: per-pool FAIR sharing requires spark.scheduler.mode=
+    FAIR, which is a SparkContext-CREATION config — the engine's session
+    builder (session.py) sets it; setting it as a local property after
+    startup silently does nothing (round-1 bug). Each client thread tags
+    its jobs with its own pool; under a FAIR context the pools share the
+    executor fairly, under a bare FIFO context concurrency still exists
+    via free task slots but large jobs can head-of-line-block."""
+    client_counts = client_counts or [10, 20, 30, 40, 50]
     search = _searcher(backend)
     n_q = queries.count()
     truth = knn_exact(base, queries, k).cache()
     truth.count()
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
 
     rows = []
     for n_clients in client_counts:
         def client(i: int) -> tuple[float, float, float]:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"pool{i}")
-            return _measure(search(base, queries, k), truth, n_q, k)
+            try:
+                return _measure(search(base, queries, k), truth, n_q, k)
+            finally:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
         with ThreadPoolExecutor(max_workers=n_clients) as ex:
             results = list(ex.map(client, range(n_clients)))
         for i, (qps, lat, rec) in enumerate(results):
             rows.append(
-                (run_id, backend, f"client{i}", i, n_q, qps, lat, rec, 0, n_clients)
+                (run_id, backend, f"client{i}", i, n_q, qps, lat, rec, 0, n_clients, True)
             )
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)

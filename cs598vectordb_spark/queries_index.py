@@ -234,12 +234,29 @@ def q_dynamic_phase_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phase_regions(m)
 
 
+@register("dynamic_overlap")
+def q_dynamic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/exclusive=false: the reference's search-DURING-update mode
+    (dynamic_script_faiss.py:75-117, BASELINE.md's −52%-QPS-during-rebuild
+    FAISS row). Snapshot rebuilds run in a background thread while the
+    search loop measures against the serving snapshot; rows tagged
+    phase='during_delete'/'during_insert' carry the contention QPS."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.dynamic_protocol(
+        spark, emb, q, backend="exact", update_percents=[50],
+        intervals_per_phase=2, exclusive=False,
+    )
+
+
 @register("multi_tenant")
 def q_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: tenant scaling summary (mean latency/qps, sum-qps throughput,
-    mean recall per client count) — multi_tenant_script.py:175-180."""
+    mean recall per client count) at the reference's client scale
+    (10..50 clients, multi_tenant_script.py:121)."""
     emb, q = _setup(spark, sf_dir)
-    m = workloads.multi_tenant(spark, emb, q, backend="exact", client_counts=[2, 4])
+    m = workloads.multi_tenant(
+        spark, emb, q, backend="exact", client_counts=[10, 20, 30, 40, 50]
+    )
     return tenant_summary(m)
 
 

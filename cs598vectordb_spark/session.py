@@ -29,6 +29,12 @@ def get_spark(app_name: str = "cs598vectordb_spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Context-creation config (NOT settable later): FAIR lets the
+        # multi-tenant and overlapped-update workloads share executors
+        # across concurrently submitted jobs instead of FIFO
+        # head-of-line blocking. Pools are created on demand by
+        # setLocalProperty('spark.scheduler.pool', ...).
+        .config("spark.scheduler.mode", "FAIR")
         # events.parquet carries TIMESTAMP(NANOS); Spark reads them as long
         # nanos and sources/tables.py converts to micro-precision timestamps
         # (same floor-truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP).

@@ -80,6 +80,27 @@ def test_dynamic_protocol_recall_recovers(spark, setup):
     assert len(s) >= 1
 
 
+def test_dynamic_overlap_measures_during_update(spark, setup, tmp_path):
+    """exclusive=False: the search loop must record at least one interval
+    WHILE each snapshot rebuild runs, and settle to the same post-phase
+    recalls as the exclusive protocol."""
+    emb, q, _ = setup
+    m = workloads.dynamic_protocol(
+        spark, emb, q, backend="exact", update_percents=[50],
+        intervals_per_phase=1, exclusive=False, scratch_dir=str(tmp_path),
+    ).cache()
+    rows = m.collect()
+    phases = {r.phase for r in rows}
+    assert {"during_delete", "during_insert"} <= phases
+    assert all(r.exclusive is False for r in rows)
+    by_phase = {r.phase: r for r in rows}
+    assert by_phase["baseline"].recall == 1.0
+    assert by_phase["post_insert"].recall == 1.0
+    # during_delete serves the OLD (pre-delete) snapshot: recall stays 1.0
+    assert by_phase["during_delete"].recall == 1.0
+    assert by_phase["post_delete"].recall < 1.0
+
+
 def test_multi_tenant_rows_and_throughput(spark, setup):
     emb, q, _ = setup
     m = workloads.multi_tenant(spark, emb, q, backend="exact", client_counts=[2])
