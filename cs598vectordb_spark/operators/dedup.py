@@ -235,6 +235,71 @@ def minhash_lsh_dedup(
     return out
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size): near-duplicate CLUSTERS — the
+    connected components of the MinHash-LSH pair graph at `threshold`
+    Jaccard, canonical id = min doc_id per component. Pair lists answer
+    "which two docs collide"; a training-data pipeline needs "which GROUP
+    of docs is one document" to keep exactly one representative, and
+    transitive chains (A~B~C with A!~C) make that a graph problem.
+
+    Spark-first iterative min-label propagation: every doc starts
+    labeled with itself; each round takes the min label over neighbors;
+    fixpoint = components. Rounds needed = graph diameter — near-dup
+    clusters are short chains, so a handful; each round localCheckpoints
+    to truncate lineage (else the plan doubles per iteration). At 100 TB
+    the edge list is the banded-LSH output (bounded by collisions, never
+    all-pairs) and each round is one shuffle on doc_id."""
+    pairs = minhash_lsh_dedup(docs, k, bands, rows, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nb = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("nb_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb.select(F.col("src").alias("doc_id"), "nb_min"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
 # ------------------------------------------------------------ jaccard
 
 

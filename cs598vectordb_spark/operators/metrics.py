@@ -114,6 +114,42 @@ def first5_series(metrics: DataFrame) -> DataFrame:
     )
 
 
+def comparison_chart(metrics: DataFrame, value_col: str = "qps") -> DataFrame:
+    """S7 analog — the reference's comparison plots (plots.py:47-95,
+    logs/plot.py:39-71) as a deterministic engine-side artifact: per
+    (backend, update_pct), the interval-ordered series as CSV plus a
+    Unicode-block sparkline (▁..█, min-max scaled within the series).
+    The reference renders PNGs from parsed logs; the engine renders the
+    same series shape as rows a sink can write — chart-as-data."""
+    blocks = "▁▂▃▄▅▆▇█"
+    per = metrics.groupBy("backend", "update_pct").agg(
+        F.array_sort(F.collect_list(F.struct("interval", F.col(value_col).alias("v")))).alias("s"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+    def level(elem):
+        return (
+            F.floor((elem["v"] - F.col("mn")) / (F.col("mx") - F.col("mn") + F.lit(1e-9)) * 8)
+            .cast("int")
+        )
+
+    return per.select(
+        "backend",
+        "update_pct",
+        F.array_join(
+            F.transform(F.col("s"), lambda e: F.round(e["v"], 2).cast("string")), ","
+        ).alias("series_csv"),
+        F.array_join(
+            F.transform(
+                F.col("s"),
+                lambda e: F.substr(F.lit(blocks), F.least(level(e), F.lit(7)) + 1, F.lit(1)),
+            ),
+            "",
+        ).alias("sparkline"),
+    )
+
+
 def phase_regions(metrics: DataFrame) -> DataFrame:
     """A7: (backend, update_pct, phase) → [min,max] interval span. The
     reference marks phases with sentinel rows −1..−4 (logs/plot.py:17);

@@ -9,7 +9,7 @@ DuckDB oracle mirrors each formula.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cs598vectordb_spark.config import ORACLE_ROUND
@@ -21,6 +21,7 @@ from cs598vectordb_spark.functions.text import (
     punct_ratio,
     rolling_hash,
     token_count,
+    tokens,
 )
 
 
@@ -100,4 +101,61 @@ def source_summary(docs: DataFrame) -> DataFrame:
         _r(F.avg("n_chars")).alias("avg_chars"),
         F.countDistinct("lang").alias("n_langs"),
         F.min("doc_id").alias("first_doc"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "s1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, split): deterministic train/val/test assignment by
+    hashing the document ID (+ a salt) into 100 buckets and slicing by the
+    cumulative weights — the standard reproducible dataset split for a
+    training pipeline. Keyed on the ID, not the content, so a later text
+    re-crawl keeps every doc in its split; changing the salt re-rolls all
+    assignments at once. Pure per-row projection, no shuffle, and the
+    same polynomial hash formula is evaluated by the DuckDB oracle."""
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    assert sum(weights.values()) == 100, "weights must sum to 100"
+    keyed = docs.select(
+        F.col(id_col),
+        F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)).alias("_key"),
+    )
+    bucket = (rolling_hash("_key") % 100).cast("int")
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = F.col("bucket") < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (
+        keyed.withColumn("bucket", bucket)
+        .select(id_col, "bucket", expr.alias("split"))
+    )
+
+
+def ngram_profile(docs: DataFrame, topk: int = 5) -> DataFrame:
+    """(lang, rank, gram, n): the top-k most frequent word BIGRAMS per
+    language — corpus profiling for training-mix curation (which boilerplate
+    dominates each language slice). Non-distinct grams (frequency, unlike
+    the dedup shingles), one explode + one shuffle on (lang, gram), then a
+    per-lang top-k window. Ties break on the gram string ascending so the
+    ranking is deterministic cross-engine."""
+    t = tokens(normalize_ws(F.col("text")))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
+        ),
+    )
+    exploded = docs.select("lang", F.explode(grams).alias("gram"))
+    counts = exploded.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("lang", "rank", "gram", "n")
     )

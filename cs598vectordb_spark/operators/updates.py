@@ -55,6 +55,41 @@ def upsert_guard(snapshot: DataFrame, candidates: DataFrame, id_col: str = "vec_
     return candidates.join(snapshot.select(id_col), on=id_col, how="left_anti")
 
 
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    id_col: str = "vec_id",
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """Delta-style MERGE INTO target USING source ON id — WHEN MATCHED
+    UPDATE SET update_cols from source, WHEN NOT MATCHED INSERT * —
+    expressed as ONE full-outer join plus a coalesce projection: a single
+    shuffle on the id, no driver loop. On a Delta/Iceberg table this maps
+    to the native MERGE command; on plain parquet the result is the next
+    immutable snapshot. Adds a `_merge_action` column
+    (updated/inserted/kept) so callers can audit the row-level outcome."""
+    update_cols = update_cols or [c for c in source.columns if c != id_col]
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{id_col}") == F.col(f"s.{id_col}"), "full_outer")
+    out_cols = [F.coalesce(F.col(f"t.{id_col}"), F.col(f"s.{id_col}")).alias(id_col)]
+    for c in target.columns:
+        if c == id_col:
+            continue
+        if c in update_cols and c in source.columns:
+            out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+        elif c in source.columns:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        else:
+            out_cols.append(F.col(f"t.{c}"))
+    action = (
+        F.when(F.col(f"t.{id_col}").isNotNull() & F.col(f"s.{id_col}").isNotNull(), F.lit("updated"))
+        .when(F.col(f"t.{id_col}").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(*out_cols, action.alias("_merge_action"))
+
+
 def snapshot_checksum(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Order-insensitive snapshot identity: (row count, id sum, distinct
     ids). Used by tests and the dynamic protocol to assert v2 == v0 (the

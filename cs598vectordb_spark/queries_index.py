@@ -234,6 +234,27 @@ def q_dynamic_phase_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phase_regions(m)
 
 
+@register("plot_series")
+def q_plot_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 analog (plots.py:47-95): run the W1 loop on two backends, fold
+    the per-interval QPS into comparison-chart rows (CSV series + Unicode
+    sparkline), and persist them through the chart sink. Wall-clock values
+    → rows-only check; the artifact shape is the contract."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.metrics import comparison_chart
+    from cs598vectordb_spark.queries_sources import _io_dir
+    from cs598vectordb_spark.sources.logs import write_series_chart
+
+    emb, q = _setup(spark, sf_dir)
+    m = workloads.bench_loop(spark, emb, q, backend="exact", intervals=3).unionByName(
+        workloads.bench_loop(spark, emb, q, backend="ivf", intervals=3)
+    )
+    chart = comparison_chart(m, value_col="qps")
+    write_series_chart(chart, _os.path.join(_io_dir(sf_dir, "plot_series"), "chart"))
+    return chart
+
+
 @register("dynamic_overlap")
 def q_dynamic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2/exclusive=false: the reference's search-DURING-update mode

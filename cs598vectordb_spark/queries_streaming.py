@@ -99,6 +99,36 @@ def q_stream_ingest_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_knn",
+    # identical emission to batch knn_exact: streamed batches partition
+    # the query set and per-query results are independent
+    """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 100
+),
+pairs AS (
+  SELECT q.q_id, b.vec_id,
+         list_sum(list_transform(list_zip(q.q_emb, b.embedding),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+             * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS dist
+  FROM q CROSS JOIN embeddings b
+)
+SELECT q_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank
+FROM pairs
+QUALIFY rank <= 10
+""",
+)
+def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming kNN serving: query vectors arrive as 3 ordered
+    micro-batches; foreachBatch probes the static base snapshot with the
+    exact operator and appends top-10 rows. Drained union == batch kNN."""
+    from cs598vectordb_spark.streaming.jobs import stream_knn
+
+    return stream_knn(spark, sf_dir, _io_dir(sf_dir, "stream_knn"), n_splits=3)
+
+
+@register(
     "stream_dedup",
     r"""
 WITH fp AS (

@@ -131,6 +131,54 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, k=16, bands=8, rows=2)
 
 
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_duck_minhash_sigs(16)},
+bands AS ({_duck_bands(8, 2)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT p.doc_a, p.doc_b
+  FROM cand p
+  JOIN hashed ha ON ha.doc_id = p.doc_a
+  JOIN hashed hb ON hb.doc_id = p.doc_b
+  WHERE ROUND(CAST(len(list_intersect(list_distinct(ha.hashes), list_distinct(hb.hashes))) AS DOUBLE)
+              / len(list_distinct(list_concat(ha.hashes, hb.hashes))), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.doc_id = e.dst
+),
+lab AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lab l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id) s
+  USING (cluster_id)
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster extraction: connected components of the
+    MinHash-LSH pair graph at Jaccard ≥ 0.5, every doc labeled with its
+    component's min doc_id + component size. The engine iterates
+    min-label propagation to fixpoint; the oracle computes the same
+    components with a recursive transitive-closure CTE — an exact
+    value-hash check of an iterative graph algorithm."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, threshold=0.5, k=16, bands=8, rows=2)
+
+
 # ---- jaccard top-k similarity -------------------------------------------
 
 
@@ -385,6 +433,52 @@ GROUP BY source
 def q_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.source_summary(docs)
+
+
+@register(
+    "hash_split",
+    f"""
+SELECT doc_id,
+       CAST({_duck_rolling("CAST(doc_id AS VARCHAR) || '#s1'")} % 100 AS INTEGER) AS bucket,
+       CASE WHEN {_duck_rolling("CAST(doc_id AS VARCHAR) || '#s1'")} % 100 < 80 THEN 'train'
+            WHEN {_duck_rolling("CAST(doc_id AS VARCHAR) || '#s1'")} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by polynomial hash of
+    the doc id + salt — reproducible dataset partitioning for training
+    pipelines; keyed on the ID so re-crawled text keeps its split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.hash_split(docs, {"train": 80, "val": 10, "test": 10}, salt="s1")
+
+
+@register(
+    "ngram_profile",
+    f"""
+WITH grams AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i+1])) AS gram
+  FROM ({_TOKENS_CTE})
+),
+counts AS (
+  SELECT lang, gram, COUNT(*) AS n FROM grams GROUP BY lang, gram
+)
+SELECT lang, CAST(rank AS INTEGER) AS rank, gram, n
+FROM (
+  SELECT lang, gram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
+  FROM counts
+) WHERE rank <= 5
+""",
+)
+def q_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language by frequency — corpus profiling
+    for training-mix curation. One explode + one (lang, gram) shuffle +
+    per-lang top-k window (WindowGroupLimit pushes the rank filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.ngram_profile(docs, topk=5)
 
 
 # GPT-2-style pre-tokenizer shape, ASCII classes only so Java regex and

@@ -88,6 +88,55 @@ def q_upsert_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert",
+    """
+WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+src AS (
+  SELECT vec_id, label + 100 AS label FROM embeddings, n WHERE vec_id >= n.n - 50
+  UNION ALL
+  SELECT vec_id + n.n AS vec_id, -1 AS label FROM embeddings, n WHERE vec_id < 50
+),
+merged AS (
+  SELECT COALESCE(t.vec_id, s.vec_id) AS vec_id,
+         COALESCE(s.label, t.label) AS label
+  FROM embeddings t FULL OUTER JOIN src s ON t.vec_id = s.vec_id
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+       CAST(SUM(label) AS BIGINT) AS label_sum,
+       CAST(SUM(CASE WHEN label >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(SUM(CASE WHEN label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+FROM merged
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3+/MERGE: one statement updating the matched tail-50 rows
+    (label+100) and inserting 50 brand-new ids past the boundary — the
+    Delta-style MERGE the reference approximates with delete+insert
+    phases. Engine side is operators.updates.merge_upsert (one full-outer
+    join); the checksum projection keeps the oracle integer-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    src = (
+        emb.filter(F.col("vec_id") >= n - 50).select(
+            "vec_id", "embedding", (F.col("label") + 100).alias("label")
+        )
+    ).unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + n).alias("vec_id"), "embedding", F.lit(-1).alias("label")
+        )
+    )
+    merged = upd.merge_upsert(emb, src, id_col="vec_id", update_cols=["embedding", "label"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"),
+        F.sum("label").cast("bigint").alias("label_sum"),
+        F.sum((F.col("label") >= 100).cast("int")).cast("bigint").alias("n_updated"),
+        F.sum((F.col("label") == -1).cast("int")).cast("bigint").alias("n_inserted"),
+    )
+
+
+@register(
     "knn_post_delete",
     f"""
 WITH cut AS (

@@ -85,3 +85,20 @@ def scan_metric_log(spark: SparkSession, path: str) -> DataFrame:
         )
     )
     return parsed
+
+
+def write_series_chart(chart: DataFrame, path: str) -> None:
+    """S7 plot sink analog: persist the comparison_chart rows as a text
+    artifact (one line per backend/update_pct series, sparkline + CSV) —
+    the engine's rendering of the reference's logs→series→PNG pipeline
+    (plots.py:47-95), minus the raster step the survey scoped out."""
+    lines = chart.select(
+        F.concat_ws(
+            " ",
+            F.col("backend"),
+            F.concat(F.lit("pct="), F.col("update_pct").cast("string")),
+            F.col("sparkline"),
+            F.concat(F.lit("["), F.col("series_csv"), F.lit("]")),
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(path)

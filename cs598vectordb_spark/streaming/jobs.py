@@ -248,6 +248,67 @@ def stream_dedup(
     return out.select("doc_id", "is_dup", "winner_id")
 
 
+def stream_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_splits: int = 3,
+    k: int = 10,
+    n_queries: int = 100,
+) -> DataFrame:
+    """Streaming kNN serving — the reference's background search loop
+    (dynamic_script_faiss.py:31-43) as a Structured Streaming job: query
+    vectors ARRIVE as ordered micro-batches (the online-serving shape) and
+    each foreachBatch runs the exact kNN operator against the static base
+    snapshot, appending per-query top-k results.
+
+    Deterministic: the batches partition the query set (q_id % n_splits),
+    and per-query results are independent, so the drained union equals
+    batch kNN over all queries regardless of arrival order — which is
+    exactly what the DuckDB oracle computes. At scale the foreachBatch
+    body swaps the exact operator for an index probe (LSH/IVF) against
+    the serving snapshot; the streaming plumbing is unchanged."""
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    base = load_table(spark, sf_dir, "embeddings")
+    queries = queries_from_embeddings(base, n_queries)
+
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    qdir = os.path.join(work_dir, "queries")
+    os.makedirs(qdir)
+    now = time.time()
+    for i in range(n_splits):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        queries.filter(F.col("q_id") % n_splits == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(qdir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    out_dir = os.path.join(work_dir, "results")
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(qdir)
+    )
+
+    def serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        knn_exact(base, batch_df, k=k).select("q_id", "rank", "vec_id").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(serve).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def ingest_updates(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     """foreachBatch CDC ingest — the streaming variant of U1 delete / U2
     insert (ref rebuild-deletes dynamic_script_faiss.py:92-108): an ordered

@@ -136,3 +136,42 @@ def test_banded_simhash_equals_exhaustive(spark, sf_dir):
         .collect()
     }
     assert banded == exhaustive and banded
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B and B~C but A!~C must still land in ONE cluster (the reason
+    pair lists aren't enough) — constructed chain of one-word edits."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en"),
+            (1, base.replace("delta", "DELTA"), "en"),      # ~ 0 (case only)
+            (2, base.replace("upsilon", "psi"), "en"),       # ~ 0/1 (one edit)
+            (3, "unrelated words entirely disjoint from the others "
+                "completely separate vocabulary here today forever", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    from cs598vectordb_spark.operators.dedup import dedup_clusters
+
+    out = {r.doc_id: (r.cluster_id, r.cluster_size) for r in dedup_clusters(docs, threshold=0.5).collect()}
+    assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
+    assert out[3] == (3, 1)
+
+
+def test_hash_split_deterministic_and_complete(spark, sf_dir):
+    from cs598vectordb_spark.operators.textops import hash_split
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in hash_split(docs, salt="s1").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, salt="s1").collect()}
+    assert a == b  # deterministic
+    assert len(a) == docs.count()
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.6 < frac_train < 0.95  # ~80% modulo hash noise
+    c = {r.doc_id: r.split for r in hash_split(docs, salt="other").collect()}
+    assert a != c  # salt re-rolls assignments

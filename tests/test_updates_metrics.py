@@ -75,3 +75,19 @@ def test_bench_loop_steady_state(spark, sf_dir):
     assert len(rows) == 2
     assert all(r["recall"] == 1.0 for r in rows)  # exact backend
     assert all(r["phase"] == "steady" and r["qps"] > 0 for r in rows)
+
+
+def test_merge_upsert_row_level_actions(spark):
+    from cs598vectordb_spark.operators.updates import merge_upsert
+
+    target = spark.createDataFrame(
+        [(0, [1.0], 5), (1, [2.0], 6)], "vec_id long, embedding array<float>, label int"
+    )
+    source = spark.createDataFrame(
+        [(1, [9.0], 60), (2, [3.0], 7)], "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.vec_id: r for r in merge_upsert(target, source, "vec_id").collect()}
+    assert out[0]._merge_action == "kept" and out[0].label == 5
+    assert out[1]._merge_action == "updated" and out[1].label == 60 and out[1].embedding == [9.0]
+    assert out[2]._merge_action == "inserted" and out[2].label == 7
+    assert len(out) == 3
