@@ -76,13 +76,21 @@ def main() -> int:
 
     build_seconds = warm_indexes(spark, sf_dir)
 
+    # Two passes: pass 1 absorbs one-time per-query costs (broadcast
+    # builds, shuffle file creation, codegen), pass 2 is the steady-state
+    # number — the way the reference reports QPS from a warmed loop, not
+    # the first iteration (dynamic_script_faiss.py:31-43 discards no
+    # warmup only because its index is already resident). Reported value
+    # = steady-state; the cold pass is kept in extra for transparency.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        rows[name] = n
+    for pass_timings in (cold, timings):
+        for name in headline:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            pass_timings[name] = round(time.time() - t0, 3)
+            rows[name] = n
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -104,6 +112,8 @@ def main() -> int:
                 "knn_pq_refined": qps("knn_pq_refined"),
             },
             "index_build_seconds": build_seconds,
+            "cold_pass_seconds": round(sum(cold.values()), 3),
+            "cold_queries": cold,
             "rows": rows,
         },
     }

@@ -171,15 +171,33 @@ def lsh_candidates(
 ) -> DataFrame:
     """(q_id, vec_id) candidate set: OR-amplified bucket join. Dedup runs
     on the bare id pair — re-attaching the query embedding happens after,
-    so the distinct never shuffles array payloads."""
-    q_long = _hash_long(
-        queries.select("q_id", vec_col),
-        index.projections,
-        index.bucket_length,
-        index.hashes_per_table,
-        vec_col,
-        keep_cols=["q_id"],
-        out_schema="q_id long, table_idx int, bucket string",
+    so the distinct never shuffles array payloads.
+
+    The query side is hashed on the DRIVER (numpy — the query batch is
+    driver-sized by design, same stance as knn_exact's broadcast): probing
+    costs zero distributed stages beyond the bucket join itself. Only the
+    base-side hash table is ever computed distributed."""
+    import pandas as pd
+
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    n = len(qpdf)
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    h = index.hashes_per_table
+    num_tables = index.projections.shape[0] // h
+    H = np.floor((Q @ index.projections.T) / index.bucket_length).astype(np.int64)
+    q_long = queries.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "q_id": np.repeat(qpdf["q_id"].to_numpy(dtype=np.int64), num_tables),
+                "table_idx": np.tile(np.arange(num_tables, dtype=np.int32), n),
+                "bucket": [
+                    "|".join(map(str, H[i, t * h : (t + 1) * h]))
+                    for i in range(n)
+                    for t in range(num_tables)
+                ],
+            }
+        ),
+        "q_id long, table_idx int, bucket string",
     )
     q_long = _multiprobe_expand(q_long, index.hashes_per_table, n_probes)
     return (
@@ -328,47 +346,59 @@ def knn_ivf(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe nprobe nearest centroids per query (driver-side — queries
-    and centroids are both driver-sized), then equi-join (q_id ↔
-    centroid_id) against the assigned table and re-rank exactly.
+    and centroids are both driver-sized), prune the scan to the probed
+    lists, and score with the same map-side GEMM/local-top-k kernel as
+    knn_exact, masking each (row, query) pair whose centroid the query
+    did not probe.
 
-    The (q_id, centroid_id) probe list is broadcast; the join against a
-    centroid-partitioned table is partition-pruned — the Spark rendering
-    of 'nprobe of nlist inverted lists' (multi_tenant_script.py:98)."""
+    Plan shape: the static IN-list on the union of probed centroids
+    reaches the SCAN — on a partitionBy(centroid_id) table
+    (materialize_ivf) it becomes PartitionFilters and unprobed lists are
+    never read, the Spark rendering of 'nprobe of nlist inverted lists'
+    (multi_tenant_script.py:98). After the pruned scan there are NO
+    joins: one map stage emits local top-k, the only shuffle carries
+    ≤ |parts|·|Q|·k rows into the final window."""
+    from cs598vectordb_spark.operators.knn import _topk_from_scores, squared_l2_block
+
     spark = queries.sparkSession
     qpdf = queries.select("q_id", vec_col).toPandas()
-    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+    Q = np.ascontiguousarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
     d2 = (
         np.square(Q).sum(1, keepdims=True)
         - 2.0 * (Q @ index.centroids.T)
         + np.square(index.centroids).sum(1)[None, :]
     )
     nearest = np.argsort(d2, axis=1)[:, :nprobe]
-    probe_rows = [
-        (int(qid), int(c))
-        for qid, row in zip(qpdf["q_id"].tolist(), nearest)
-        for c in row
-    ]
-    probes = spark.createDataFrame(probe_rows, "q_id long, centroid_id int")
-    qv = queries.select(F.col("q_id"), F.col(vec_col).alias("_q_emb"))
+    probed = np.zeros((index.nlist, len(q_ids)), dtype=bool)  # centroid × query
+    for j, row in enumerate(nearest):
+        probed[row, j] = True
+    probe_set = sorted({int(c) for row in nearest for c in row})
+    bc = spark.sparkContext.broadcast((q_ids, Q, probed))
 
-    # static IN-list on the union of probed centroids: semantically
-    # subsumed by the probe join, but it reaches the SCAN — on a
-    # partitionBy(centroid_id) table (materialize_ivf) it becomes
-    # PartitionFilters and unprobed lists are never read.
-    probe_set = sorted({c for _, c in probe_rows})
-    cand = (
+    def kernel(batches):
+        bq_ids, bQ, bprobed = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            B = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+            scores = squared_l2_block(B, bQ)
+            scores[~bprobed[pdf["centroid_id"].to_numpy(dtype=np.int64)]] = np.inf
+            out = _topk_from_scores(scores, ids, bq_ids, k, ascending=True)
+            if len(out):
+                yield out
+
+    local = (
         index.assigned.filter(F.col("centroid_id").isin(probe_set))
-        .join(F.broadcast(probes), "centroid_id")
-        .join(F.broadcast(qv), "q_id")
+        .select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
+        .mapInPandas(kernel, "q_id long, vec_id long, dist double")
     )
-    scored = cand.select(
-        "q_id", id_col, squared_l2("_q_emb", vec_col).alias("dist")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "rank", F.col(id_col).alias("vec_id"), "dist")
+        .select("q_id", "rank", "vec_id", "dist")
     )
 
 

@@ -42,27 +42,11 @@ from cs598vectordb_spark.functions.distance import cosine_similarity, squared_l2
 _KNN_SCHEMA = "q_id long, vec_id long, dist double"
 
 
-def _topk_per_query(
-    B: np.ndarray, ids: np.ndarray, Q: np.ndarray, q_ids: np.ndarray, k: int, metric: str
+def _topk_from_scores(
+    scores: np.ndarray, ids: np.ndarray, q_ids: np.ndarray, k: int, ascending: bool
 ) -> pd.DataFrame:
-    """Vectorized local top-k for one Arrow batch. float64 throughout."""
-    if metric == "l2":
-        # ||b-q||^2 = ||b||^2 - 2 b.q + ||q||^2  (BLAS-backed, one GEMM)
-        d2 = (
-            np.square(B).sum(axis=1, keepdims=True)
-            - 2.0 * (B @ Q.T)
-            + np.square(Q).sum(axis=1)[np.newaxis, :]
-        )
-        scores = np.maximum(d2, 0.0)  # fp noise can dip a self-distance below 0
-        ascending = True
-    elif metric == "cosine":
-        bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
-        qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
-        scores = bn @ qn.T
-        ascending = False
-    else:  # pragma: no cover
-        raise ValueError(f"unknown metric {metric}")
-
+    """Local top-k over a precomputed |B|×|Q| score block. Rows scored
+    +inf (masked out, e.g. IVF list membership) never emit."""
     n, nq = scores.shape
     k_eff = min(k, n)
     out_q, out_id, out_d = [], [], []
@@ -74,7 +58,9 @@ def _topk_per_query(
         cand = part[:, j]
         order = np.lexsort((ids[cand], col[cand, j]))
         sel = cand[order]
-        out_q.append(np.full(k_eff, q_ids[j], dtype=np.int64))
+        keep = np.isfinite(col[sel, j])
+        sel = sel[keep]
+        out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
         out_id.append(ids[sel])
         out_d.append(scores[sel, j])
     return pd.DataFrame(
@@ -84,6 +70,33 @@ def _topk_per_query(
             "dist": np.concatenate(out_d),
         }
     )
+
+
+def squared_l2_block(B: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """||b-q||² for every (base, query) pair — one BLAS GEMM."""
+    d2 = (
+        np.square(B).sum(axis=1, keepdims=True)
+        - 2.0 * (B @ Q.T)
+        + np.square(Q).sum(axis=1)[np.newaxis, :]
+    )
+    return np.maximum(d2, 0.0)  # fp noise can dip a self-distance below 0
+
+
+def _topk_per_query(
+    B: np.ndarray, ids: np.ndarray, Q: np.ndarray, q_ids: np.ndarray, k: int, metric: str
+) -> pd.DataFrame:
+    """Vectorized local top-k for one Arrow batch. float64 throughout."""
+    if metric == "l2":
+        scores = squared_l2_block(B, Q)
+        ascending = True
+    elif metric == "cosine":
+        bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+        qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+        scores = bn @ qn.T
+        ascending = False
+    else:  # pragma: no cover
+        raise ValueError(f"unknown metric {metric}")
+    return _topk_from_scores(scores, ids, q_ids, k, ascending)
 
 
 def knn_exact(
