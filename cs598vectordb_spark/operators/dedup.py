@@ -300,6 +300,55 @@ def dedup_clusters(
     return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 
 
+def cross_split_contamination(
+    docs: DataFrame,
+    splits: DataFrame,
+    from_split: str = "train",
+    vs_split: str = "test",
+    min_shared: int = 2,
+    max_df: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(train_doc, test_doc, n_shared): benchmark-decontamination check —
+    every train-split document sharing ≥ min_shared distinct 3-gram
+    shingles with a test-split document. The op every eval-honest
+    training pipeline runs before training: test-set text leaking into
+    the train split inflates benchmark numbers.
+
+    Plan: shingle-hash once, explode to (doc, hash), drop shingles whose
+    document frequency exceeds max_df (boilerplate n-grams are not
+    contamination and would otherwise fan the join out quadratically —
+    the standard df-cap), tag each posting with its split, and
+    equi-join train postings ⋈ test postings on the hash. Cost is
+    bounded by true cross-split shingle collisions, never |train|×|test|;
+    every shuffle key is a uniform hash. `splits` is any (doc_id, split)
+    assignment — hash_split's output slots in directly."""
+    hashed = shingle_hashes(docs, text_col, id_col)
+    postings = hashed.select(F.col(id_col), F.explode("hashes").alias("h"))
+    rare = (
+        postings.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("h")
+    )
+    tagged = postings.join(rare, "h").join(
+        splits.select(F.col(id_col), "split"), id_col
+    )
+    tr = tagged.filter(F.col("split") == from_split).select(
+        F.col(id_col).alias("train_doc"), "h"
+    )
+    te = tagged.filter(F.col("split") == vs_split).select(
+        F.col(id_col).alias("test_doc"), "h"
+    )
+    return (
+        tr.join(te, "h")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # ------------------------------------------------------------ jaccard
 
 

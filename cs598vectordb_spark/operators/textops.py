@@ -136,6 +136,131 @@ def hash_split(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    parts: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, start_offset, seq_id, n_seqs): GPT-style sample
+    packing — concatenate all documents in doc_id order and chunk the
+    token stream into fixed seq_len training sequences. Each doc learns
+    its global token start offset, the sequence it starts in, and how
+    many sequences it spans.
+
+    The global prefix sum is computed WITHOUT a single-partition window
+    (the classic cumsum scale trap): doc ids are range-blocked into
+    ~`parts` blocks, per-block token totals (tiny — one row per block)
+    come to the driver for an exact prefix, and each block then computes
+    its local cumulative sum in parallel. Two shuffles on the block key,
+    nothing ever funnels through one task — the distributed prefix-sum
+    pattern that survives 100 TB. The oracle states the same thing as one
+    ANSI window cumsum."""
+    d = docs.select(F.col(id_col), token_count("text").alias("n_tokens"))
+    max_id = d.agg(F.max(id_col)).first()[0]
+    if max_id is None:
+        return d.select(
+            id_col,
+            "n_tokens",
+            F.lit(0).cast("long").alias("start_offset"),
+            F.lit(0).cast("long").alias("seq_id"),
+            F.lit(0).cast("long").alias("n_seqs"),
+        ).limit(0)
+    block_size = max(1, (int(max_id) + parts) // parts)
+    d = d.withColumn("_block", F.floor(F.col(id_col) / F.lit(block_size)).cast("long"))
+    totals = {
+        r["_block"]: r["t"]
+        for r in d.groupBy("_block").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    prefix, acc = {}, 0
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    prefix_col = F.element_at(
+        F.create_map(
+            *[F.lit(x).cast("long") for b in sorted(prefix) for x in (b, prefix[b])]
+        ),
+        F.col("_block"),
+    )
+    w = (
+        Window.partitionBy("_block")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (prefix_col + F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    out = d.withColumn("start_offset", start).select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / F.lit(seq_len)).alias("seq_id"),
+        (
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(seq_len))
+            - F.floor(F.col("start_offset") / F.lit(seq_len))
+            + 1
+        ).alias("n_seqs"),
+    )
+    return out
+
+
+def stratified_sample(
+    docs: DataFrame,
+    quota: int = 50,
+    salt: str = "smp",
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, lang, sample_rank): exact per-stratum quota sampling —
+    every language contributes exactly min(quota, |stratum|) documents,
+    chosen by ranking on a salted hash of the id. Deterministic (same
+    salt → same sample, new salt → fresh draw), unlike df.sample()'s
+    partition-dependent Bernoulli. One window shuffle keyed by the
+    stratum; quota rows per stratum survive — the standard balanced-
+    training-mix draw."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))
+    ranked = docs.select(
+        F.col(id_col), F.col(strat_col), key.alias("_key")
+    ).withColumn("_h", rolling_hash("_key"))
+    w = Window.partitionBy(strat_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+        .select(id_col, strat_col, "sample_rank")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "es", "de"),
+) -> DataFrame:
+    """(split, lang, n_docs, total_tokens, avg_quality): the end-to-end
+    curation funnel a training-data pipeline runs nightly — keep only
+    exact-dedup canonical documents, in the allowed languages, above the
+    quality floor; assign train/val/test splits; report the resulting
+    training-mix composition. Pure composition of the engine's own
+    operators (dedup_exact ∘ quality_scores ∘ hash_split) — each stage
+    keeps its own at-scale plan (hash-groupBy dedup, projection scoring,
+    projection split), joined on the doc id."""
+    from cs598vectordb_spark.operators.dedup import dedup_exact
+
+    q = quality_scores(docs).select("doc_id", "quality", "n_tokens")
+    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
+    s = hash_split(docs).select("doc_id", "split")
+    kept = (
+        docs.select("doc_id", "lang")
+        .filter(F.col("lang").isin(list(langs)))
+        .join(canon, "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality") >= min_quality)
+        .join(s, "doc_id")
+    )
+    return kept.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        _r(F.avg("quality")).alias("avg_quality"),
+    )
+
+
 def ngram_profile(docs: DataFrame, topk: int = 5) -> DataFrame:
     """(lang, rank, gram, n): the top-k most frequent word BIGRAMS per
     language — corpus profiling for training-mix curation (which boilerplate

@@ -454,6 +454,130 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.hash_split(docs, {"train": 80, "val": 10, "test": 10}, salt="s1")
 
 
+# split-assignment fragment shared by hash_split / decontamination /
+# curation oracles — the rolling hash of doc_id + salt sliced 80/10/10
+def _duck_split(salt: str = "s1") -> str:
+    h = _duck_rolling(f"CAST(doc_id AS VARCHAR) || '#{salt}'")
+    return (
+        f"CASE WHEN {h} % 100 < 80 THEN 'train' "
+        f"WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "decontamination",
+    f"""
+WITH {_duck_minhash_sigs(16)},
+ex AS (SELECT doc_id, unnest(hashes) AS h FROM hashed),
+rare AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= 10),
+tagged AS (
+  SELECT e.doc_id, e.h, {_duck_split("s1")} AS split
+  FROM ex e JOIN rare USING (h)
+)
+SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc, COUNT(*) AS n_shared
+FROM tagged tr
+JOIN tagged te ON tr.h = te.h AND tr.split = 'train' AND te.split = 'test'
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train-split docs sharing ≥2 rare
+    3-gram shingles with a test-split doc (df-capped at 10 so boilerplate
+    n-grams don't count). Splits come from the engine's own hash_split."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = textops.hash_split(docs, {"train": 80, "val": 10, "test": 10}, salt="s1")
+    return dedup.cross_split_contamination(
+        docs, splits, min_shared=2, max_df=10
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+WITH d AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 2048 AS seq_id,
+       (start_offset + n_tokens - 1) // 2048 - start_offset // 2048 + 1 AS n_seqs
+FROM c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sample packing: concatenate docs in id order, chunk into
+    2048-token sequences; per doc, its global offset + spanned sequences.
+    The engine computes the prefix sum block-distributed (no one-task
+    window); the oracle is the equivalent ANSI window cumsum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.pack_sequences(docs, seq_len=2048, parts=32)
+
+
+@register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_duck_rolling("CAST(doc_id AS VARCHAR) || '#smp'")} ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= 50
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sample (50 docs per lang), ranked by a
+    salted hash — deterministic balanced-mix draw, not Bernoulli."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.stratified_sample(docs, quota=50, salt="smp")
+
+
+@register(
+    "curate_corpus",
+    f"""
+WITH q AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         ROUND(0.4 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+               + 0.4 * CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1)
+               + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1)), {_R}) AS quality
+  FROM documents
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+SELECT {_duck_split("s1")} AS split, d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(q.quality), {_R}) AS avg_quality
+FROM documents d
+JOIN canon USING (doc_id)
+JOIN q USING (doc_id)
+WHERE d.lang IN ('en', 'es', 'de') AND q.quality >= 0.5
+GROUP BY 1, 2
+""",
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: canonical docs only (exact dedup),
+    allowed languages, quality ≥ 0.5, split-assigned — emitted as the
+    training-mix composition table per (split, lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.curate_corpus(docs, min_quality=0.5, langs=("en", "es", "de"))
+
+
 @register(
     "ngram_profile",
     f"""

@@ -51,14 +51,15 @@ _PRIORITY: tuple[str, ...] = (
     "stream_ingest_updates", "stream_dedup",
     # new this round, no evidence yet
     "stream_knn", "dedup_clusters", "merge_upsert",
+    "decontamination", "pack_sequences", "stratified_sample", "curate_corpus",
     # one oracle-backed representative per remaining op family
     # (round-1-green variants of already-covered families — shipping_priority,
-    # status_pivot, simhash_banded, knn_cosine, … — sit past the cutoff)
-    "knn_exact", "knn_collect", "knn_filtered", "semantic_doc_search",
+    # lineitem_rollup, knn_filtered, status_pivot, simhash_banded, … — sit
+    # past the cutoff; their green CORRECTNESS_r01 rows stand as evidence)
+    "knn_exact", "knn_collect", "semantic_doc_search",
     "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
     "recall_low_dim",
     "pricing_summary",
-    "lineitem_rollup", "priority_customers_setops", "customer_order_gaps",
     "dedup_exact", "minhash_lsh_dedup", "jaccard_topk",
     "simhash_near_dups", "embedding_near_dup",
     "doc_stats", "quality_scores", "lang_detect", "fingerprints",

@@ -175,3 +175,70 @@ def test_hash_split_deterministic_and_complete(spark, sf_dir):
     assert 0.6 < frac_train < 0.95  # ~80% modulo hash noise
     c = {r.doc_id: r.split for r in hash_split(docs, salt="other").collect()}
     assert a != c  # salt re-rolls assignments
+
+
+def test_pack_sequences_contiguous_and_parts_invariant(spark, sf_dir):
+    """Offsets must tile the concatenated token stream exactly, and the
+    block-distributed prefix sum must not depend on the block count."""
+    from cs598vectordb_spark.operators.textops import pack_sequences
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        pack_sequences(docs, seq_len=2048, parts=32).collect(), key=lambda r: r.doc_id
+    )
+    off = 0
+    for r in rows:
+        assert r.start_offset == off, (r.doc_id, r.start_offset, off)
+        assert r.seq_id == off // 2048
+        off += r.n_tokens
+    other = sorted(
+        pack_sequences(docs, seq_len=2048, parts=3).collect(), key=lambda r: r.doc_id
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in other]
+
+
+def test_stratified_sample_exact_quota(spark, sf_dir):
+    from cs598vectordb_spark.operators.textops import stratified_sample
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    strata = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = stratified_sample(docs, quota=50, salt="smp").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    for r in got.collect():
+        assert r.n == min(50, strata[r.lang]), (r.lang, r.n)
+    a = {r.doc_id for r in stratified_sample(docs, quota=50, salt="smp").collect()}
+    b = {r.doc_id for r in stratified_sample(docs, quota=50, salt="other").collect()}
+    assert a != b  # salt re-rolls the draw
+
+
+def test_contamination_detects_planted_leak(spark):
+    """Doc 0 (train bucket) and doc 2 (test bucket) share a rare 8-word
+    passage -> flagged; docs sharing only a high-df boilerplate phrase are
+    not flagged."""
+    from cs598vectordb_spark.operators.dedup import cross_split_contamination
+    from cs598vectordb_spark.operators.textops import hash_split
+
+    boiler = "all rights reserved click here to subscribe now"
+    leak = "the quick crimson fox vaulted over nine sleepy hounds"
+    filler = [
+        f"document number {i} talks about topic {i * 7} in depth {boiler}"
+        for i in range(20)
+    ]
+    # ids 0,1 train; 2,3 test (bucket values pinned by the s1 salt)
+    data = [
+        (0, f"intro text {leak} trailing words here", "en"),
+        (1, f"unrelated train content entirely {boiler}", "en"),
+        (2, f"prefix words {leak} closing remark", "en"),
+        (3, f"clean test document nothing shared beyond {boiler}", "en"),
+    ] + [(100 + i, t, "en") for i, t in enumerate(filler)]
+    docs = spark.createDataFrame(data, "doc_id long, text string, lang string")
+    splits = hash_split(docs, salt="s1")
+    hits = {
+        (r.train_doc, r.test_doc): r.n_shared
+        for r in cross_split_contamination(docs, splits, min_shared=2, max_df=10).collect()
+    }
+    assert (0, 2) in hits and hits[(0, 2)] >= 6  # the leaked passage
+    assert (1, 3) not in hits  # boilerplate-only overlap is df-capped away
