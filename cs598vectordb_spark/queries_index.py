@@ -123,6 +123,20 @@ def pq_artifacts_for(spark: SparkSession, sf_dir: str, m: int = 16, ksub: int = 
     return _warm(spark, ("pq", sf_dir, m, ksub), build)
 
 
+def sq_artifacts_for(spark: SparkSession, sf_dir: str):
+    """(codec, persisted int8-encoded table) for the SQ8 query family."""
+    from cs598vectordb_spark.operators.sq import sq_encode, train_sq
+
+    def build():
+        emb, _ = _setup(spark, sf_dir)
+        codec = train_sq(emb)
+        enc = sq_encode(emb, codec).persist()
+        enc.count()
+        return (codec, enc)
+
+    return _warm(spark, ("sq8", sf_dir), build)
+
+
 def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Build every index artifact the headline queries probe, returning
     per-artifact build seconds — bench.py calls this before its timed
@@ -336,6 +350,30 @@ def q_pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, q = _setup(spark, sf_dir)
     cb, enc = pq_artifacts_for(spark, sf_dir)
     return recall_at_k(knn_pq_refined(enc, cb, emb, q, _K), knn_exact(emb, q, _K), _K)
+
+
+@register("knn_sq8")
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/SQ8: top-k over the int8-quantized table — the kernel
+    reconstructs per batch and reuses knn_exact's GEMM/local-top-k shape.
+    Quantized distances → rows-only here; recall is graded by sq8_recall
+    and the codes/error by the sq8_encode/sq8_error oracles."""
+    from cs598vectordb_spark.operators.sq import knn_sq
+
+    _, q = _setup(spark, sf_dir)
+    codec, enc = sq_artifacts_for(spark, sf_dir)
+    return knn_sq(enc, codec, q, k=_K).select("q_id", "rank", "vec_id")
+
+
+@register("sq8_recall")
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of SQ8 search vs exact — 8-bit quantization barely moves
+    neighbor ranks, so this floors far above the 0.70 bar."""
+    from cs598vectordb_spark.operators.sq import knn_sq
+
+    emb, q = _setup(spark, sf_dir)
+    codec, enc = sq_artifacts_for(spark, sf_dir)
+    return recall_at_k(knn_sq(enc, codec, q, _K), knn_exact(emb, q, _K), _K)
 
 
 @register("knn_lsh_multiprobe")

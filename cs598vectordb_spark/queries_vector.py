@@ -154,6 +154,72 @@ def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQ8 codec CTEs: per-dim min/max stats + list-form codec (dim=64,
+# FIXTURES.md). The engine embeds the same stats as float literals —
+# MIN/MAX of doubles is exact, so both sides hold bit-identical codecs.
+_SQ_CODEC = """
+stats AS (
+  SELECT i AS pos,
+         MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         greatest(MAX(CAST(embedding[i] AS DOUBLE))
+                  - MIN(CAST(embedding[i] AS DOUBLE)), 1e-12) AS rng
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY i
+),
+codec AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(rng ORDER BY pos) AS rngs FROM stats
+)"""
+
+_SQ_CODE = (
+    "greatest(0, least(255, CAST(floor((CAST(e.embedding[i] AS DOUBLE) - c.mns[i]) "
+    "/ c.rngs[i] * 255.0 + 0.5) AS INTEGER)))"
+)
+
+
+@register(
+    "sq8_encode",
+    f"""
+WITH {_SQ_CODEC}
+SELECT e.vec_id,
+       list_transform(range(1, 65), i -> {_SQ_CODE}) AS codes
+FROM embeddings e, codec c
+""",
+)
+def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization: per-dimension affine int8 codes (4×
+    compression). Closed-form codec → the CODES themselves face the
+    value-hash oracle, unlike the seeded-k-means PQ path."""
+    from cs598vectordb_spark.operators.sq import sq_encode, train_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq_encode(emb, train_sq(emb))
+
+
+@register(
+    "sq8_error",
+    f"""
+WITH {_SQ_CODEC},
+per AS (
+  SELECT list_transform(range(1, 65), i ->
+           CAST(e.embedding[i] AS DOUBLE)
+           - (c.mns[i] + CAST({_SQ_CODE} AS DOUBLE) / 255.0 * c.rngs[i])) AS diffs
+  FROM embeddings e, codec c
+)
+SELECT ROUND(AVG(list_sum(list_transform(diffs, d -> d * d))), 6) AS mse,
+       ROUND(MAX(list_max(list_transform(diffs, d -> abs(d)))), 6) AS max_abs_err,
+       CAST(4.0 AS DOUBLE) AS compression_x
+FROM per
+""",
+)
+def q_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 reconstruction-quality dashboard: table-wide MSE + worst
+    per-element error + compression ratio, value-hash-checked."""
+    from cs598vectordb_spark.operators.sq import sq_decode_error, train_sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq_decode_error(emb, train_sq(emb))
+
+
 @register(
     "semantic_doc_search",
     f"""

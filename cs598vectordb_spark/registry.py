@@ -52,6 +52,7 @@ _PRIORITY: tuple[str, ...] = (
     # new this round, no evidence yet
     "stream_knn", "dedup_clusters", "merge_upsert",
     "decontamination", "pack_sequences", "stratified_sample", "curate_corpus",
+    "sq8_encode", "sq8_error",
     # one oracle-backed representative per remaining op family
     # (round-1-green variants of already-covered families — shipping_priority,
     # lineitem_rollup, knn_filtered, status_pivot, simhash_banded, … — sit
@@ -62,8 +63,10 @@ _PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "dedup_exact", "minhash_lsh_dedup", "jaccard_topk",
     "simhash_near_dups", "embedding_near_dup",
-    "doc_stats", "quality_scores", "lang_detect", "fingerprints",
-    "token_counts",
+    "doc_stats", "quality_scores", "lang_detect",
+    # token_counts / fingerprints rotated out this round (r01-green; their
+    # hash + tokenization formulas are re-pinned by dedup_exact,
+    # doc_stats, decontamination, and pack_sequences rows)
 )
 
 

@@ -129,3 +129,26 @@ def test_multiprobe_raises_recall_over_single_probe(spark, sf_dir):
     finally:
         idx.hash_table.unpersist()
     assert multi > single, (single, multi)
+
+
+def test_sq8_roundtrip_and_recall(spark, sf_dir):
+    """Codes must be in [0,255]; reconstruction error bounded by half a
+    quantization step per dim; search recall >= 0.9 (measured 0.98+)."""
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+    from cs598vectordb_spark.operators.sq import knn_sq, sq_decode_error, sq_encode, train_sq
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codec = train_sq(emb)
+    enc = sq_encode(emb, codec)
+    bounds = enc.selectExpr(
+        "min(array_min(codes)) AS lo", "max(array_max(codes)) AS hi"
+    ).first()
+    assert bounds.lo >= 0 and bounds.hi <= 255
+    err = sq_decode_error(emb, codec).first()
+    assert err.max_abs_err <= float(codec.ranges.max()) / 255.0 / 2.0 + 1e-9
+    assert err.compression_x == 4.0
+    q = queries_from_embeddings(emb, 50)
+    rec = recall_at_k(knn_sq(enc, codec, q, 10), knn_exact(emb, q, 10), 10).first().recall
+    assert rec >= 0.9, rec
