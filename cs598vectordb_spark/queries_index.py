@@ -137,6 +137,19 @@ def sq_artifacts_for(spark: SparkSession, sf_dir: str):
     return _warm(spark, ("sq8", sf_dir), build)
 
 
+def knn_graph_for(spark: SparkSession, sf_dir: str, k: int = 10, rounds: int = 3):
+    """NN-descent kNN graph, built once per (session, sf_dir)."""
+    from cs598vectordb_spark.operators.graph import build_knn_graph
+
+    def build():
+        emb, _ = _setup(spark, sf_dir)
+        g = build_knn_graph(emb, k=k, rounds=rounds).persist()
+        g.count()
+        return g
+
+    return _warm(spark, ("knng", sf_dir, k, rounds), build)
+
+
 def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Build every index artifact the headline queries probe, returning
     per-artifact build seconds — bench.py calls this before its timed
@@ -350,6 +363,45 @@ def q_pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, q = _setup(spark, sf_dir)
     cb, enc = pq_artifacts_for(spark, sf_dir)
     return recall_at_k(knn_pq_refined(enc, cb, emb, q, _K), knn_exact(emb, q, _K), _K)
+
+
+@register("knn_graph")
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/graph: batched beam search over the NN-descent kNN graph — the
+    engine's analog of the reference's headline HNSW family
+    (dynamic_script_faiss.py:53-57), as set-at-a-time DataFrame hops.
+    Deterministic (hash seeds) but graph-structure-dependent → rows-only;
+    recall floors live in graph_search_recall and tests."""
+    from cs598vectordb_spark.operators.graph import knn_graph_search
+
+    emb, q = _setup(spark, sf_dir)
+    g = knn_graph_for(spark, sf_dir)
+    return knn_graph_search(g, emb, q, k=_K, beam=20, hops=3).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
+@register("graph_quality")
+def q_graph_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent convergence metric: fraction of true kNN edges present
+    in the built graph (over the query sample's exact neighborhoods)."""
+    from cs598vectordb_spark.operators.graph import graph_quality
+
+    emb, q = _setup(spark, sf_dir)
+    g = knn_graph_for(spark, sf_dir)
+    return graph_quality(g, knn_exact(emb, q, _K))
+
+
+@register("graph_search_recall")
+def q_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of graph beam search vs exact."""
+    from cs598vectordb_spark.operators.graph import knn_graph_search
+
+    emb, q = _setup(spark, sf_dir)
+    g = knn_graph_for(spark, sf_dir)
+    return recall_at_k(
+        knn_graph_search(g, emb, q, _K, beam=20, hops=3), knn_exact(emb, q, _K), _K
+    )
 
 
 @register("knn_sq8")

@@ -152,3 +152,37 @@ def test_sq8_roundtrip_and_recall(spark, sf_dir):
     q = queries_from_embeddings(emb, 50)
     rec = recall_at_k(knn_sq(enc, codec, q, 10), knn_exact(emb, q, 10), 10).first().recall
     assert rec >= 0.9, rec
+
+
+def test_knn_graph_monotone_refinement_and_search_recall(spark, sf_dir):
+    """NN-descent must IMPROVE the graph each round (recall@rounds=3 >
+    recall@rounds=0), and beam search over the refined graph clears the
+    reference's 0.7 recall bar."""
+    from cs598vectordb_spark.operators.graph import (
+        build_knn_graph,
+        graph_quality,
+        knn_graph_search,
+    )
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    q = queries_from_embeddings(emb, 50)
+    truth = knn_exact(emb, q, 10).persist()
+    g0 = build_knn_graph(emb, k=10, rounds=0)
+    g3 = build_knn_graph(emb, k=10, rounds=3)
+    r0 = graph_quality(g0, truth).first().graph_recall
+    r3 = graph_quality(g3, truth).first().graph_recall
+    assert r3 > r0 + 0.2, (r0, r3)  # refinement does real work
+    assert r3 >= 0.7, r3
+    res = knn_graph_search(g3, emb, q, k=10, beam=20, hops=3)
+    rec = recall_at_k(res.select("q_id", "rank", "vec_id"), truth, 10).first().recall
+    assert rec >= 0.7, rec
+    # determinism: same seeds -> identical results
+    res2 = knn_graph_search(g3, emb, q, k=10, beam=20, hops=3)
+    assert sorted(map(tuple, res.select("q_id", "rank", "vec_id").collect())) == sorted(
+        map(tuple, res2.select("q_id", "rank", "vec_id").collect())
+    )
+    emb.unpersist()
+    truth.unpersist()
