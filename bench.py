@@ -37,6 +37,8 @@ def main() -> int:
         "knn_lsh",
         "knn_ivf_materialized",
         "knn_pq_refined",
+        "knn_sq8",
+        "knn_graph",
         "recall_low_dim",
         "knn_post_delete",
         # io surface
@@ -53,9 +55,14 @@ def main() -> int:
         # LLM pipeline surface
         "dedup_exact",
         "minhash_lsh_dedup",
+        "dedup_clusters",
         "jaccard_topk",
         "quality_scores",
         "token_counts",
+        "decontamination",
+        "pack_sequences",
+        "stratified_sample",
+        "curate_corpus",
         "media_features",
         # streaming surface
         "stream_events_hourly",
@@ -110,6 +117,8 @@ def main() -> int:
                 "knn_lsh": qps("knn_lsh"),
                 "knn_ivf_materialized": qps("knn_ivf_materialized"),
                 "knn_pq_refined": qps("knn_pq_refined"),
+                "knn_sq8": qps("knn_sq8"),
+                "knn_graph": qps("knn_graph"),
             },
             "index_build_seconds": build_seconds,
             "cold_pass_seconds": round(sum(cold.values()), 3),
