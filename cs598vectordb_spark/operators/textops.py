@@ -261,6 +261,43 @@ def curate_corpus(
     )
 
 
+def tfidf_keywords(docs: DataFrame, topk: int = 3) -> DataFrame:
+    """(doc_id, rank, token, tf, df, tfidf): the top-k characteristic
+    tokens per document — frequent in the doc, rare in the corpus. The
+    rank ordering is (tf DESC, df ASC, token ASC): exactly tf-idf's
+    ordering on this data but integer-lexicographic, so ranks can never
+    flip on a last-ulp ln() difference between engines; the smoothed
+    tf·ln((N+1)/(df+1)) score rides along as a rounded value column.
+
+    Plan: explode → two partial-aggregated shuffles (term frequency on
+    (doc, token), document frequency on token) → join on token → one
+    per-doc window. Vocabulary-keyed shuffles are uniform; nothing is
+    per-row Python."""
+    toks = docs.select("doc_id", F.explode(tokens(normalize_ws(F.col("text")))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            "tf",
+            "df",
+            _r(
+                F.col("tf").cast("double")
+                * F.log((F.lit(float(n_docs + 1))) / (F.col("df").cast("double") + 1.0))
+            ).alias("tfidf"),
+        )
+    )
+
+
 def ngram_profile(docs: DataFrame, topk: int = 5) -> DataFrame:
     """(lang, rank, gram, n): the top-k most frequent word BIGRAMS per
     language — corpus profiling for training-mix curation (which boilerplate

@@ -579,6 +579,39 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_keywords",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(tokens) AS token FROM ({_TOKENS_CTE})
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(rnk AS INTEGER) AS rank, token, tf, df,
+       ROUND(CAST(tf AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), {_R}) AS tfidf
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, df.df ASC, tf.token ASC
+         ) AS rnk
+  FROM tf JOIN df USING (token), n
+)
+WHERE rnk <= 3
+""",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic tokens per doc, tf-idf-ordered with an
+    integer-lexicographic tie-proof rank; smoothed score rides along."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.tfidf_keywords(docs, topk=3)
+
+
+@register(
     "ngram_profile",
     f"""
 WITH grams AS (

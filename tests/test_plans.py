@@ -110,3 +110,25 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
 
     n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchange == 1, (n_exchange, plan)
+
+
+def test_pack_sequences_has_no_single_partition_window(spark, sf_dir):
+    """The global prefix sum must stay block-distributed: exactly one
+    hash exchange (the block window), never an Exchange SinglePartition —
+    the classic cumsum scale trap this operator exists to avoid."""
+    import re
+
+    from cs598vectordb_spark.operators.textops import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(pack_sequences(docs, seq_len=2048, parts=32))
+    assert "SinglePartition" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_stratified_sample_partitions_by_stratum(spark, sf_dir):
+    from cs598vectordb_spark.operators.textops import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(stratified_sample(docs, quota=50))
+    assert "SinglePartition" not in plan, plan
