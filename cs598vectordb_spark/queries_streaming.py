@@ -99,6 +99,36 @@ def q_stream_ingest_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_late_data",
+    """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+cut AS (
+  SELECT make_timestamp((epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2) AS cutoff,
+         MAX(ts) AS mx
+  FROM ev
+),
+ontime AS (SELECT ev.* FROM ev, cut WHERE ev.ts >= cut.cutoff),
+agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+  FROM ontime GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events, sum_value
+FROM agg, cut
+WHERE hour + INTERVAL 1 HOUR <= cut.mx - INTERVAL 1 HOUR
+""",
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark drop accounting: the old half of events arrives a batch
+    late and is entirely discarded by the 1h watermark; the oracle is the
+    on-time-only aggregate under the final watermark — the drop rule
+    itself faces the value hash."""
+    from cs598vectordb_spark.streaming.jobs import late_data_hourly
+
+    return late_data_hourly(spark, sf_dir, _io_dir(sf_dir, "stream_late"), delay="1 hour")
+
+
+@register(
     "stream_knn",
     # identical emission to batch knn_exact: streamed batches partition
     # the query set and per-query results are independent

@@ -248,6 +248,74 @@ def stream_dedup(
     return out.select("doc_id", "is_dup", "winner_id")
 
 
+def late_data_hourly(
+    spark: SparkSession, sf_dir: str, work_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Watermark late-data DROP accounting: the older half of the events
+    table arrives two micro-batches AFTER the newer half, so by the time
+    it arrives the input-side late filter (which lags the watermark by
+    ONE batch — measured semantics, see the module docstring notes) has
+    already advanced past every window it belongs to, and Structured
+    Streaming drops all of it. The emitted hourly aggregate therefore
+    contains ONLY on-time contributions; the oracle reproduces that
+    closed-form (on-time partition, windows ≤ final watermark), so the
+    drop rule itself is value-hash-checked.
+
+    Batch layout: batch0 = on-time rows below the final hour (establishes
+    the watermark), batch1 = the final-hour on-time rows (their windows
+    never close, so they add nothing to the output — they exist to age
+    the batch0 watermark into the input filter), batch2 = everything
+    before the time cutoff (all dropped). Cutoff = integer-µs midpoint of
+    (min ts, max ts), identical in the oracle. At scale this op is how a
+    pipeline measures what a given watermark delay would discard."""
+    from cs598vectordb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mn_us, mx_us, top_hour = ev.agg(
+        F.unix_micros(F.min("ts")),
+        F.unix_micros(F.max("ts")),
+        F.unix_micros(F.date_trunc("hour", F.max("ts"))),
+    ).first()
+    cutoff_us = (mn_us + mx_us) // 2
+
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    in_dir = os.path.join(work_dir, "batches")
+    os.makedirs(in_dir)
+    now = time.time()
+    us = F.unix_micros("ts")
+    parts = [
+        ("ontime", ev.filter((us >= cutoff_us) & (us < top_hour))),
+        ("final_hour", ev.filter(us >= top_hour)),
+        ("late", ev.filter(us < cutoff_us)),
+    ]
+    schema = None
+    for i, (name, part) in enumerate(parts):
+        tmp = os.path.join(work_dir, f"_tmp_{name}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        f = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, f), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+        schema = part.schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
+    )
+
+
 def stream_knn(
     spark: SparkSession,
     sf_dir: str,
