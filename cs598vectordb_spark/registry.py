@@ -50,9 +50,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_events_hourly", "stream_sessionize", "stream_stateful_counts",
     "stream_ingest_updates", "stream_dedup",
     # new this round, no evidence yet
-    "stream_knn", "dedup_clusters", "merge_upsert",
+    "stream_knn", "stream_late_data", "dedup_clusters", "merge_upsert",
     "decontamination", "pack_sequences", "stratified_sample", "curate_corpus",
-    "sq8_encode", "sq8_error",
+    "sq8_encode", "sq8_error", "hash_split", "ngram_profile", "tfidf_keywords",
     # one oracle-backed representative per remaining op family
     # (round-1-green variants of already-covered families — shipping_priority,
     # lineitem_rollup, knn_filtered, status_pivot, simhash_banded, … — sit
@@ -61,12 +61,14 @@ _PRIORITY: tuple[str, ...] = (
     "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
     "recall_low_dim",
     "pricing_summary",
-    "dedup_exact", "minhash_lsh_dedup", "jaccard_topk",
+    "dedup_exact", "minhash_lsh_dedup",
     "simhash_near_dups", "embedding_near_dup",
-    "doc_stats", "quality_scores", "lang_detect",
-    # token_counts / fingerprints rotated out this round (r01-green; their
-    # hash + tokenization formulas are re-pinned by dedup_exact,
-    # doc_stats, decontamination, and pack_sequences rows)
+    "lang_detect",
+    # rotated out this round (all r01-green, formulas re-pinned by graded
+    # rows): token_counts/doc_stats (tokenization → pack_sequences),
+    # fingerprints (md5/rolling → dedup_exact + hash_split),
+    # quality_scores (composite → curate_corpus),
+    # jaccard_topk (shingle-jaccard → minhash_lsh_dedup verify stage)
 )
 
 
