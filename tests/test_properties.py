@@ -113,3 +113,55 @@ def _spark():
     from cs598vectordb_spark.session import get_spark
 
     return get_spark("tests", cpus=8)
+
+
+_kv = st.tuples(st.integers(0, 30), st.integers(-100, 100))
+
+
+@given(st.lists(_kv, min_size=0, max_size=20), st.lists(_kv, min_size=0, max_size=20))
+@settings(max_examples=8, deadline=None)
+def test_merge_upsert_matches_dict_semantics(trows, srows):
+    """MERGE == dict.update(): source wins on matched ids, target rows
+    survive otherwise, inserts appear — for ANY id overlap pattern."""
+    from cs598vectordb_spark.operators.updates import merge_upsert
+
+    spark = _spark()
+    trows = list({k: (k, v) for k, v in trows}.values())  # unique ids per side
+    srows = list({k: (k, v) for k, v in srows}.values())
+    schema = "vec_id long, label long"
+    target = spark.createDataFrame(trows, schema) if trows else spark.createDataFrame([], schema)
+    source = spark.createDataFrame(srows, schema) if srows else spark.createDataFrame([], schema)
+    got = {r.vec_id: (r.label, r._merge_action) for r in merge_upsert(target, source, "vec_id").collect()}
+    exp = {}
+    for k, v in trows:
+        exp[k] = (v, "kept")
+    for k, v in srows:
+        exp[k] = (v, "updated" if any(k == tk for tk, _ in trows) else "inserted")
+    assert got == exp
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 10_000), st.integers(0, 40)), min_size=1, max_size=30),
+    st.integers(1, 5),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_contiguous_for_sparse_ids(rows, parts):
+    """Offsets tile the token stream in doc_id order for ARBITRARY sparse
+    id sets and any block count — the distributed prefix sum has no
+    dense-id or balanced-block assumption."""
+    from cs598vectordb_spark.operators.textops import pack_sequences
+
+    spark = _spark()
+    uniq = {i: n for i, n in rows}
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in uniq.items()],
+        "doc_id long, text string",
+    )
+    out = sorted(pack_sequences(docs, seq_len=7, parts=parts).collect(), key=lambda r: r.doc_id)
+    off = 0
+    for r in out:
+        assert r.start_offset == off, (r.doc_id, r.start_offset, off)
+        assert r.seq_id == off // 7
+        assert r.n_seqs == (off + r.n_tokens - 1) // 7 - off // 7 + 1
+        off += r.n_tokens
+    assert len(out) == len(uniq)
