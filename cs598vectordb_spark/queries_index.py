@@ -298,6 +298,20 @@ def q_dynamic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dynamic_overlap_ivf")
+def q_dynamic_overlap_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/exclusive=false with an INDEX backend: during-update intervals
+    probe the serving IVF index while the new snapshot's k-means index
+    REBUILDS in a background thread — the faithful rendering of the
+    reference's search-during-HNSW-rebuild headline
+    (dynamic_script_faiss.py:75-117, BASELINE.md −52% FAISS row)."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.dynamic_protocol(
+        spark, emb, q, backend="ivf", update_percents=[50],
+        intervals_per_phase=2, exclusive=False,
+    )
+
+
 @register("multi_tenant")
 def q_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: tenant scaling summary (mean latency/qps, sum-qps throughput,
