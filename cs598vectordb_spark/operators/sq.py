@@ -61,10 +61,13 @@ def sq_encode(
     codec: SqCodec,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(vec_id, codes ARRAY<INT>[dim]): pure Catalyst projection — the
-    half-up rounding (floor(x + 0.5)) is chosen over round() because both
-    engines evaluate it identically (no banker's-rounding divergence)."""
+    """(vec_id, codes ARRAY<INT>[dim], *extra_cols): pure Catalyst
+    projection — the half-up rounding (floor(x + 0.5)) is chosen over
+    round() because both engines evaluate it identically (no
+    banker's-rounding divergence). extra_cols ride along unchanged (e.g.
+    centroid_id for compressed inverted lists)."""
     dim = len(codec.mins)
     v = F.col(vec_col).cast("array<double>")
     mins, rng = _lit_arr(codec.mins), _lit_arr(codec.ranges)
@@ -84,7 +87,9 @@ def sq_encode(
             ),
         ),
     )
-    return base.select(F.col(id_col), code.alias("codes"))
+    return base.select(
+        F.col(id_col), code.alias("codes"), *[F.col(c) for c in (extra_cols or [])]
+    )
 
 
 def sq_decode_error(
@@ -125,6 +130,95 @@ def sq_decode_error(
         F.round(F.avg("sse"), 6).alias("mse"),
         F.round(F.max("mae"), 6).alias("max_abs_err"),
         F.lit(4.0).alias("compression_x"),
+    )
+
+
+@dataclass
+class IvfSqIndex:
+    """Compressed inverted lists: int8 codes partitioned by centroid —
+    FAISS's IndexIVFScalarQuantizer as a parquet layout. A probe reads
+    nprobe/nlist of the PARTITIONS and 1 byte/dim of the CODES: both
+    pruning levers compose."""
+
+    table: DataFrame  # (vec_id, codes, centroid_id), parquet PARTITIONED BY centroid_id
+    codec: SqCodec
+    centroids: np.ndarray
+    nlist: int
+
+
+def build_ivf_sq(
+    base: DataFrame,
+    path: str,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfSqIndex:
+    """Coarse-quantize (k-means lists) then scalar-quantize (int8 codes)
+    and materialize PARTITIONED BY centroid_id — one build pass over the
+    base, both quantizers trained the engine's usual bounded way."""
+    from cs598vectordb_spark.operators.index import build_ivf_index
+
+    ivf = build_ivf_index(base, nlist=nlist, id_col=id_col, vec_col=vec_col)
+    codec = train_sq(base, vec_col)
+    enc = sq_encode(ivf.assigned, codec, vec_col, id_col, extra_cols=["centroid_id"])
+    enc.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    spark = base.sparkSession
+    return IvfSqIndex(spark.read.parquet(path), codec, ivf.centroids, nlist)
+
+
+def knn_ivf_sq(
+    index: IvfSqIndex,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the compressed lists: partition-pruned scan of the probed
+    centroids' int8 codes, batch reconstruction + masked GEMM in one
+    kernel (no joins), local top-k, tiny shuffle — knn_ivf's plan over
+    4×-smaller bytes."""
+    from cs598vectordb_spark.operators.knn import _topk_from_scores, squared_l2_block
+
+    spark = queries.sparkSession
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+    Q = np.ascontiguousarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
+    C = index.centroids
+    d2 = (
+        np.square(Q).sum(1, keepdims=True) - 2.0 * (Q @ C.T) + np.square(C).sum(1)[None, :]
+    )
+    nearest = np.argsort(d2, axis=1)[:, :nprobe]
+    probed = np.zeros((index.nlist, len(q_ids)), dtype=bool)
+    for j, row in enumerate(nearest):
+        probed[row, j] = True
+    probe_set = sorted({int(c) for row in nearest for c in row})
+    bc = spark.sparkContext.broadcast((q_ids, Q, probed, index.codec.mins, index.codec.ranges))
+
+    def kern(batches):
+        bq_ids, bQ, bprobed, mins, rng = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.float64)
+            B = mins[None, :] + codes / 255.0 * rng[None, :]
+            scores = squared_l2_block(B, bQ)
+            scores[~bprobed[pdf["centroid_id"].to_numpy(dtype=np.int64)]] = np.inf
+            out = _topk_from_scores(scores, ids, bq_ids, k, True)
+            if len(out):
+                yield out
+
+    local = (
+        index.table.filter(F.col("centroid_id").isin(probe_set))
+        .select(id_col, "codes", "centroid_id")
+        .mapInPandas(kern, "q_id long, vec_id long, dist double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
     )
 
 

@@ -150,6 +150,22 @@ def knn_graph_for(spark: SparkSession, sf_dir: str, k: int = 10, rounds: int = 3
     return _warm(spark, ("knng", sf_dir, k, rounds), build)
 
 
+def ivf_sq_index_for(spark: SparkSession, sf_dir: str, nlist: int = 16):
+    """Compressed-inverted-list index (IVF partitions × SQ8 codes)."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.sq import build_ivf_sq
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    def build():
+        emb, _ = _setup(spark, sf_dir)
+        return build_ivf_sq(
+            emb, _os.path.join(_io_dir(sf_dir, "ivf_sq8"), "t"), nlist=nlist
+        )
+
+    return _warm(spark, ("ivf_sq8", sf_dir, nlist), build)
+
+
 def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Build every index artifact the headline queries probe, returning
     per-artifact build seconds — bench.py calls this before its timed
@@ -418,6 +434,30 @@ def q_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_at_k(
         knn_graph_search(g, emb, q, _K, beam=20, hops=3), knn_exact(emb, q, _K), _K
     )
+
+
+@register("knn_ivf_sq8")
+def q_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/IVF+SQ8: compressed inverted lists — probe reads nprobe/nlist
+    of the partitions AND 1 byte/dim of the codes; reconstruction +
+    masked GEMM in one joinless kernel (FAISS IndexIVFScalarQuantizer's
+    layout as parquet partitioning)."""
+    from cs598vectordb_spark.operators.sq import knn_ivf_sq
+
+    _, q = _setup(spark, sf_dir)
+    idx = ivf_sq_index_for(spark, sf_dir, nlist=16)
+    return knn_ivf_sq(idx, q, k=_K, nprobe=8).select("q_id", "rank", "vec_id")
+
+
+@register("ivf_sq8_recall")
+def q_ivf_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the doubly-quantized probe vs exact — the composed
+    loss of list pruning (IVF) and 8-bit codes (SQ)."""
+    from cs598vectordb_spark.operators.sq import knn_ivf_sq
+
+    emb, q = _setup(spark, sf_dir)
+    idx = ivf_sq_index_for(spark, sf_dir, nlist=16)
+    return recall_at_k(knn_ivf_sq(idx, q, _K, nprobe=8), knn_exact(emb, q, _K), _K)
 
 
 @register("knn_sq8")

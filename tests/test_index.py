@@ -186,3 +186,24 @@ def test_knn_graph_monotone_refinement_and_search_recall(spark, sf_dir):
     )
     emb.unpersist()
     truth.unpersist()
+
+
+def test_ivf_sq8_pruned_and_recall(spark, sf_dir, tmp_path):
+    """Compressed inverted lists: the probe must prune partitions AND
+    clear the 0.7 recall bar despite double quantization."""
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+    from cs598vectordb_spark.operators.sq import build_ivf_sq, knn_ivf_sq
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+    from tests.test_plans import plan_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 50)
+    idx = build_ivf_sq(emb, str(tmp_path / "ivfsq"), nlist=8)
+    probe = knn_ivf_sq(idx, q, k=10, nprobe=4)
+    plan = plan_of(probe)
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+    rec = recall_at_k(
+        probe.select("q_id", "rank", "vec_id"), knn_exact(emb, q, 10), 10
+    ).first().recall
+    assert rec >= 0.7, rec
