@@ -38,6 +38,7 @@ def main() -> int:
         "knn_ivf_materialized",
         "knn_pq_refined",
         "knn_sq8",
+        "knn_ivf_sq8",
         "knn_graph",
         "recall_low_dim",
         "knn_post_delete",
@@ -118,6 +119,7 @@ def main() -> int:
                 "knn_ivf_materialized": qps("knn_ivf_materialized"),
                 "knn_pq_refined": qps("knn_pq_refined"),
                 "knn_sq8": qps("knn_sq8"),
+                "knn_ivf_sq8": qps("knn_ivf_sq8"),
                 "knn_graph": qps("knn_graph"),
             },
             "index_build_seconds": build_seconds,

@@ -180,6 +180,7 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("ivf_materialize", lambda: ivf_materialized_for(spark, sf_dir)),
         ("pq_train_encode", lambda: pq_artifacts_for(spark, sf_dir)),
         ("sq8_train_encode", lambda: sq_artifacts_for(spark, sf_dir)),
+        ("ivf_sq8_build", lambda: ivf_sq_index_for(spark, sf_dir)),
         ("knn_graph_build", lambda: knn_graph_for(spark, sf_dir)),
     ):
         t0 = _time.time()
