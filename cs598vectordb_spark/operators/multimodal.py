@@ -72,6 +72,21 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_dedup(media: DataFrame) -> DataFrame:
+    """Exact dedup of binary payloads: md5 over the payload's (lowercase)
+    hex rendering — byte-identical media collapse to one canonical row,
+    the binary analog of dedup_exact. The hash runs JVM-side on the hex
+    string so the DuckDB oracle (which holds the same hex) reproduces the
+    fingerprint exactly; at 100 TB this is one hash-groupBy on a uniform
+    128-bit key, payload bytes never shuffle (only their digest does)."""
+    fp = F.md5(F.lower(F.hex(F.col("payload"))))
+    return media.groupBy(fp.alias("fingerprint")).agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("kind").alias("kind"),
+    )
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Deterministic fake decode: byte-level feature extraction per payload.
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cs598vectordb_spark.operators.multimodal import (
     frame_sample,
+    media_dedup,
     media_features,
     media_summary,
     media_table,
@@ -107,6 +108,25 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize planning for image rows — metadata halved, payload counted
     (real pixel resample lives behind the decode_media stub)."""
     return resize_plan(_media(spark, sf_dir), scale=2)
+
+
+@register(
+    "media_dedup",
+    f"""
+WITH {_MEDIA_HEX}
+SELECT md5(hex) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies,
+       MIN(kind) AS kind
+FROM media
+GROUP BY 1
+""",
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup: byte-identical media (duplicate source
+    documents synthesize identical payloads) collapse to a canonical id —
+    the multimodal leg of the dedup family."""
+    return media_dedup(_media(spark, sf_dir))
 
 
 @register(
