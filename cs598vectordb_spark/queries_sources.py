@@ -174,7 +174,7 @@ def q_load_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ingest",
     """
-SELECT COUNT(*) AS n, SUM(vec_id) AS sum_vec_id,
+SELECT COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
        CAST(SUM(len(embedding)) AS BIGINT) AS total_vals
 FROM embeddings
 """,

@@ -88,7 +88,8 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_ingest_updates",
     """
-SELECT COUNT(*) AS n, SUM(vec_id) AS sum_vec_id, SUM(label) AS sum_label
+SELECT COUNT(*) AS n, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(label) AS BIGINT) AS sum_label
 FROM embeddings WHERE vec_id % 10 <> 7
 """,
 )

@@ -181,18 +181,27 @@ _SQ_CODE = (
     f"""
 WITH {_SQ_CODEC}
 SELECT e.vec_id,
-       list_transform(range(1, 65), i -> {_SQ_CODE}) AS codes
+       array_to_string(list_transform(range(1, 65),
+                                      i -> CAST({_SQ_CODE} AS VARCHAR)),
+                       ',') AS codes_csv
 FROM embeddings e, codec c
 """,
 )
 def q_sq8_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization: per-dimension affine int8 codes (4×
     compression). Closed-form codec → the CODES themselves face the
-    value-hash oracle, unlike the seeded-k-means PQ path."""
+    value-hash oracle, unlike the seeded-k-means PQ path. Codes are
+    emitted as a CSV string (the knn_collect pattern) because the
+    driver's canonicalizer cannot sort list-typed columns."""
     from cs598vectordb_spark.operators.sq import sq_encode, train_sq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return sq_encode(emb, train_sq(emb))
+    return sq_encode(emb, train_sq(emb)).select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
 
 
 @register(

@@ -46,7 +46,9 @@ _PRIORITY: tuple[str, ...] = (
     "decimal_revenue",
     # oracle-backed but past the round-1 cutoff, never graded
     "scan_fvecs", "scan_ivecs", "scan_logs", "load_dataset", "ingest",
-    "media_features", "media_frame_sample", "media_resize", "media_summary",
+    # media_resize rotated out (green r2+r3) for media_dedup, the one
+    # oracle-backed entry with no driver evidence through round 3
+    "media_features", "media_frame_sample", "media_dedup", "media_summary",
     "stream_events_hourly", "stream_sessionize", "stream_stateful_counts",
     "stream_ingest_updates", "stream_dedup",
     # new this round, no evidence yet
