@@ -84,28 +84,38 @@ def main() -> int:
 
     build_seconds = warm_indexes(spark, sf_dir)
 
-    # Two passes: pass 1 absorbs one-time per-query costs (broadcast
-    # builds, shuffle file creation, codegen), pass 2 is the steady-state
-    # number — the way the reference reports QPS from a warmed loop, not
-    # the first iteration (dynamic_script_faiss.py:31-43 discards no
-    # warmup only because its index is already resident). Reported value
-    # = steady-state; the cold pass is kept in extra for transparency.
+    # One cold pass (absorbs per-query one-time costs: broadcast builds,
+    # shuffle file creation, codegen) then THREE steady passes; the
+    # reported per-query number is the per-query MEDIAN of the steady
+    # passes. Single-pass steady numbers moved ±23% run-to-run on
+    # byte-identical code (BENCH_r02 vs r03), so medians are the only way
+    # a real regression is distinguishable from noise. The reference also
+    # times a warmed loop, not the first iteration
+    # (dynamic_script_faiss.py:31-43: index already resident).
+    n_steady = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for pass_timings in (cold, timings):
+    steady: list[dict[str, float]] = [{} for _ in range(n_steady)]
+    for pass_timings in (cold, *steady):
         for name in headline:
             t0 = time.time()
-            n = qs[name](spark, sf_dir).count()
+            qs[name](spark, sf_dir).count()
             pass_timings[name] = round(time.time() - t0, 3)
-            rows[name] = n
 
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {n: median([p[n] for p in steady]) for n in headline}
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     def qps(name: str) -> float:
         return round(DEFAULT_N_QUERIES / timings[name], 1) if timings.get(name) else 0.0
 
+    # Keep the JSON line WELL under the driver's output tail buffer
+    # (BENCH_r02/r03 had parsed:null because per-query cold/rows dicts
+    # pushed "value" past the captured tail) — per-pass TOTALS only.
     out = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
@@ -124,8 +134,9 @@ def main() -> int:
             },
             "index_build_seconds": build_seconds,
             "cold_pass_seconds": round(sum(cold.values()), 3),
-            "cold_queries": cold,
-            "rows": rows,
+            "steady_pass_seconds": [
+                round(sum(p.values()), 3) for p in steady
+            ],
         },
     }
     print(json.dumps(out))
