@@ -40,6 +40,7 @@ def main() -> int:
         "knn_sq8",
         "knn_ivf_sq8",
         "knn_graph",
+        "knn_graph_layered",
         "recall_low_dim",
         "knn_post_delete",
         # io surface
@@ -131,6 +132,7 @@ def main() -> int:
                 "knn_sq8": qps("knn_sq8"),
                 "knn_ivf_sq8": qps("knn_ivf_sq8"),
                 "knn_graph": qps("knn_graph"),
+                "knn_graph_layered": qps("knn_graph_layered"),
             },
             "index_build_seconds": build_seconds,
             "cold_pass_seconds": round(sum(cold.values()), 3),

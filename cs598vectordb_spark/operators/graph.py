@@ -172,6 +172,265 @@ def knn_graph_search(
     )
 
 
+# ---- layered (segmented) graph index ------------------------------------
+# The flat DataFrame beam search above is stage-count-bound: every hop is
+# a join + window + checkpoint (~4 stages), so probe latency is Spark
+# scheduling, not compute. The layered design is the HNSW-at-cluster-scale
+# shape the reference itself benchmarks: Milvus builds ONE graph PER
+# SEGMENT and merges across segments at query time
+# (/root/reference/dynamic_script_milvus.py:33-38 HNSW index params on a
+# sharded collection). Spark rendering:
+#
+#   top layer  = k-means centroids (driver-sized, like IVF) — prune to
+#                the nprobe nearest segments per query;
+#   base layer = a per-segment kNN subgraph, co-partitioned with its
+#                vectors, walked ENTIRELY inside one Arrow kernel
+#                (best-first beam search in numpy — no per-hop stages).
+#
+# Probe plan: filter(probed segments) → applyInPandas walk → one global
+# top-k window. The segment table is persisted repartition()ed on
+# centroid_id, so the groupBy before the kernel needs NO exchange
+# (asserted in tests/test_plans.py); the only shuffle carries
+# ≤ nprobe·|Q|·k candidate rows. At 100 TB each segment is a few million
+# vectors whose subgraph a single executor walks in memory — the
+# DiskANN/SPANN sharding story — while segment count scales out.
+
+
+class LayeredGraphIndex:
+    """Per-segment kNN subgraphs + driver-sized centroid top layer."""
+
+    def __init__(self, segments: DataFrame, centroids: np.ndarray, nlist: int, degree: int):
+        self.segments = segments  # (centroid_id, vec_id, embedding, nbr_ids)
+        self.centroids = centroids
+        self.nlist = nlist
+        self.degree = degree
+
+
+def _local_knn_graph(X: np.ndarray, ids: np.ndarray, degree: int) -> list[np.ndarray]:
+    """Exact per-segment kNN adjacency (global ids), ties broken by id.
+    Cost is |seg|² GEMM — right up to ~50k-row segments; beyond that the
+    builder falls back to NN-descent rounds (same proposals as the flat
+    builder, numpy-local instead of join-based)."""
+    from cs598vectordb_spark.operators.knn import squared_l2_block
+
+    c = len(ids)
+    d2 = squared_l2_block(X, X)
+    np.fill_diagonal(d2, np.inf)
+    k_eff = min(degree, c - 1)
+    part = np.argpartition(d2, k_eff - 1, axis=0)[:k_eff, :]
+    out = []
+    for i in range(c):
+        cand = part[:, i]
+        order = np.lexsort((ids[cand], d2[cand, i]))
+        out.append(ids[cand[order]].astype(np.int64))
+    return out
+
+
+def _local_nn_descent(
+    X: np.ndarray, ids: np.ndarray, degree: int, rounds: int = 3
+) -> list[np.ndarray]:
+    """NN-descent for segments too large for the |seg|² exact build:
+    deterministic affine-mod init, then neighbor-of-neighbor proposal
+    rounds scored in blocks. Same algorithm as build_knn_graph, executed
+    segment-locally in numpy."""
+    c = len(ids)
+    k_eff = min(degree, c - 1)
+    order = np.argsort(ids, kind="stable")
+    X, ids = X[order], ids[order]
+    # init: pseudo-random distinct-ish targets per node (position space)
+    pos = np.arange(c)
+    nbrs = np.stack(
+        [(pos * 1_103_515_245 + 12_345 + 7 * j) % _ROLL_MOD % c for j in range(k_eff)],
+        axis=1,
+    )
+    for j in range(k_eff):  # avoid self-loops deterministically
+        nbrs[:, j] = np.where(nbrs[:, j] == pos, (nbrs[:, j] + 1) % c, nbrs[:, j])
+
+    def dists(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        diff = X[src] - X[dst]
+        return np.einsum("ij,ij->i", diff, diff)
+
+    cur_d = np.stack([dists(pos, nbrs[:, j]) for j in range(k_eff)], axis=1)
+    for _ in range(rounds):
+        # proposals: neighbors-of-neighbors (both directions via the
+        # symmetric union being implicit in the candidate pool)
+        for i in range(c):
+            cand = np.unique(nbrs[nbrs[i]].ravel())
+            cand = cand[(cand != i)]
+            cd = dists(np.full(len(cand), i), cand)
+            pool_pos = np.concatenate([nbrs[i], cand])
+            pool_d = np.concatenate([cur_d[i], cd])
+            _, uniq = np.unique(pool_pos, return_index=True)
+            pool_pos, pool_d = pool_pos[uniq], pool_d[uniq]
+            sel = np.lexsort((ids[pool_pos], pool_d))[:k_eff]
+            nbrs[i], cur_d[i] = pool_pos[sel], pool_d[sel]
+    return [ids[nbrs[i]].astype(np.int64) for i in range(c)]
+
+
+def build_layered_graph(
+    base: DataFrame,
+    nlist: int = 16,
+    degree: int = 16,
+    exact_segment_rows: int = 50_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> LayeredGraphIndex:
+    """Assign vectors to k-means segments (reusing the IVF trainer), then
+    build each segment's kNN subgraph inside one applyInPandas stage and
+    persist the (segment, vector, adjacency) table hash-partitioned on
+    centroid_id so probes reach the walk kernel exchange-free."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cs598vectordb_spark.operators.index import build_ivf_index
+
+    ivf = build_ivf_index(base, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed)
+    vec_type = base.schema[vec_col].dataType
+    out_schema = StructType(
+        [
+            StructField("centroid_id", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField(vec_col, vec_type),
+            StructField("nbr_ids", ArrayType(LongType())),
+        ]
+    )
+
+    def seg_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+        if len(ids) <= 1:
+            nbrs = [np.array([], dtype=np.int64)] * len(ids)
+        elif len(ids) <= exact_segment_rows:
+            nbrs = _local_knn_graph(X, ids, degree)
+        else:
+            nbrs = _local_nn_descent(X, ids, degree)
+        return pd.DataFrame(
+            {
+                "centroid_id": pdf["centroid_id"],
+                id_col: ids,
+                vec_col: pdf[vec_col],
+                "nbr_ids": nbrs,
+            }
+        )
+
+    segments = (
+        ivf.assigned.groupBy("centroid_id")
+        .applyInPandas(seg_graph, out_schema)
+        .repartition(nlist, "centroid_id")
+        .persist()
+    )
+    segments.count()
+    return LayeredGraphIndex(segments, ivf.centroids, nlist, degree)
+
+
+def knn_graph_layered(
+    index: LayeredGraphIndex,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe: int = 8,
+    beam: int = 24,
+    rounds: int = 3,
+    n_entry: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, rank, vec_id, dist): centroid-pruned per-segment beam walk.
+    Top layer scored driver-side (queries and centroids are both
+    driver-sized, exactly like knn_ivf); each probed segment walks its
+    subgraph for all of its queries inside ONE kernel invocation; a single
+    window merges the ≤ nprobe·|Q|·k candidates globally."""
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+    Q = np.ascontiguousarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
+    d2 = (
+        np.square(Q).sum(1, keepdims=True)
+        - 2.0 * (Q @ index.centroids.T)
+        + np.square(index.centroids).sum(1)[None, :]
+    )
+    nearest = np.argsort(d2, axis=1)[:, : min(nprobe, index.nlist)]
+    probed = np.zeros((index.nlist, len(q_ids)), dtype=bool)
+    for j, row in enumerate(nearest):
+        probed[row, j] = True
+    probe_set = sorted({int(c) for row in nearest for c in row})
+    bc = spark.sparkContext.broadcast((q_ids, Q, probed))
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        bq_ids, bQ, bprobed = bc.value
+        empty = pd.DataFrame({"q_id": [], "vec_id": [], "dist": []}).astype(
+            {"q_id": np.int64, "vec_id": np.int64, "dist": np.float64}
+        )
+        if len(pdf) == 0:
+            return empty
+        cid = int(pdf["centroid_id"].iloc[0])
+        qsel = np.flatnonzero(bprobed[cid])
+        if len(qsel) == 0:
+            return empty
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+        c = len(ids)
+        # adjacency in local-position space (ids are sorted → searchsorted)
+        nbr_pos = [
+            np.searchsorted(ids, np.asarray(n, dtype=np.int64)) for n in pdf["nbr_ids"]
+        ]
+        sq_x = np.square(X).sum(axis=1)
+        entries = np.unique(np.linspace(0, c - 1, min(n_entry, c)).astype(np.int64))
+        out_q, out_id, out_d = [], [], []
+        for j in qsel:
+            q = bQ[j]
+            sq_q = float(q @ q)
+            dist = np.full(c, np.inf)
+            cand = entries
+            dist[cand] = np.maximum(sq_x[cand] - 2.0 * (X[cand] @ q) + sq_q, 0.0)
+            for _ in range(rounds):
+                scored = np.flatnonzero(np.isfinite(dist))
+                b_eff = min(beam, len(scored))
+                top = scored[np.argpartition(dist[scored], b_eff - 1)[:b_eff]]
+                new = np.unique(np.concatenate([nbr_pos[p] for p in top]))
+                new = new[~np.isfinite(dist[new])]
+                if len(new) == 0:
+                    break
+                dist[new] = np.maximum(sq_x[new] - 2.0 * (X[new] @ q) + sq_q, 0.0)
+            scored = np.flatnonzero(np.isfinite(dist))
+            k_eff = min(k, len(scored))
+            top = scored[np.argpartition(dist[scored], k_eff - 1)[:k_eff]]
+            order = np.lexsort((ids[top], dist[top]))
+            top = top[order]
+            out_q.append(np.full(len(top), bq_ids[j], dtype=np.int64))
+            out_id.append(ids[top])
+            out_d.append(dist[top])
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+    local = (
+        index.segments.filter(F.col("centroid_id").isin(probe_set))
+        .groupBy("centroid_id")
+        .applyInPandas(walk, "q_id long, vec_id long, dist double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
+    )
+
+
 def graph_quality(graph: DataFrame, truth: DataFrame) -> DataFrame:
     """One-row graph recall: fraction of the exact kNN graph's edges
     present in the built graph (the NN-descent convergence metric)."""

@@ -150,6 +150,20 @@ def knn_graph_for(spark: SparkSession, sf_dir: str, k: int = 10, rounds: int = 3
     return _warm(spark, ("knng", sf_dir, k, rounds), build)
 
 
+def layered_graph_for(
+    spark: SparkSession, sf_dir: str, nlist: int = 16, degree: int = 16
+):
+    """Segmented (per-cluster) kNN-subgraph index — the Milvus
+    per-segment-HNSW shape (dynamic_script_milvus.py:33-38)."""
+    from cs598vectordb_spark.operators.graph import build_layered_graph
+
+    def build():
+        emb, _ = _setup(spark, sf_dir)
+        return build_layered_graph(emb, nlist=nlist, degree=degree)
+
+    return _warm(spark, ("layered_graph", sf_dir, nlist, degree), build)
+
+
 def ivf_sq_index_for(spark: SparkSession, sf_dir: str, nlist: int = 16):
     """Compressed-inverted-list index (IVF partitions × SQ8 codes)."""
     import os as _os
@@ -182,6 +196,7 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("sq8_train_encode", lambda: sq_artifacts_for(spark, sf_dir)),
         ("ivf_sq8_build", lambda: ivf_sq_index_for(spark, sf_dir)),
         ("knn_graph_build", lambda: knn_graph_for(spark, sf_dir)),
+        ("layered_graph_build", lambda: layered_graph_for(spark, sf_dir)),
     ):
         t0 = _time.time()
         fn()
@@ -411,6 +426,39 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = knn_graph_for(spark, sf_dir)
     return knn_graph_search(g, emb, q, k=_K, beam=20, hops=3).select(
         "q_id", "rank", "vec_id"
+    )
+
+
+@register("knn_graph_layered")
+def q_knn_graph_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/layered graph: centroid top layer prunes to the nprobe nearest
+    segments, each probed segment walks its own kNN subgraph inside ONE
+    Arrow kernel (best-first beam, numpy), one window merges. The
+    per-segment-graph + cross-segment-merge architecture is how the
+    reference's Milvus backend serves HNSW at scale
+    (dynamic_script_milvus.py:33-38); vs the flat knn_graph beam it
+    replaces ~12 per-hop stages with 2."""
+    from cs598vectordb_spark.operators.graph import knn_graph_layered
+
+    _, q = _setup(spark, sf_dir)
+    idx = layered_graph_for(spark, sf_dir)
+    return knn_graph_layered(idx, q, k=_K, nprobe=12, beam=32, rounds=4, n_entry=12).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
+@register("graph_layered_recall")
+def q_graph_layered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the layered-graph probe vs exact (≥0.9 pinned in
+    tests/test_index.py)."""
+    from cs598vectordb_spark.operators.graph import knn_graph_layered
+
+    emb, q = _setup(spark, sf_dir)
+    idx = layered_graph_for(spark, sf_dir)
+    return recall_at_k(
+        knn_graph_layered(idx, q, _K, nprobe=12, beam=32, rounds=4, n_entry=12),
+        knn_exact(emb, q, _K),
+        _K,
     )
 
 

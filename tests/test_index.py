@@ -207,3 +207,29 @@ def test_ivf_sq8_pruned_and_recall(spark, sf_dir, tmp_path):
         probe.select("q_id", "rank", "vec_id"), knn_exact(emb, q, 10), 10
     ).first().recall
     assert rec >= 0.7, rec
+
+
+def test_layered_graph_recall_and_merge(spark, sf_dir):
+    """Layered (per-segment) graph: registered-parameter probe clears the
+    0.9 recall bar; a full-probe walk with beam >= segment size touches
+    every segment and recovers (near-)exact results."""
+    from cs598vectordb_spark.operators.graph import build_layered_graph, knn_graph_layered
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    truth = knn_exact(emb, q, K)
+    idx = build_layered_graph(emb, nlist=16, degree=16)
+    rec = recall_at_k(
+        knn_graph_layered(idx, q, K, nprobe=12, beam=32, rounds=4, n_entry=12),
+        truth,
+        K,
+    ).collect()[0][0]
+    assert rec >= 0.9, rec
+    # every row of every segment is reachable when all segments are
+    # probed and the beam covers the segment: recall goes exact
+    full = recall_at_k(
+        knn_graph_layered(idx, q, K, nprobe=16, beam=64, rounds=8, n_entry=16),
+        truth,
+        K,
+    ).collect()[0][0]
+    assert full >= 0.99, full
