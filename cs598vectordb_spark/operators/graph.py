@@ -380,10 +380,17 @@ def knn_graph_layered(
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         X = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
         c = len(ids)
-        # adjacency in local-position space (ids are sorted → searchsorted)
-        nbr_pos = [
-            np.searchsorted(ids, np.asarray(n, dtype=np.int64)) for n in pdf["nbr_ids"]
-        ]
+        # adjacency in local-position space (ids are sorted → searchsorted).
+        # Edges to ids NOT in the segment (stale after incremental deletes)
+        # are masked out, not mis-mapped — deletion leaves dangling edges
+        # by design and the walk must skip them.
+        def to_pos(n) -> np.ndarray:
+            n = np.asarray(n, dtype=np.int64)
+            p = np.searchsorted(ids, n)
+            p_clip = np.minimum(p, c - 1)
+            return p_clip[ids[p_clip] == n]
+
+        nbr_pos = [to_pos(n) for n in pdf["nbr_ids"]]
         sq_x = np.square(X).sum(axis=1)
         entries = np.unique(np.linspace(0, c - 1, min(n_entry, c)).astype(np.int64))
         out_q, out_id, out_d = [], [], []
@@ -429,6 +436,177 @@ def knn_graph_layered(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "dist")
     )
+
+
+# ---- incremental maintenance of the layered index ------------------------
+# The reference's core dynamic experiment is graph-index degradation under
+# delete/re-insert: FAISS HNSW can only tombstone, NGT stalls for minutes
+# after inserts (dynamic_script_faiss.py:75-117;
+# logs/dynamic_updates_ngt.txt:10-13). The layered index maintains itself
+# WITHOUT a global rebuild:
+#
+#   delete — drop the rows from their segments; edges INTO deleted nodes
+#            dangle and the walk kernel masks them (quality decays with
+#            delete volume, the honest HNSW-tombstone behavior);
+#   insert — assign the delta to segments, then ONE repair kernel per
+#            affected segment: new nodes get exact edges (GEMM new×seg),
+#            existing nodes merge the new nodes into their candidate pool
+#            (GEMM old×new + recomputed survivor edges) — the classic
+#            incremental-graph insert, cost |delta|·|seg|, never |seg|².
+#
+# Centroids are intentionally left untouched: incremental maintenance
+# serves reads between periodic full rebuilds, exactly the
+# serve-while-rebuild split dynamic_overlap measures.
+
+
+def delete_from_layered(index: LayeredGraphIndex, keep: DataFrame, id_col: str = "vec_id") -> LayeredGraphIndex:
+    """New index serving only ids present in `keep` (the post-delete
+    snapshot). One semi-join + repartition of the INDEX table — bounded by
+    index size, no distance computation, no k-means. Dangling edges stay
+    until the next insert repair or full rebuild."""
+    segs = (
+        index.segments.join(keep.select(id_col), id_col, "semi")
+        .repartition(index.nlist, "centroid_id")
+        .persist()
+    )
+    segs.count()
+    # the OLD index stays persisted on purpose: in overlap mode it is
+    # still serving probes while this maintenance runs in the background
+    return LayeredGraphIndex(segs, index.centroids, index.nlist, index.degree)
+
+
+def insert_into_layered(
+    index: LayeredGraphIndex,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LayeredGraphIndex:
+    """New index with `delta` rows inserted and their segments repaired.
+    Delta rows are centroid-assigned with the same broadcast kernel as the
+    builder; each affected segment then runs one repair kernel that (a)
+    gives every new node exact top-degree edges, (b) re-ranks every
+    existing node's neighborhood against the new arrivals, and (c) drops
+    edges left dangling by earlier deletes."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = delta.sparkSession
+    degree = index.degree
+    C = index.centroids
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                np.square(B).sum(1, keepdims=True)
+                - 2.0 * (B @ Cb.T)
+                + np.square(Cb).sum(1)[None, :]
+            )
+            yield pdf.assign(centroid_id=d2.argmin(axis=1).astype(np.int32))
+
+    vec_type = delta.schema[vec_col].dataType
+    out_schema = StructType(
+        [
+            StructField("centroid_id", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField(vec_col, vec_type),
+            StructField("nbr_ids", ArrayType(LongType())),
+        ]
+    )
+    assigned_delta = (
+        delta.select(id_col, vec_col)
+        .mapInPandas(
+            assign,
+            StructType(
+                list(delta.select(id_col, vec_col).schema.fields)
+                + [StructField("centroid_id", IntegerType())]
+            ),
+        )
+        .select(
+            "centroid_id",
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("array<bigint>").alias("nbr_ids"),
+        )
+    )
+
+    def repair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+        c = len(ids)
+        is_new = pdf["nbr_ids"].isna().to_numpy()
+        new_pos = np.flatnonzero(is_new)
+        if len(new_pos) == 0 or c <= 1:
+            return pdf
+        k_eff = min(degree, c - 1)
+
+        def pair_d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            diff = X[a] - X[b]
+            return np.einsum("ij,ij->i", diff, diff)
+
+        from cs598vectordb_spark.operators.knn import squared_l2_block
+
+        # (a) new nodes: exact edges against the whole segment
+        d_new = squared_l2_block(X, X[new_pos])  # c × |new|
+        d_new[new_pos, np.arange(len(new_pos))] = np.inf
+        nbrs_out: list[np.ndarray] = [None] * c  # type: ignore[list-item]
+        for j, p in enumerate(new_pos):
+            col = d_new[:, j]
+            part = np.argpartition(col, k_eff - 1)[:k_eff]
+            order = np.lexsort((ids[part], col[part]))
+            nbrs_out[p] = ids[part[order]].astype(np.int64)
+        # (b)+(c) existing nodes: surviving old edges (dangling dropped,
+        # distances recomputed by gather) merged with the new arrivals
+        for p in np.flatnonzero(~is_new):
+            old = np.asarray(pdf["nbr_ids"].iloc[p], dtype=np.int64)
+            op = np.minimum(np.searchsorted(ids, old), c - 1)
+            op = op[ids[op] == old]
+            cand = np.unique(np.concatenate([op, new_pos]))
+            cand = cand[cand != p]
+            if len(cand) == 0:
+                nbrs_out[p] = np.array([], dtype=np.int64)
+                continue
+            cd = pair_d(np.full(len(cand), p), cand)
+            sel = np.lexsort((ids[cand], cd))[: min(k_eff, len(cand))]
+            nbrs_out[p] = ids[cand[sel]].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "centroid_id": pdf["centroid_id"],
+                id_col: ids,
+                vec_col: pdf[vec_col],
+                "nbr_ids": nbrs_out,
+            }
+        )
+
+    touched = [
+        int(r[0]) for r in assigned_delta.select("centroid_id").distinct().collect()
+    ]
+    untouched = index.segments.filter(~F.col("centroid_id").isin(touched))
+    repaired = (
+        index.segments.filter(F.col("centroid_id").isin(touched))
+        .unionByName(assigned_delta)
+        .groupBy("centroid_id")
+        .applyInPandas(repair, out_schema)
+    )
+    segs = (
+        untouched.unionByName(repaired)
+        .repartition(index.nlist, "centroid_id")
+        .persist()
+    )
+    segs.count()
+    # old index intentionally left persisted (may still be serving)
+    return LayeredGraphIndex(segs, C, index.nlist, degree)
 
 
 def graph_quality(graph: DataFrame, truth: DataFrame) -> DataFrame:

@@ -64,7 +64,39 @@ def _build_probe(backend: str):
             return idx
 
         return build, (lambda base, idx, queries, k: knn_ivf(idx, queries, k, nprobe=8))
+    if backend == "graph":
+        from cs598vectordb_spark.operators.graph import (
+            build_layered_graph,
+            knn_graph_layered,
+        )
+
+        return (
+            lambda base: build_layered_graph(base, nlist=16, degree=16),
+            lambda base, idx, queries, k: knn_graph_layered(
+                idx, queries, k, nprobe=12, beam=32, rounds=4, n_entry=12
+            ),
+        )
     raise ValueError(f"unknown backend {backend}")
+
+
+def _maintenance(backend: str):
+    """(apply_delete, apply_insert) incremental index-maintenance closures,
+    or None when the backend only supports full rebuild. The graph backend
+    is the reference's core dynamic story: FAISS HNSW tombstones, NGT
+    stalls minutes post-insert (logs/dynamic_updates_ngt.txt:10-13) — the
+    layered index instead semi-joins deletes out (dangling edges masked at
+    probe time) and repairs only the delta's segments on insert."""
+    if backend == "graph":
+        from cs598vectordb_spark.operators.graph import (
+            delete_from_layered,
+            insert_into_layered,
+        )
+
+        return (
+            lambda idx, keep: delete_from_layered(idx, keep),
+            lambda idx, delta: insert_into_layered(idx, delta),
+        )
+    return None
 
 
 def _measure(search_df: DataFrame, truth: DataFrame, n_queries: int, k: int) -> tuple[float, float, float]:
@@ -119,6 +151,7 @@ def dynamic_protocol(
 
     update_percents = update_percents or UPDATE_PERCENTS
     build, probe = _build_probe(backend)
+    maint = _maintenance(backend)
     n_q = queries.count()
     truth = knn_exact(base, queries, k).cache()
     truth.count()
@@ -165,21 +198,28 @@ def dynamic_protocol(
             def rebuild_del(v=v1, p=p1):
                 v.write.mode("overwrite").parquet(p)
                 snap = spark.read.parquet(p)
-                return snap, build(snap)
+                # incremental path when the backend has one: the
+                # background work is maintenance, not a full rebuild
+                return snap, (maint[0](serving_idx, snap) if maint else build(snap))
 
             v1, idx1 = record_during("during_delete", pct, base, serving_idx, rebuild_del)
+        elif maint:
+            idx1 = maint[0](serving_idx, v1)
         idx1 = record("post_delete", pct, v1, idx1)
-        v2 = upd.insert_rows(v1, upd.deleted_tail_slice(base, pct))
+        delta = upd.deleted_tail_slice(base, pct)
+        v2 = upd.insert_rows(v1, delta)
         idx2 = None
         if not exclusive:
             p2 = os.path.join(scratch_dir, f"ins{pct}")
 
-            def rebuild_ins(v=v2, p=p2):
+            def rebuild_ins(v=v2, p=p2, d=delta, i1=idx1):
                 v.write.mode("overwrite").parquet(p)
                 snap = spark.read.parquet(p)
-                return snap, build(snap)
+                return snap, (maint[1](i1, d) if maint else build(snap))
 
             v2, idx2 = record_during("during_insert", pct, v1, idx1, rebuild_ins)
+        elif maint:
+            idx2 = maint[1](idx1, delta)
         record("post_insert", pct, v2, idx2)
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)

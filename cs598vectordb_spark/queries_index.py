@@ -344,6 +344,23 @@ def q_dynamic_overlap_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dynamic_overlap_graph")
+def q_dynamic_overlap_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/exclusive=false with the LAYERED GRAPH backend and INCREMENTAL
+    maintenance: during-update intervals probe the serving per-segment
+    graph while the background thread semi-joins deletes out /
+    delta-repairs only the touched segments — the engine's answer to the
+    reference's graph-update pathologies (FAISS HNSW tombstone-only
+    deletes, NGT's minutes-long post-insert stall,
+    logs/dynamic_updates_ngt.txt:10-13). post_* recall shows tombstone
+    decay then repair recovery."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.dynamic_protocol(
+        spark, emb, q, backend="graph", update_percents=[50],
+        intervals_per_phase=2, exclusive=False,
+    )
+
+
 @register("multi_tenant")
 def q_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: tenant scaling summary (mean latency/qps, sum-qps throughput,

@@ -233,3 +233,40 @@ def test_layered_graph_recall_and_merge(spark, sf_dir):
         K,
     ).collect()[0][0]
     assert full >= 0.99, full
+
+
+def test_layered_graph_incremental_delete_insert_recovers(spark, sf_dir):
+    """Reference dynamic story (delete/re-insert degradation,
+    dynamic_script_faiss.py:75-117): incremental delete drops recall vs
+    the baseline truth by ~the deleted fraction (dangling edges are
+    masked, deleted ids can no longer be returned); the delta-insert
+    repair restores it to the fresh-build level — no full rebuild, only
+    the touched segments recompute."""
+    from cs598vectordb_spark.operators import updates as upd
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph,
+        delete_from_layered,
+        insert_into_layered,
+        knn_graph_layered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    truth = knn_exact(emb, q, K)
+    kw = dict(nprobe=12, beam=32, rounds=4, n_entry=12)
+
+    idx = build_layered_graph(emb, nlist=16, degree=16)
+    base_rec = recall_at_k(knn_graph_layered(idx, q, K, **kw), truth, K).collect()[0][0]
+
+    v1 = upd.delete_tail_pct(emb, 50)
+    idx_del = delete_from_layered(idx, v1)
+    del_rec = recall_at_k(knn_graph_layered(idx_del, q, K, **kw), truth, K).collect()[0][0]
+    assert del_rec < base_rec  # deleted neighbors are unreachable
+
+    delta = upd.deleted_tail_slice(emb, 50)
+    idx_ins = insert_into_layered(idx_del, delta)
+    # index now serves exactly the restored id set
+    assert idx_ins.segments.count() == emb.count()
+    ins_rec = recall_at_k(knn_graph_layered(idx_ins, q, K, **kw), truth, K).collect()[0][0]
+    assert ins_rec >= 0.9, ins_rec
+    assert ins_rec >= base_rec - 0.02, (base_rec, ins_rec)
