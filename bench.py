@@ -36,6 +36,7 @@ def main() -> int:
         "knn_cosine",
         "knn_lsh",
         "knn_ivf_materialized",
+        "knn_ivf2",
         "knn_pq_refined",
         "knn_sq8",
         "knn_ivf_sq8",
@@ -85,6 +86,21 @@ def main() -> int:
 
     build_seconds = warm_indexes(spark, sf_dir)
 
+    # measured LSH candidate selectivity (fraction of the |Q|·|B| product
+    # the bucket join admits) — the honesty metric behind the knn_lsh
+    # data-limitation note in queries_index.py
+    from cs598vectordb_spark.operators.index import lsh_candidates
+    from cs598vectordb_spark.queries_index import lsh_index_for
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = queries_from_embeddings(emb, DEFAULT_N_QUERIES)
+    lsh_sel = round(
+        lsh_candidates(lsh_index_for(spark, sf_dir), qdf).count()
+        / max(emb.count() * DEFAULT_N_QUERIES, 1),
+        4,
+    )
+
     # One cold pass (absorbs per-query one-time costs: broadcast builds,
     # shuffle file creation, codegen) then THREE steady passes; the
     # reported per-query number is the per-query MEDIAN of the steady
@@ -128,12 +144,14 @@ def main() -> int:
             "probe_qps": {
                 "knn_lsh": qps("knn_lsh"),
                 "knn_ivf_materialized": qps("knn_ivf_materialized"),
+                "knn_ivf2": qps("knn_ivf2"),
                 "knn_pq_refined": qps("knn_pq_refined"),
                 "knn_sq8": qps("knn_sq8"),
                 "knn_ivf_sq8": qps("knn_ivf_sq8"),
                 "knn_graph": qps("knn_graph"),
                 "knn_graph_layered": qps("knn_graph_layered"),
             },
+            "lsh_selectivity": lsh_sel,
             "index_build_seconds": build_seconds,
             "cold_pass_seconds": round(sum(cold.values()), 3),
             "steady_pass_seconds": [

@@ -150,6 +150,25 @@ def knn_graph_for(spark: SparkSession, sf_dir: str, k: int = 10, rounds: int = 3
     return _warm(spark, ("knng", sf_dir, k, rounds), build)
 
 
+def ivf2_index_for(
+    spark: SparkSession, sf_dir: str, nlist1: int = 8, nlist2: int = 4
+):
+    """Two-level IVF, materialized PARTITIONED BY (l1_id, l2_id)."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.ivf2 import build_ivf2_index, materialize_ivf2
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    def build():
+        emb, _ = _setup(spark, sf_dir)
+        return materialize_ivf2(
+            build_ivf2_index(emb, nlist1=nlist1, nlist2=nlist2),
+            _os.path.join(_io_dir(sf_dir, "ivf2_index"), "t"),
+        )
+
+    return _warm(spark, ("ivf2", sf_dir, nlist1, nlist2), build)
+
+
 def layered_graph_for(
     spark: SparkSession, sf_dir: str, nlist: int = 16, degree: int = 16
 ):
@@ -197,6 +216,7 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("ivf_sq8_build", lambda: ivf_sq_index_for(spark, sf_dir)),
         ("knn_graph_build", lambda: knn_graph_for(spark, sf_dir)),
         ("layered_graph_build", lambda: layered_graph_for(spark, sf_dir)),
+        ("ivf2_build", lambda: ivf2_index_for(spark, sf_dir)),
     ):
         t0 = _time.time()
         fn()
@@ -208,7 +228,20 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/Q2: LSH bucket-join approximate kNN (AND×4, OR×16, bl=2.0 —
     the autotuned high-recall point on this data). Index from the warm
-    registry: first call builds + persists, later calls probe only."""
+    registry: first call builds + persists, later calls probe only.
+
+    DATA-LIMITATION NOTE (measured, sf0.1): on this isotropic synthetic
+    embedding table the recall/selectivity frontier is recall 0.94 at
+    0.64 candidate selectivity, 0.90 at 0.66 (multiprobe T=8), 0.59 at
+    0.24, 0.31 at 0.07 — identical across bucket lengths, i.e. a
+    property of the data, not of tuning. High-recall LSH here scores
+    ~2/3 of the |Q|x|B| product, so it cannot beat the pruned-kernel
+    probes; IVF (materialized) and SQ8 are the engine's approximate
+    paths of record (140-175+ QPS at >=0.9 recall), with layered-graph
+    for update-heavy serving. LSH remains the right tool when data has
+    genuine cluster structure, and the autotune sweep (lsh_autotune)
+    measures exactly when that is true. Bench records the measured
+    selectivity per run (extra.lsh_selectivity)."""
     emb, q = _setup(spark, sf_dir)
     idx = lsh_index_for(spark, sf_dir)
     return knn_lsh(idx, emb, q, k=_K).select("q_id", "rank", "vec_id")
@@ -558,6 +591,36 @@ def q_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, q = _setup(spark, sf_dir)
     idx = lsh_index_for(spark, sf_dir, num_tables=8)
     return knn_lsh(idx, emb, q, k=_K, n_probes=3).select("q_id", "rank", "vec_id")
+
+
+@register("knn_ivf2")
+def q_knn_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/two-level IVF (centroid-of-centroids): only the nlist1 coarse
+    layer is driver-resident; sub-centroids live in a distributed table
+    and probes pull just the probed cells' rows — the nlist-scaling path
+    for bases where sqrt(N) lists would swamp the driver (the reference
+    trains its coarse quantizer on a bounded sample for the same reason,
+    multi_tenant_script.py:94-99). Probe = nprobe2 sub-lists of
+    nlist1*nlist2, pruned as parquet PartitionFilters."""
+    from cs598vectordb_spark.operators.ivf2 import knn_ivf2
+
+    _, q = _setup(spark, sf_dir)
+    idx = ivf2_index_for(spark, sf_dir)
+    return knn_ivf2(idx, q, k=_K, nprobe1=4, nprobe2=12).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
+@register("ivf2_recall")
+def q_ivf2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the hierarchical probe vs exact."""
+    from cs598vectordb_spark.operators.ivf2 import knn_ivf2
+
+    emb, q = _setup(spark, sf_dir)
+    idx = ivf2_index_for(spark, sf_dir)
+    return recall_at_k(
+        knn_ivf2(idx, q, _K, nprobe1=4, nprobe2=12), knn_exact(emb, q, _K), _K
+    )
 
 
 @register("knn_ivf_mllib")

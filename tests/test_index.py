@@ -270,3 +270,41 @@ def test_layered_graph_incremental_delete_insert_recovers(spark, sf_dir):
     ins_rec = recall_at_k(knn_graph_layered(idx_ins, q, K, **kw), truth, K).collect()[0][0]
     assert ins_rec >= 0.9, ins_rec
     assert ins_rec >= base_rec - 0.02, (base_rec, ins_rec)
+
+
+def test_ivf2_recall_and_full_probe_exact(spark, sf_dir):
+    """Two-level IVF: registered-parameter probe clears the 0.7 floor;
+    probing every cell and every sub-list degenerates to exact search
+    (the IVF consistency axiom, hierarchical edition)."""
+    from cs598vectordb_spark.operators.ivf2 import build_ivf2_index, knn_ivf2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    truth = knn_exact(emb, q, K)
+    idx = build_ivf2_index(emb, nlist1=8, nlist2=4)
+    rec = recall_at_k(knn_ivf2(idx, q, K, nprobe1=4, nprobe2=12), truth, K).collect()[0][0]
+    assert rec >= 0.70, rec
+    full = recall_at_k(knn_ivf2(idx, q, K, nprobe1=8, nprobe2=32), truth, K).collect()[0][0]
+    assert full == 1.0, full
+
+
+def test_layered_graph_beam_monotonicity(spark, sf_dir):
+    """Property: widening the beam (and rounds) never lowers recall —
+    the greedy-search monotonicity HNSW's ef parameter relies on. Checked
+    across a beam ladder on the same built index."""
+    from cs598vectordb_spark.operators.graph import build_layered_graph, knn_graph_layered
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    truth = knn_exact(emb, q, K)
+    idx = build_layered_graph(emb, nlist=8, degree=8)
+    recalls = []
+    for beam, rounds in [(4, 2), (12, 3), (32, 4), (64, 6)]:
+        recalls.append(
+            recall_at_k(
+                knn_graph_layered(idx, q, K, nprobe=8, beam=beam, rounds=rounds),
+                truth,
+                K,
+            ).collect()[0][0]
+        )
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
