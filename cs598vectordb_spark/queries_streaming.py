@@ -100,6 +100,27 @@ def q_stream_ingest_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_merge_upserts",
+    """
+SELECT vec_id,
+       CAST(label + CASE WHEN vec_id % 10 = 2 THEN 300
+                         WHEN vec_id % 10 = 5 THEN 200
+                         ELSE 0 END AS INTEGER) AS label
+FROM embeddings
+""",
+)
+def q_stream_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (Delta-shaped upsert sink): three ordered upsert
+    micro-batches applied WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT
+    with last-writer-wins; the final snapshot's per-row labels face the
+    value hash (keys %10==2 updated twice — only the last write may
+    survive)."""
+    from cs598vectordb_spark.streaming.jobs import merge_upserts_stream
+
+    return merge_upserts_stream(spark, sf_dir, _io_dir(sf_dir, "stream_merge"))
+
+
+@register(
     "stream_late_data",
     """
 WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),

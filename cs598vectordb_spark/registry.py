@@ -52,8 +52,10 @@ _PRIORITY: tuple[str, ...] = (
     "stream_events_hourly", "stream_sessionize", "stream_stateful_counts",
     "stream_ingest_updates", "stream_dedup",
     # new this round, no evidence yet
+    # stratified_sample rotated out (green r2+r3) for the new
+    # stream_merge_upserts MERGE sink, so it gets driver evidence in r4
     "stream_knn", "stream_late_data", "dedup_clusters", "merge_upsert",
-    "decontamination", "pack_sequences", "stratified_sample", "curate_corpus",
+    "decontamination", "pack_sequences", "stream_merge_upserts", "curate_corpus",
     "sq8_encode", "sq8_error", "hash_split", "ngram_profile", "tfidf_keywords",
     # one oracle-backed representative per remaining op family
     # (round-1-green variants of already-covered families — shipping_priority,

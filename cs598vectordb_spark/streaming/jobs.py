@@ -446,3 +446,75 @@ def ingest_updates(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame
         F.sum("vec_id").alias("sum_vec_id"),
         F.sum("label").alias("sum_label"),
     )
+
+
+def merge_upserts_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
+    """Streaming MERGE sink — the Delta/Iceberg-shaped upsert path the
+    CDC ingest (ingest_updates) models with delete/insert ops, here with
+    true last-writer-wins MERGE semantics: each micro-batch of keyed
+    upsert rows is applied as `WHEN MATCHED UPDATE, WHEN NOT MATCHED
+    INSERT` against a copy-on-write snapshot version (plain parquet
+    standing in for a Delta commit; on a cluster foreachBatch would call
+    DeltaTable.merge, the documented pattern for streaming upserts).
+
+    Batch order is fixed (one file per trigger, staggered mtimes) and a
+    monotonically increasing `seq` disambiguates same-key rows WITHIN a
+    batch, so the final table is deterministic: label+300 for vec_id%10
+    ==2 (updated twice, last write wins), +200 for %10==5, else the base
+    row — the closed form the DuckDB oracle reproduces."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ops_dir = os.path.join(work_dir, "ops")
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    os.makedirs(ops_dir)
+
+    def upserts(pred, bump: int, seq: int) -> DataFrame:
+        return emb.filter(pred).select(
+            F.lit(seq).alias("seq"),
+            "vec_id",
+            "embedding",
+            (F.col("label") + bump).alias("label"),
+        )
+
+    plan = [
+        upserts(F.col("vec_id") % 10 == 2, 100, 0),
+        upserts(F.col("vec_id") % 10 == 5, 200, 1),
+        upserts(F.col("vec_id") % 10 == 2, 300, 2),  # same keys again
+    ]
+    now = time.time()
+    for i, df in enumerate(plan):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(ops_dir, f"op{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    versions = {"cur": os.path.join(work_dir, "snap_v0")}
+    emb.select("vec_id", "embedding", "label").write.mode("overwrite").parquet(
+        versions["cur"]
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # within-batch dedup: keep the highest seq per key (last writer)
+        latest = batch_df.groupBy("vec_id").agg(F.max("seq").alias("seq"))
+        rows = batch_df.join(latest, ["vec_id", "seq"]).select(
+            "vec_id", "embedding", "label"
+        )
+        snap = spark.read.parquet(versions["cur"])
+        merged = snap.join(
+            F.broadcast(rows.select("vec_id")), "vec_id", "left_anti"
+        ).unionByName(rows)
+        nxt = os.path.join(work_dir, f"snap_v{batch_id + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        versions["cur"] = nxt
+
+    stream = (
+        spark.readStream.schema("seq int, vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ops_dir)
+    )
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(versions["cur"]).select("vec_id", "label")
