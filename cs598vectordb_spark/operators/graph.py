@@ -27,6 +27,8 @@ recall floors are pinned in tests (≥0.7 bar, BASELINE.md's Annoy floor).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -436,6 +438,53 @@ def knn_graph_layered(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "dist")
     )
+
+
+def materialize_layered(index: LayeredGraphIndex, path: str) -> LayeredGraphIndex:
+    """Persist the layered index to parquet (segments PARTITIONED BY
+    centroid_id + a small centroid sidecar table) and re-open it — the
+    engine's analog of faiss.write_index/read_index
+    (/root/reference/dynamic_script_faiss.py builds in-process; Milvus
+    persists per-segment indexes, which is the shape stored here). Lets
+    an index outlive the session that built it."""
+    spark = index.segments.sparkSession
+    index.segments.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(path, "segments")
+    )
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "centroid_id": np.arange(index.nlist, dtype=np.int64),
+                "centroid": list(index.centroids.astype(np.float64)),
+                "nlist": index.nlist,
+                "degree": index.degree,
+            }
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return open_layered(spark, path)
+
+
+def open_layered(spark, path: str) -> LayeredGraphIndex:
+    """Re-open a materialized layered index. The one-time repartition on
+    centroid_id restores the hash partitioning the walk kernel's
+    exchange-free plan relies on (parquet scans do not advertise a
+    partitioning); after the persist, probes are identical to a
+    freshly built index."""
+    meta = spark.read.parquet(os.path.join(path, "centroids"))
+    rows = meta.orderBy("centroid_id").collect()
+    centroids = np.ascontiguousarray(
+        np.stack([np.asarray(r["centroid"]) for r in rows]), dtype=np.float64
+    )
+    nlist, degree = int(rows[0]["nlist"]), int(rows[0]["degree"])
+    segs = (
+        spark.read.parquet(os.path.join(path, "segments"))
+        .repartition(nlist, "centroid_id")
+        .persist()
+    )
+    segs.count()
+    return LayeredGraphIndex(segs, centroids, nlist, degree)
 
 
 # ---- incremental maintenance of the layered index ------------------------

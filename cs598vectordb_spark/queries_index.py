@@ -183,6 +183,25 @@ def layered_graph_for(
     return _warm(spark, ("layered_graph", sf_dir, nlist, degree), build)
 
 
+def layered_graph_materialized_for(
+    spark: SparkSession, sf_dir: str, nlist: int = 16, degree: int = 16
+):
+    """Layered graph persisted to parquet and reopened (write_index/
+    read_index parity) — probes are identical to the in-memory build."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.graph import materialize_layered
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    def build():
+        return materialize_layered(
+            layered_graph_for(spark, sf_dir, nlist, degree),
+            _os.path.join(_io_dir(sf_dir, "graph_index"), "t"),
+        )
+
+    return _warm(spark, ("layered_graph_mat", sf_dir, nlist, degree), build)
+
+
 def ivf_sq_index_for(spark: SparkSession, sf_dir: str, nlist: int = 16):
     """Compressed-inverted-list index (IVF partitions × SQ8 codes)."""
     import os as _os
@@ -492,6 +511,22 @@ def q_knn_graph_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, q = _setup(spark, sf_dir)
     idx = layered_graph_for(spark, sf_dir)
+    return knn_graph_layered(idx, q, k=_K, nprobe=12, beam=32, rounds=4, n_entry=12).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
+@register("knn_graph_materialized")
+def q_knn_graph_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/layered graph served FROM DISK: the persisted segment+adjacency
+    table reopened (one repartition at open restores the exchange-free
+    walk), probed identically to knn_graph_layered — the
+    write_index/read_index lifecycle the reference's FAISS/Milvus
+    backends rely on."""
+    from cs598vectordb_spark.operators.graph import knn_graph_layered
+
+    _, q = _setup(spark, sf_dir)
+    idx = layered_graph_materialized_for(spark, sf_dir)
     return knn_graph_layered(idx, q, k=_K, nprobe=12, beam=32, rounds=4, n_entry=12).select(
         "q_id", "rank", "vec_id"
     )

@@ -308,3 +308,27 @@ def test_layered_graph_beam_monotonicity(spark, sf_dir):
             ).collect()[0][0]
         )
     assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+
+
+def test_layered_graph_materialize_roundtrip(spark, sf_dir, tmp_path):
+    """write_index/read_index parity: a materialized-and-reopened layered
+    index returns byte-identical probe results to the in-memory build,
+    and the reopened walk plan is still exchange-free before the kernel."""
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph,
+        knn_graph_layered,
+        materialize_layered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    idx = build_layered_graph(emb, nlist=8, degree=8)
+    reopened = materialize_layered(idx, str(tmp_path / "graph_idx"))
+    a = sorted(knn_graph_layered(idx, q, K).collect())
+    b = sorted(knn_graph_layered(reopened, q, K).collect())
+    assert a == b
+    plan = (
+        knn_graph_layered(reopened, q, K)._jdf.queryExecution().executedPlan().toString()
+    )
+    probe = plan.split("InMemoryRelation")[0]
+    assert probe.count("Exchange") == 1, probe
