@@ -254,10 +254,20 @@ def _local_nn_descent(
 
     cur_d = np.stack([dists(pos, nbrs[:, j]) for j in range(k_eff)], axis=1)
     for _ in range(rounds):
-        # proposals: neighbors-of-neighbors (both directions via the
-        # symmetric union being implicit in the candidate pool)
+        # proposals along BOTH edge directions — undirected propagation
+        # (Dong et al. §2.2) is what makes descent converge in few
+        # rounds; out-edges alone plateau well below 0.9 graph recall.
+        # CSR of the undirected edge multiset, built vectorized:
+        e_src = np.concatenate([np.repeat(pos, k_eff), nbrs.ravel()])
+        e_dst = np.concatenate([nbrs.ravel(), np.repeat(pos, k_eff)])
+        eorder = np.argsort(e_src, kind="stable")
+        e_src, e_dst = e_src[eorder], e_dst[eorder]
+        indptr = np.searchsorted(e_src, np.arange(c + 1))
         for i in range(c):
-            cand = np.unique(nbrs[nbrs[i]].ravel())
+            b = np.unique(e_dst[indptr[i] : indptr[i + 1]])
+            cand = np.unique(
+                np.concatenate([e_dst[indptr[j] : indptr[j + 1]] for j in b])
+            )
             cand = cand[(cand != i)]
             cd = dists(np.full(len(cand), i), cand)
             pool_pos = np.concatenate([nbrs[i], cand])

@@ -332,3 +332,37 @@ def test_layered_graph_materialize_roundtrip(spark, sf_dir, tmp_path):
     )
     probe = plan.split("InMemoryRelation")[0]
     assert probe.count("Exchange") == 1, probe
+
+
+def test_local_nn_descent_approximates_exact_graph(spark, sf_dir):
+    """The big-segment NN-descent fallback must approximate the exact
+    per-segment graph: >=0.8 of exact top-degree edges recovered on a
+    few hundred points (numpy-level check), and forcing the descent path
+    end-to-end (exact_segment_rows=0) still clears the probe recall
+    floor."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.graph import (
+        _local_knn_graph,
+        _local_nn_descent,
+        build_layered_graph,
+        knn_graph_layered,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((300, 16))
+    ids = np.arange(300, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    exact = _local_knn_graph(X, ids, 8)
+    approx = _local_nn_descent(X, ids, 8, rounds=3)
+    hits = sum(len(set(a) & set(b)) for a, b in zip(exact, approx))
+    total = sum(len(a) for a in exact)
+    assert hits / total >= 0.8, hits / total
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    truth = knn_exact(emb, q, K)
+    idx = build_layered_graph(emb, nlist=8, degree=12, exact_segment_rows=0)
+    rec = recall_at_k(
+        knn_graph_layered(idx, q, K, nprobe=8, beam=32, rounds=4), truth, K
+    ).collect()[0][0]
+    assert rec >= 0.85, rec
