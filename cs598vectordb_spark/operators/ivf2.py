@@ -113,6 +113,38 @@ def build_ivf2_index(
     return Ivf2Index(assigned, l1.centroids, l2_table, nlist1, nlist2)
 
 
+def autotune_ivf2(
+    index: Ivf2Index,
+    queries: DataFrame,
+    truth: DataFrame,
+    target_recall: float = 0.9,
+    k: int = DEFAULT_K,
+    grid: list[tuple[int, int]] | None = None,
+) -> tuple[dict, list[dict]]:
+    """T4 for the hierarchical index: sweep (nprobe1, nprobe2) on one
+    built index, score recall against the exact oracle, return the
+    cheapest config clearing the target. Selectivity is
+    nprobe2 / (nlist1 * nlist2) — the fraction of sub-lists (and on a
+    materialized index, of bytes) each query touches."""
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+
+    grid = grid or [(2, 4), (2, 8), (4, 8), (4, 12), (4, 16), (8, 16), (8, 32)]
+    n_lists = index.nlist1 * index.nlist2
+    trace, best = [], None
+    for np1, np2 in grid:
+        rec = recall_at_k(knn_ivf2(index, queries, k, np1, np2), truth, k).collect()[0][0]
+        entry = {
+            "nprobe1": np1,
+            "nprobe2": np2,
+            "recall": rec,
+            "selectivity": round(min(np2, n_lists) / n_lists, 4),
+        }
+        trace.append(entry)
+        if rec >= target_recall and (best is None or entry["selectivity"] < best["selectivity"]):
+            best = entry
+    return best or {}, trace
+
+
 def materialize_ivf2(index: Ivf2Index, path: str) -> Ivf2Index:
     """Write the assigned table PARTITIONED BY (l1_id, l2_id) so probe
     filters become parquet PartitionFilters — 'nprobe2 of nlist1*nlist2

@@ -658,6 +658,22 @@ def q_ivf2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf2_autotune")
+def q_ivf2_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/hierarchical IVF: (nprobe1, nprobe2) sweep trace; the chosen
+    config is the cheapest clearing 0.9 recall."""
+    from cs598vectordb_spark.operators.ivf2 import autotune_ivf2
+
+    emb, q_full = _setup(spark, sf_dir)
+    q = q_full.limit(20)
+    truth = knn_exact(emb, q, _K)
+    _, trace = autotune_ivf2(ivf2_index_for(spark, sf_dir), q, truth, target_recall=0.9, k=_K)
+    return spark.createDataFrame(
+        [(t["nprobe1"], t["nprobe2"], t["recall"], t["selectivity"]) for t in trace],
+        "nprobe1 int, nprobe2 int, recall double, selectivity double",
+    )
+
+
 @register("knn_ivf_mllib")
 def q_knn_ivf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 with MLlib-trained centroids: distributed KMeans over the full
