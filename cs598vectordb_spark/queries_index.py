@@ -425,6 +425,20 @@ def q_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tenant_summary(m)
 
 
+@register("multi_tenant_graph")
+def q_multi_tenant_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 against a served ANN index (the reference's actual setup — N
+    clients share one FAISS index, multi_tenant_script.py:121-180): the
+    layered graph builds once, then 10/30 concurrent clients probe it
+    under the FAIR scheduler; per-client-count mean latency/qps + summed
+    throughput, recall column from the shared exact truth."""
+    emb, q = _setup(spark, sf_dir)
+    m = workloads.multi_tenant(
+        spark, emb, q, backend="graph", client_counts=[10, 30]
+    )
+    return tenant_summary(m)
+
+
 @register("pq_reconstruction")
 def q_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ quality dashboard: mean squared reconstruction error + achieved
