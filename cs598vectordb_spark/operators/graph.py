@@ -180,7 +180,7 @@ def knn_graph_search(
 # scheduling, not compute. The layered design is the HNSW-at-cluster-scale
 # shape the reference itself benchmarks: Milvus builds ONE graph PER
 # SEGMENT and merges across segments at query time
-# (/root/reference/dynamic_script_milvus.py:33-38 HNSW index params on a
+# (/root/reference/dynamic_script_milvus.py:76-82 HNSW index on a
 # sharded collection). Spark rendering:
 #
 #   top layer  = k-means centroids (driver-sized, like IVF) — prune to

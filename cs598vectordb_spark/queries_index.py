@@ -173,7 +173,7 @@ def layered_graph_for(
     spark: SparkSession, sf_dir: str, nlist: int = 16, degree: int = 16
 ):
     """Segmented (per-cluster) kNN-subgraph index — the Milvus
-    per-segment-HNSW shape (dynamic_script_milvus.py:33-38)."""
+    per-segment-HNSW shape (dynamic_script_milvus.py:76-82)."""
     from cs598vectordb_spark.operators.graph import build_layered_graph
 
     def build():
@@ -519,7 +519,7 @@ def q_knn_graph_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow kernel (best-first beam, numpy), one window merges. The
     per-segment-graph + cross-segment-merge architecture is how the
     reference's Milvus backend serves HNSW at scale
-    (dynamic_script_milvus.py:33-38); vs the flat knn_graph beam it
+    (dynamic_script_milvus.py:76-82); vs the flat knn_graph beam it
     replaces ~12 per-hop stages with 2."""
     from cs598vectordb_spark.operators.graph import knn_graph_layered
 
