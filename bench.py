@@ -42,6 +42,7 @@ def main() -> int:
         "knn_ivf_sq8",
         "knn_graph",
         "knn_graph_layered",
+        "knn_graph_sq8",
         "recall_low_dim",
         "knn_post_delete",
         # io surface
@@ -150,6 +151,7 @@ def main() -> int:
                 "knn_ivf_sq8": qps("knn_ivf_sq8"),
                 "knn_graph": qps("knn_graph"),
                 "knn_graph_layered": qps("knn_graph_layered"),
+                "knn_graph_sq8": qps("knn_graph_sq8"),
             },
             "lsh_selectivity": lsh_sel,
             "index_build_seconds": build_seconds,

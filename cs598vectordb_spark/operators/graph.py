@@ -199,13 +199,25 @@ def knn_graph_search(
 
 
 class LayeredGraphIndex:
-    """Per-segment kNN subgraphs + driver-sized centroid top layer."""
+    """Per-segment kNN subgraphs + driver-sized centroid top layer.
+    With `codec` set, segments store SQ8 codes instead of float vectors
+    (4x less executor memory per resident segment — the DiskANN-style
+    compressed-graph-in-RAM trade) and the walk kernel reconstructs
+    on the fly."""
 
-    def __init__(self, segments: DataFrame, centroids: np.ndarray, nlist: int, degree: int):
-        self.segments = segments  # (centroid_id, vec_id, embedding, nbr_ids)
+    def __init__(
+        self,
+        segments: DataFrame,
+        centroids: np.ndarray,
+        nlist: int,
+        degree: int,
+        codec=None,
+    ):
+        self.segments = segments  # (centroid_id, vec_id, embedding|codes, nbr_ids)
         self.centroids = centroids
         self.nlist = nlist
         self.degree = degree
+        self.codec = codec  # operators.sq.SqCodec or None
 
 
 def _local_knn_graph(X: np.ndarray, ids: np.ndarray, degree: int) -> list[np.ndarray]:
@@ -284,6 +296,7 @@ def build_layered_graph(
     nlist: int = 16,
     degree: int = 16,
     exact_segment_rows: int = 50_000,
+    compress: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
@@ -333,14 +346,21 @@ def build_layered_graph(
             }
         )
 
-    segments = (
-        ivf.assigned.groupBy("centroid_id")
-        .applyInPandas(seg_graph, out_schema)
-        .repartition(nlist, "centroid_id")
-        .persist()
-    )
+    segs = ivf.assigned.groupBy("centroid_id").applyInPandas(seg_graph, out_schema)
+    codec = None
+    if compress:
+        # graph edges were chosen from exact float distances; the STORED
+        # payload is the int8 codes — the walk reconstructs per batch
+        from cs598vectordb_spark.operators.sq import sq_encode, train_sq
+
+        codec = train_sq(base, vec_col=vec_col)
+        segs = sq_encode(
+            segs, codec, vec_col=vec_col, id_col=id_col,
+            extra_cols=["centroid_id", "nbr_ids"],
+        )
+    segments = segs.repartition(nlist, "centroid_id").persist()
     segments.count()
-    return LayeredGraphIndex(segments, ivf.centroids, nlist, degree)
+    return LayeredGraphIndex(segments, ivf.centroids, nlist, degree, codec)
 
 
 def knn_graph_layered(
@@ -375,10 +395,14 @@ def knn_graph_layered(
     for j, row in enumerate(nearest):
         probed[row, j] = True
     probe_set = sorted({int(c) for row in nearest for c in row})
-    bc = spark.sparkContext.broadcast((q_ids, Q, probed))
+    codec_arrs = (
+        (index.codec.mins, index.codec.ranges) if index.codec is not None else None
+    )
+    data_col = "codes" if index.codec is not None else vec_col
+    bc = spark.sparkContext.broadcast((q_ids, Q, probed, codec_arrs))
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        bq_ids, bQ, bprobed = bc.value
+        bq_ids, bQ, bprobed, bcodec = bc.value
         empty = pd.DataFrame({"q_id": [], "vec_id": [], "dist": []}).astype(
             {"q_id": np.int64, "vec_id": np.int64, "dist": np.float64}
         )
@@ -390,7 +414,10 @@ def knn_graph_layered(
             return empty
         pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        X = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+        X = np.ascontiguousarray(np.stack(pdf[data_col].to_numpy()), dtype=np.float64)
+        if bcodec is not None:  # reconstruct from int8 codes
+            mns, rngs = bcodec
+            X = mns[None, :] + X / 255.0 * rngs[None, :]
         c = len(ids)
         # adjacency in local-position space (ids are sorted → searchsorted).
         # Edges to ids NOT in the segment (stale after incremental deletes)
@@ -470,6 +497,12 @@ def materialize_layered(index: LayeredGraphIndex, path: str) -> LayeredGraphInde
                 "centroid": list(index.centroids.astype(np.float64)),
                 "nlist": index.nlist,
                 "degree": index.degree,
+                "codec_mins": [
+                    None if index.codec is None else index.codec.mins
+                ] * index.nlist,
+                "codec_ranges": [
+                    None if index.codec is None else index.codec.ranges
+                ] * index.nlist,
             }
         )
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
@@ -488,13 +521,21 @@ def open_layered(spark, path: str) -> LayeredGraphIndex:
         np.stack([np.asarray(r["centroid"]) for r in rows]), dtype=np.float64
     )
     nlist, degree = int(rows[0]["nlist"]), int(rows[0]["degree"])
+    codec = None
+    if rows[0]["codec_mins"] is not None:
+        from cs598vectordb_spark.operators.sq import SqCodec
+
+        codec = SqCodec(
+            np.asarray(rows[0]["codec_mins"], dtype=np.float64),
+            np.asarray(rows[0]["codec_ranges"], dtype=np.float64),
+        )
     segs = (
         spark.read.parquet(os.path.join(path, "segments"))
         .repartition(nlist, "centroid_id")
         .persist()
     )
     segs.count()
-    return LayeredGraphIndex(segs, centroids, nlist, degree)
+    return LayeredGraphIndex(segs, centroids, nlist, degree, codec)
 
 
 # ---- incremental maintenance of the layered index ------------------------
@@ -531,7 +572,9 @@ def delete_from_layered(index: LayeredGraphIndex, keep: DataFrame, id_col: str =
     segs.count()
     # the OLD index stays persisted on purpose: in overlap mode it is
     # still serving probes while this maintenance runs in the background
-    return LayeredGraphIndex(segs, index.centroids, index.nlist, index.degree)
+    return LayeredGraphIndex(
+        segs, index.centroids, index.nlist, index.degree, index.codec
+    )
 
 
 def insert_into_layered(
@@ -555,6 +598,11 @@ def insert_into_layered(
         StructType,
     )
 
+    if index.codec is not None:
+        raise ValueError(
+            "insert_into_layered needs float segments; compressed (SQ8) "
+            "indexes serve reads between periodic rebuilds — deletes work."
+        )
     spark = delta.sparkSession
     degree = index.degree
     C = index.centroids

@@ -183,6 +183,21 @@ def layered_graph_for(
     return _warm(spark, ("layered_graph", sf_dir, nlist, degree), build)
 
 
+def layered_graph_sq8_for(
+    spark: SparkSession, sf_dir: str, nlist: int = 16, degree: int = 16
+):
+    """Layered graph whose segments store SQ8 codes (4x memory) — the
+    DiskANN-style compressed-graph-in-RAM trade; edges from exact floats,
+    walk distances from reconstructed codes."""
+    from cs598vectordb_spark.operators.graph import build_layered_graph
+
+    def build():
+        emb, _ = _setup(spark, sf_dir)
+        return build_layered_graph(emb, nlist=nlist, degree=degree, compress=True)
+
+    return _warm(spark, ("layered_graph_sq8", sf_dir, nlist, degree), build)
+
+
 def layered_graph_materialized_for(
     spark: SparkSession, sf_dir: str, nlist: int = 16, degree: int = 16
 ):
@@ -236,6 +251,7 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("knn_graph_build", lambda: knn_graph_for(spark, sf_dir)),
         ("layered_graph_build", lambda: layered_graph_for(spark, sf_dir)),
         ("ivf2_build", lambda: ivf2_index_for(spark, sf_dir)),
+        ("layered_graph_sq8_build", lambda: layered_graph_sq8_for(spark, sf_dir)),
     ):
         t0 = _time.time()
         fn()
@@ -541,6 +557,22 @@ def q_knn_graph_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, q = _setup(spark, sf_dir)
     idx = layered_graph_materialized_for(spark, sf_dir)
+    return knn_graph_layered(idx, q, k=_K, nprobe=12, beam=32, rounds=4, n_entry=12).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
+@register("knn_graph_sq8")
+def q_knn_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/compressed layered graph: the same single-kernel beam walk
+    over segments holding int8 codes instead of floats — 4x less
+    executor memory per resident segment (at 100 TB this decides whether
+    a segment's graph+payload fits in RAM at all, the DiskANN trade);
+    distances come from on-the-fly reconstruction."""
+    from cs598vectordb_spark.operators.graph import knn_graph_layered
+
+    _, q = _setup(spark, sf_dir)
+    idx = layered_graph_sq8_for(spark, sf_dir)
     return knn_graph_layered(idx, q, k=_K, nprobe=12, beam=32, rounds=4, n_entry=12).select(
         "q_id", "rank", "vec_id"
     )

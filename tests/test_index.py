@@ -366,3 +366,31 @@ def test_local_nn_descent_approximates_exact_graph(spark, sf_dir):
         knn_graph_layered(idx, q, K, nprobe=8, beam=32, rounds=4), truth, K
     ).collect()[0][0]
     assert rec >= 0.85, rec
+
+
+def test_layered_graph_sq8_recall(spark, sf_dir):
+    """Compressed (SQ8-segment) layered graph: reconstruction error may
+    cost a little recall vs the float walk but must clear 0.85; deletes
+    still work on compressed segments, incremental insert refuses."""
+    import pytest as _pytest
+
+    from cs598vectordb_spark.operators import updates as upd
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph,
+        delete_from_layered,
+        insert_into_layered,
+        knn_graph_layered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    truth = knn_exact(emb, q, K)
+    idx = build_layered_graph(emb, nlist=16, degree=16, compress=True)
+    kw = dict(nprobe=12, beam=32, rounds=4, n_entry=12)
+    rec = recall_at_k(knn_graph_layered(idx, q, K, **kw), truth, K).collect()[0][0]
+    assert rec >= 0.85, rec
+    v1 = upd.delete_tail_pct(emb, 50)
+    idx_del = delete_from_layered(idx, v1)
+    assert idx_del.segments.count() == v1.count()
+    with _pytest.raises(ValueError):
+        insert_into_layered(idx_del, upd.deleted_tail_slice(emb, 50))
