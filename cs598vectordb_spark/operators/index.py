@@ -55,6 +55,11 @@ class LshIndex:
     num_tables: int
     hashes_per_table: int = 1
 
+    def close(self) -> None:
+        """Release the hash table if a caller persisted it (workload
+        protocols build per-snapshot indexes and must not leak them)."""
+        self.hash_table.unpersist()
+
 
 def _random_projections(num_tables: int, dim: int, seed: int = SEED) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -251,6 +256,11 @@ class IvfIndex:
     centroids: np.ndarray  # (nlist, dim)
     nlist: int
     path: str | None = None
+
+    def close(self) -> None:
+        """Release the assigned table if a caller persisted it (workload
+        protocols build per-snapshot indexes and must not leak them)."""
+        self.assigned.unpersist()
 
 
 def materialize_ivf(index: IvfIndex, path: str) -> IvfIndex:

@@ -123,9 +123,12 @@ def autotune_ivf2(
 ) -> tuple[dict, list[dict]]:
     """T4 for the hierarchical index: sweep (nprobe1, nprobe2) on one
     built index, score recall against the exact oracle, return the
-    cheapest config clearing the target. Selectivity is
-    nprobe2 / (nlist1 * nlist2) — the fraction of sub-lists (and on a
-    materialized index, of bytes) each query touches."""
+    cheapest config clearing the target. Selectivity is the fraction of
+    sub-lists (and on a materialized index, of bytes) each query can
+    actually touch: a query reaches at most nprobe1·nlist2 sub-lists
+    through the L1 prune, so nprobe2 beyond that bound is capped —
+    otherwise custom grids with np2 > np1·nlist2 would overstate cost
+    and skew the cheapest-clearing-target pick."""
     from cs598vectordb_spark.operators.metrics import recall_at_k
 
     grid = grid or [(2, 4), (2, 8), (4, 8), (4, 12), (4, 16), (8, 16), (8, 32)]
@@ -137,7 +140,7 @@ def autotune_ivf2(
             "nprobe1": np1,
             "nprobe2": np2,
             "recall": rec,
-            "selectivity": round(min(np2, n_lists) / n_lists, 4),
+            "selectivity": round(min(np2, np1 * index.nlist2, n_lists) / n_lists, 4),
         }
         trace.append(entry)
         if rec >= target_recall and (best is None or entry["selectivity"] < best["selectivity"]):

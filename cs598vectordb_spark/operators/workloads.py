@@ -64,14 +64,16 @@ def _build_probe(backend: str):
             return idx
 
         return build, (lambda base, idx, queries, k: knn_ivf(idx, queries, k, nprobe=8))
-    if backend == "graph":
+    if backend in ("graph", "graph_sq8"):
         from cs598vectordb_spark.operators.graph import (
             build_layered_graph,
             knn_graph_layered,
         )
 
         return (
-            lambda base: build_layered_graph(base, nlist=16, degree=16),
+            lambda base: build_layered_graph(
+                base, nlist=16, degree=16, compress=(backend == "graph_sq8")
+            ),
             lambda base, idx, queries, k: knn_graph_layered(
                 idx, queries, k, nprobe=12, beam=32, rounds=4, n_entry=12
             ),
@@ -85,8 +87,10 @@ def _maintenance(backend: str):
     is the reference's core dynamic story: FAISS HNSW tombstones, NGT
     stalls minutes post-insert (logs/dynamic_updates_ngt.txt:10-13) — the
     layered index instead semi-joins deletes out (dangling edges masked at
-    probe time) and repairs only the delta's segments on insert."""
-    if backend == "graph":
+    probe time) and repairs only the delta's segments on insert — the
+    compressed (graph_sq8) backend included: arrivals are encoded with
+    the serving index's codec and repaired in reconstructed space."""
+    if backend in ("graph", "graph_sq8"):
         from cs598vectordb_spark.operators.graph import (
             delete_from_layered,
             insert_into_layered,
@@ -97,6 +101,15 @@ def _maintenance(backend: str):
             lambda idx, delta: insert_into_layered(idx, delta),
         )
     return None
+
+
+def _close_index(idx) -> None:
+    """Release a superseded index's persisted state, if the backend has
+    any (LayeredGraphIndex.close(); the 'exact' backend's index IS the
+    snapshot DataFrame — nothing to release)."""
+    close = getattr(idx, "close", None)
+    if callable(close):
+        close()
 
 
 def _measure(search_df: DataFrame, truth: DataFrame, n_queries: int, k: int) -> tuple[float, float, float]:
@@ -221,6 +234,15 @@ def dynamic_protocol(
         elif maint:
             idx2 = maint[1](idx1, delta)
         record("post_insert", pct, v2, idx2)
+        # this pct's maintenance chain is no longer serving (the next pct
+        # derives from serving_idx again) — release persisted copies, or
+        # a long sweep accumulates one index per maintenance step
+        closed: set[int] = set()
+        for stale in (idx1, idx2):
+            if stale is not None and stale is not serving_idx and id(stale) not in closed:
+                closed.add(id(stale))
+                _close_index(stale)
+    _close_index(serving_idx)
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 
@@ -251,6 +273,7 @@ def bench_loop(
     for interval in range(intervals):
         qps, lat, rec = _measure(probe(base, idx, queries, k), truth, n_q, k)
         rows.append((run_id, backend, "steady", interval, n_q, qps, lat, rec, 0, 1, True))
+    _close_index(idx)
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 
@@ -297,5 +320,6 @@ def multi_tenant(
             rows.append(
                 (run_id, backend, f"client{i}", i, n_q, qps, lat, rec, 0, n_clients, True)
             )
+    _close_index(idx)
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)

@@ -137,17 +137,21 @@ def sq_artifacts_for(spark: SparkSession, sf_dir: str):
     return _warm(spark, ("sq8", sf_dir), build)
 
 
-def knn_graph_for(spark: SparkSession, sf_dir: str, k: int = 10, rounds: int = 3):
-    """NN-descent kNN graph, built once per (session, sf_dir)."""
-    from cs598vectordb_spark.operators.graph import build_knn_graph
+def knn_graph_for(spark: SparkSession, sf_dir: str, k: int = 10):
+    """Flat kNN graph, built once per (session, sf_dir). Uses the
+    spill-partitioned exact builder (two shuffle stages, graph recall
+    ≥0.95 at spill=3/nlist=8 on sf0.1) — ~4x faster than the join-based
+    NN-descent rounds it replaced (build_knn_graph stays available as
+    the assumption-free fallback and for the refinement tests)."""
+    from cs598vectordb_spark.operators.graph import build_knn_graph_partitioned
 
     def build():
         emb, _ = _setup(spark, sf_dir)
-        g = build_knn_graph(emb, k=k, rounds=rounds).persist()
+        g = build_knn_graph_partitioned(emb, k=k, spill=3, nlist=8).persist()
         g.count()
         return g
 
-    return _warm(spark, ("knng", sf_dir, k, rounds), build)
+    return _warm(spark, ("knng", sf_dir, k), build)
 
 
 def ivf2_index_for(
@@ -429,6 +433,22 @@ def q_dynamic_overlap_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dynamic_overlap_graph_sq8")
+def q_dynamic_overlap_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/exclusive=false on the COMPRESSED (SQ8-segment) layered graph —
+    the memory-scaling backend runs the reference's full delete+insert
+    experiment too: arrivals are encoded with the serving index's frozen
+    codec and the repair kernel ranks in reconstructed-float space, so
+    the compressed index no longer sits out the core dynamic story
+    (every reference backend inserts: dynamic_script_faiss.py:108,
+    dynamic_script_ngt.py:113-115, dynamic_script_redis.py:152)."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.dynamic_protocol(
+        spark, emb, q, backend="graph_sq8", update_percents=[50],
+        intervals_per_phase=2, exclusive=False,
+    )
+
+
 @register("multi_tenant")
 def q_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: tenant scaling summary (mean latency/qps, sum-qps throughput,
@@ -514,9 +534,12 @@ def q_pq_refined_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_graph")
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q2/graph: batched beam search over the NN-descent kNN graph — the
+    """Q2/graph: batched beam search over the flat kNN graph — the
     engine's analog of the reference's headline HNSW family
     (dynamic_script_faiss.py:53-57), as set-at-a-time DataFrame hops.
+    The graph now comes from the spill-partitioned exact builder (graph
+    recall ≥0.95, two shuffle stages); the layered index is the probe
+    path of record, this flat walk stays as the set-at-a-time variant.
     Deterministic (hash seeds) but graph-structure-dependent → rows-only;
     recall floors live in graph_search_recall and tests."""
     from cs598vectordb_spark.operators.graph import knn_graph_search
@@ -595,8 +618,8 @@ def q_graph_layered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_quality")
 def q_graph_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NN-descent convergence metric: fraction of true kNN edges present
-    in the built graph (over the query sample's exact neighborhoods)."""
+    """Graph-quality metric: fraction of true kNN edges present in the
+    built graph (over the query sample's exact neighborhoods)."""
     from cs598vectordb_spark.operators.graph import graph_quality
 
     emb, q = _setup(spark, sf_dir)
