@@ -31,10 +31,14 @@ def main() -> int:
     qs = entrymod.queries()
 
     headline = [
-        # vector surface
+        # vector surface. knn_lsh is deliberately NOT here: its measured
+        # selectivity on this isotropic data is 0.64 at recall 0.94
+        # (recorded every run as extra.lsh_selectivity), i.e. the bucket
+        # join admits ~2/3 of the |Q|·|B| product — at 100× scale that IS
+        # a full scan, so it stays a tested operator (tests/test_index)
+        # with IVF/SQ8/layered-graph the approximate paths of record.
         "knn_exact",
         "knn_cosine",
-        "knn_lsh",
         "knn_ivf_materialized",
         "knn_ivf2",
         "knn_pq_refined",
@@ -42,6 +46,7 @@ def main() -> int:
         "knn_ivf_sq8",
         "knn_graph",
         "knn_graph_layered",
+        "knn_graph_layered2",
         "knn_graph_sq8",
         "recall_low_dim",
         "knn_post_delete",
@@ -143,7 +148,6 @@ def main() -> int:
         "extra": {
             "knn_exact_qps": qps("knn_exact"),
             "probe_qps": {
-                "knn_lsh": qps("knn_lsh"),
                 "knn_ivf_materialized": qps("knn_ivf_materialized"),
                 "knn_ivf2": qps("knn_ivf2"),
                 "knn_pq_refined": qps("knn_pq_refined"),
@@ -151,6 +155,7 @@ def main() -> int:
                 "knn_ivf_sq8": qps("knn_ivf_sq8"),
                 "knn_graph": qps("knn_graph"),
                 "knn_graph_layered": qps("knn_graph_layered"),
+                "knn_graph_layered2": qps("knn_graph_layered2"),
                 "knn_graph_sq8": qps("knn_graph_sq8"),
             },
             "lsh_selectivity": lsh_sel,

@@ -202,6 +202,32 @@ def jaccard_verify(
     )
 
 
+def _lsh_verified_pairs(
+    docs: DataFrame,
+    k: int,
+    bands: int,
+    rows: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(unmaterialized verified-pairs plan, persisted shingle-hash
+    handle). The caller MUST materialize the plan (localCheckpoint or an
+    action on a derived cached frame) before unpersisting the handle —
+    split out so dedup_clusters can fold its own edge checkpoint into
+    the same materialization instead of paying two back-to-back ones."""
+    hashed = shingle_hashes(docs, text_col, id_col).persist()
+    sigs = minhash_signatures(docs, k, text_col, id_col, hashed=hashed)
+    pairs = lsh_candidate_pairs(sigs, bands, rows, id_col)
+    hs = hashed.select(F.col(id_col), F.array_distinct("hashes").alias("hset"))
+    a = hs.select(F.col(id_col).alias("doc_a"), F.col("hset").alias("h_a"))
+    b = hs.select(F.col(id_col).alias("doc_b"), F.col("hset").alias("h_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("h_a", "h_b")).cast("double")
+    union = F.size(F.array_union("h_a", "h_b")).cast("double")
+    out = joined.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
+    return out, hashed
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     k: int = 16,
@@ -217,17 +243,8 @@ def minhash_lsh_dedup(
     Verification Jaccard is computed over the distinct shingle-HASH sets
     (identical values cross-engine; collisions at ~1e9 space are both
     negligible and reproduced exactly by the oracle)."""
-    hashed = shingle_hashes(docs, text_col, id_col).persist()
+    out, hashed = _lsh_verified_pairs(docs, k, bands, rows, text_col, id_col)
     try:
-        sigs = minhash_signatures(docs, k, text_col, id_col, hashed=hashed)
-        pairs = lsh_candidate_pairs(sigs, bands, rows, id_col)
-        hs = hashed.select(F.col(id_col), F.array_distinct("hashes").alias("hset"))
-        a = hs.select(F.col(id_col).alias("doc_a"), F.col("hset").alias("h_a"))
-        b = hs.select(F.col(id_col).alias("doc_b"), F.col("hset").alias("h_b"))
-        joined = pairs.join(a, "doc_a").join(b, "doc_b")
-        inter = F.size(F.array_intersect("h_a", "h_b")).cast("double")
-        union = F.size(F.array_union("h_a", "h_b")).cast("double")
-        out = joined.select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
         # materialize before unpersisting the upstream cache
         out = out.localCheckpoint(eager=True)
     finally:
@@ -252,24 +269,33 @@ def dedup_clusters(
     of docs is one document" to keep exactly one representative, and
     transitive chains (A~B~C with A!~C) make that a graph problem.
 
-    Spark-first iterative min-label propagation: every doc starts
-    labeled with itself; each round takes the min label over neighbors;
-    fixpoint = components. Rounds needed = graph diameter — near-dup
-    clusters are short chains, so a handful; each round localCheckpoints
-    to truncate lineage (else the plan doubles per iteration). At 100 TB
-    the edge list is the banded-LSH output (bounded by collisions, never
-    all-pairs) and each round is one shuffle on doc_id."""
-    pairs = minhash_lsh_dedup(docs, k, bands, rows, text_col, id_col).filter(
-        F.col("jaccard") >= threshold
-    )
-    half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    Spark-first min-label propagation WITH PATH HALVING: every doc
+    starts labeled with itself; each round takes the min over (own
+    label, neighbors' labels, label-of-own-label). The label-of-label
+    hop is pointer doubling — the distance a component min travels per
+    round doubles, so the fixpoint arrives in O(log diameter) rounds
+    instead of O(diameter) (the same shortcutting large-star/small-star
+    exploits, as one extra doc_id-equi-join per round instead of an
+    edge-rewrite). Each round localCheckpoints to truncate lineage
+    (else the plan doubles per iteration). At 100 TB the edge list is
+    the banded-LSH output (bounded by collisions, never all-pairs) and
+    each round shuffles on uniform doc_id keys."""
+    raw_pairs, hashed = _lsh_verified_pairs(docs, k, bands, rows, text_col, id_col)
+    try:
+        pairs = raw_pairs.filter(F.col("jaccard") >= threshold)
+        half = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        # ONE materialization covers the whole pair pipeline + the edge
+        # doubling (minhash_lsh_dedup's own checkpoint would be a second
+        # full barrier back-to-back with this one)
+        edges = half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
     labels = docs.select(
         F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nb = (
             edges.join(
                 labels.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("nb_label")),
@@ -278,26 +304,57 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("nb_label").alias("nb_min"))
         )
-        new_labels = (
-            labels.join(nb.select(F.col("src").alias("doc_id"), "nb_min"), "doc_id", "left")
-            .select(
+        cand = labels.join(
+            nb.select(F.col("src").alias("doc_id"), "nb_min"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.col("cluster_id").alias("_old"),
+            F.least(F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))).alias(
+                "cand_id"
+            ),
+        )
+        if it == 0:
+            # round 1's label table is the identity map — label-of-label
+            # would join against itself for nothing; skip the hop
+            stepped = cand.select(
                 "doc_id",
-                F.least(F.col("cluster_id"), F.coalesce("nb_min", F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+                F.col("cand_id").alias("cluster_id"),
+                (F.col("cand_id") != F.col("_old")).alias("_chg"),
+            ).localCheckpoint(eager=True)
+        else:
+            # carrying _old through makes change detection a column
+            # compare — no third join against the previous label table
+            stepped = (
+                cand.join(
+                    labels.select(
+                        F.col("doc_id").alias("cand_id"),
+                        F.col("cluster_id").alias("grand"),
+                    ),
+                    "cand_id",
+                    "left",
+                )
+                .select(
+                    "doc_id",
+                    F.least(F.col("cand_id"), F.coalesce("grand", F.col("cand_id"))).alias(
+                        "cluster_id"
+                    ),
+                    (
+                        F.least(F.col("cand_id"), F.coalesce("grand", F.col("cand_id")))
+                        != F.col("_old")
+                    ).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "_old"), "doc_id")
-            .filter(F.col("cluster_id") != F.col("_old"))
-            .count()
-        )
-        labels = new_labels
+        # round 1 always changes labels when any edge exists — not worth
+        # a count job to confirm; later rounds check for the fixpoint
+        changed = 1 if it == 0 else stepped.filter(F.col("_chg")).count()
+        labels = stepped.drop("_chg")
         if changed == 0:
             break
-    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
 
 
 def cross_split_contamination(

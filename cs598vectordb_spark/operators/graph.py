@@ -799,6 +799,190 @@ def knn_graph_layered(
     )
 
 
+# ---- layered graph over a TWO-LEVEL coarse layer -------------------------
+# knn_graph_layered's top layer is a driver-sized centroid matrix — the
+# same nlist ceiling flat IVF has, solved for IVF by operators/ivf2. The
+# graph index sits on the identical two-level pruner: L1 (driver-sized)
+# prunes to nprobe1 cells, ONLY those cells' L2 sub-centroid rows are
+# pulled (bounded: nprobe1·nlist2 — never the full L2 matrix), and each
+# probed (l1, l2) sub-cell is a graph segment walked by the shared
+# kernel. Segment count now scales as nlist1·nlist2 with driver memory
+# holding only nlist1 centroids + the probed L2 rows.
+
+
+class LayeredGraph2Index:
+    """Per-(l1,l2)-segment kNN subgraphs over the ivf2 coarse layer."""
+
+    def __init__(
+        self,
+        segments: DataFrame,  # (segment_id, vec_id, embedding, nbr_ids)
+        l1_centroids: np.ndarray,  # (nlist1, dim) — driver-sized by design
+        l2_table: DataFrame,  # (l1_id, l2_id, centroid) — stays distributed
+        nlist1: int,
+        nlist2: int,
+        degree: int,
+    ):
+        self.segments = segments
+        self.l1_centroids = l1_centroids
+        self.l2_table = l2_table
+        self.nlist1 = nlist1
+        self.nlist2 = nlist2
+        self.degree = degree
+
+    def close(self) -> None:
+        self.segments.unpersist()
+
+
+def build_layered_graph2(
+    base: DataFrame,
+    nlist1: int = 4,
+    nlist2: int = 4,
+    degree: int = 16,
+    exact_segment_rows: int = 32_768,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> LayeredGraph2Index:
+    """ivf2 assignment (L2 sub-centroids trained per-cell, never
+    driver-collected at build — operators/ivf2.py), then one
+    applyInPandas pass builds each (l1,l2) sub-cell's kNN subgraph, and
+    the segment table persists hash-partitioned on the composite
+    segment id so probes reach the walk kernel exchange-free."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cs598vectordb_spark.operators.ivf2 import build_ivf2_index
+
+    ivf2 = build_ivf2_index(
+        base, nlist1=nlist1, nlist2=nlist2, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    n_segments = nlist1 * nlist2
+    keyed = ivf2.assigned.withColumn(
+        "segment_id", (F.col("l1_id") * nlist2 + F.col("l2_id")).cast("int")
+    ).select("segment_id", id_col, vec_col)
+    vec_type = base.schema[vec_col].dataType
+    out_schema = StructType(
+        [
+            StructField("segment_id", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField(vec_col, vec_type),
+            StructField("nbr_ids", ArrayType(LongType())),
+        ]
+    )
+
+    def seg_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.ascontiguousarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+        if len(ids) <= 1:
+            nbrs = [np.array([], dtype=np.int64)] * len(ids)
+        elif len(ids) <= exact_segment_rows:
+            nbrs, _ = _local_knn_graph(X, ids, degree)
+        else:
+            nbrs, _ = _local_partitioned_graph(X, ids, degree)
+        return pd.DataFrame(
+            {
+                "segment_id": pdf["segment_id"],
+                id_col: ids,
+                vec_col: pdf[vec_col],
+                "nbr_ids": nbrs,
+            }
+        )
+
+    segments = (
+        keyed.groupBy("segment_id")
+        .applyInPandas(seg_graph, out_schema)
+        .repartition(n_segments, "segment_id")
+        .persist()
+    )
+    segments.count()
+    ivf2.assigned.unpersist()  # the graph segments supersede the raw assignment
+    return LayeredGraph2Index(
+        segments, ivf2.l1_centroids, ivf2.l2_table, nlist1, nlist2, degree
+    )
+
+
+def knn_graph_layered2(
+    index: LayeredGraph2Index,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe1: int = 2,
+    nprobe2: int = 6,
+    beam: int = 24,
+    rounds: int = 3,
+    n_entry: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, rank, vec_id, dist): hierarchical graph probe. L1 scored on
+    the driver (nlist1 GEMM over the driver-sized coarse layer), the
+    probed cells' L2 rows pulled from the DISTRIBUTED L2 table (bounded
+    collect: nprobe1·nlist2 rows — the full centroid matrix never
+    reaches the driver, unlike knn_graph_layered's top layer), the best
+    nprobe2 sub-cells per query walked by the shared segment kernel, one
+    window merge. Same plan tail as knn_graph_layered."""
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+    Q = np.ascontiguousarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
+    nq = len(q_ids)
+    C1 = index.l1_centroids
+    d1 = (
+        np.square(Q).sum(1, keepdims=True)
+        - 2.0 * (Q @ C1.T)
+        + np.square(C1).sum(1)[None, :]
+    )
+    np1 = min(nprobe1, index.nlist1)
+    cells = np.argsort(d1, axis=1)[:, :np1]
+    cell_set = sorted({int(c) for row in cells for c in row})
+    l2 = (
+        index.l2_table.filter(F.col("l1_id").isin(cell_set))
+        .select("l1_id", "l2_id", "centroid")
+        .collect()
+    )
+    keys = np.array(
+        [r["l1_id"] * index.nlist2 + r["l2_id"] for r in l2], dtype=np.int64
+    )
+    C2 = np.ascontiguousarray(
+        np.stack([np.asarray(r["centroid"]) for r in l2]), dtype=np.float64
+    )
+    d2 = (
+        np.square(Q).sum(1, keepdims=True)
+        - 2.0 * (Q @ C2.T)
+        + np.square(C2).sum(1)[None, :]
+    )
+    cell_ok = np.zeros((nq, len(l2)), dtype=bool)
+    row_cell = keys // index.nlist2
+    for j in range(nq):
+        cell_ok[j] = np.isin(row_cell, cells[j])
+    d2[~cell_ok] = np.inf
+    np2 = min(nprobe2, len(l2))
+    order = np.argsort(d2, axis=1)[:, :np2]
+    probed: dict[int, list[int]] = {}
+    for j in range(nq):
+        for key in keys[order[j]][np.isfinite(d2[j, order[j]])]:
+            probed.setdefault(int(key), []).append(j)
+    return _walk_probed_segments(
+        index.segments,
+        "segment_id",
+        {key: np.asarray(js, dtype=np.int64) for key, js in probed.items()},
+        q_ids,
+        Q,
+        None,
+        k,
+        beam,
+        rounds,
+        n_entry,
+        id_col,
+        vec_col,
+    )
+
+
 def materialize_layered(index: LayeredGraphIndex, path: str) -> LayeredGraphIndex:
     """Persist the layered index to parquet (segments PARTITIONED BY
     centroid_id + a small centroid sidecar table) and re-open it — the

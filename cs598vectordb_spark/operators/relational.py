@@ -165,11 +165,50 @@ def brand_top_parts(part: DataFrame, topn: int = 3) -> DataFrame:
     )
 
 
-def acctbal_deciles(customer: DataFrame) -> DataFrame:
-    """ntile decile stats over customer balances (distribution summary)."""
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+def acctbal_deciles(customer: DataFrame, parts: int = 32) -> DataFrame:
+    """ntile decile stats over customer balances (distribution summary).
+
+    A bare ntile(10) OVER (ORDER BY ...) is the classic global-sort
+    scale trap: Spark moves the ENTIRE table through one WindowExec
+    partition. Instead the global rank is computed distributed — range
+    repartition on the sort key (ascending partition ids = ascending
+    ranges), per-partition row counts (≤ `parts` rows) to the driver for
+    exact offsets, then a per-partition local window adds the offset.
+    NTILE's uneven-tile arithmetic (first n%10 tiles get one extra row)
+    is reproduced exactly from the 0-based rank, so the DuckDB oracle's
+    real ntile() hashes identically. Partition-boundary sampling noise
+    cannot change results: only the exact global rank feeds the tile."""
+    ranked = customer.select("c_acctbal", "c_custkey").repartitionByRange(
+        parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"] for r in ranked.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    if n == 0:
+        return customer.select(
+            F.lit(0).alias("decile"), F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("avg_bal"), F.lit(0.0).alias("min_bal"),
+            F.lit(0.0).alias("max_bal"),
+        ).limit(0)
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )[F.col("_pid")]
+    wloc = Window.partitionBy("_pid").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    r0 = F.row_number().over(wloc) - 1 + off_expr  # exact 0-based global rank
+    q, rem = n // 10, n % 10
+    cut = rem * (q + 1)  # ranks below `cut` sit in the q+1-sized tiles
+    decile = F.when(F.col("_r0") < cut, F.floor(F.col("_r0") / (q + 1)) + 1).otherwise(
+        F.lit(rem) + F.floor((F.col("_r0") - cut) / max(q, 1)) + 1
+    ).cast("int")
     return (
-        customer.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn("_r0", r0)
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -187,6 +187,21 @@ def layered_graph_for(
     return _warm(spark, ("layered_graph", sf_dir, nlist, degree), build)
 
 
+def layered_graph2_for(
+    spark: SparkSession, sf_dir: str, nlist1: int = 4, nlist2: int = 4, degree: int = 16
+):
+    """Layered graph over the ivf2 two-level coarse layer — segment count
+    scales as nlist1·nlist2 while the driver holds only nlist1 centroids
+    (the flat layered index's one remaining driver-size ceiling)."""
+    from cs598vectordb_spark.operators.graph import build_layered_graph2
+
+    def build():
+        emb, _ = _setup(spark, sf_dir)
+        return build_layered_graph2(emb, nlist1=nlist1, nlist2=nlist2, degree=degree)
+
+    return _warm(spark, ("layered_graph2", sf_dir, nlist1, nlist2, degree), build)
+
+
 def layered_graph_sq8_for(
     spark: SparkSession, sf_dir: str, nlist: int = 16, degree: int = 16
 ):
@@ -256,6 +271,7 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("layered_graph_build", lambda: layered_graph_for(spark, sf_dir)),
         ("ivf2_build", lambda: ivf2_index_for(spark, sf_dir)),
         ("layered_graph_sq8_build", lambda: layered_graph_sq8_for(spark, sf_dir)),
+        ("layered_graph2_build", lambda: layered_graph2_for(spark, sf_dir)),
     ):
         t0 = _time.time()
         fn()
@@ -280,7 +296,10 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for update-heavy serving. LSH remains the right tool when data has
     genuine cluster structure, and the autotune sweep (lsh_autotune)
     measures exactly when that is true. Bench records the measured
-    selectivity per run (extra.lsh_selectivity)."""
+    selectivity per run (extra.lsh_selectivity); as of round 5 the op is
+    OFF the bench headline (a probe whose candidate set is 64% of the
+    cross product is a full scan at 100× scale) and stays a registered,
+    recall-floor-tested operator."""
     emb, q = _setup(spark, sf_dir)
     idx = lsh_index_for(spark, sf_dir)
     return knn_lsh(idx, emb, q, k=_K).select("q_id", "rank", "vec_id")
@@ -599,6 +618,24 @@ def q_knn_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_layered(idx, q, k=_K, nprobe=12, beam=32, rounds=4, n_entry=12).select(
         "q_id", "rank", "vec_id"
     )
+
+
+@register("knn_graph_layered2")
+def q_knn_graph_layered2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/hierarchical layered graph: the layered walk behind ivf2's
+    two-level pruner. L1 is the only driver-resident centroid matrix;
+    the probed cells' L2 rows come off the distributed L2 table as a
+    bounded collect (nprobe1·nlist2 rows), so segment count — and with
+    it base size — scales past any driver-sized top layer. Same
+    exchange-free walk kernel + single-window merge as
+    knn_graph_layered."""
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2
+
+    _, q = _setup(spark, sf_dir)
+    idx = layered_graph2_for(spark, sf_dir)
+    return knn_graph_layered2(
+        idx, q, k=_K, nprobe1=4, nprobe2=12, beam=32, rounds=4, n_entry=12
+    ).select("q_id", "rank", "vec_id")
 
 
 @register("graph_layered_recall")

@@ -407,6 +407,41 @@ def test_partitioned_flat_graph_build(spark, sf_dir):
     emb.unpersist()
 
 
+def test_layered_graph2_recall_and_plan(spark, sf_dir):
+    """Hierarchical layered graph (graph over ivf2): registered-parameter
+    probe clears 0.9; a full probe recovers (near-)exact; the walk plan
+    stays exchange-free before the kernel; and the driver never holds
+    the full L2 centroid matrix — the L2 pull is a FILTERED query on the
+    distributed table, bounded by nprobe1·nlist2 rows."""
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph2,
+        knn_graph_layered2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    truth = knn_exact(emb, q, K)
+    idx = build_layered_graph2(emb, nlist1=4, nlist2=4, degree=16)
+    probe = knn_graph_layered2(idx, q, K, nprobe1=4, nprobe2=12, beam=32, rounds=4, n_entry=12)
+    rec = recall_at_k(probe, truth, K).collect()[0][0]
+    assert rec >= 0.9, rec
+    full = recall_at_k(
+        knn_graph_layered2(idx, q, K, nprobe1=4, nprobe2=16, beam=64, rounds=8, n_entry=16),
+        truth,
+        K,
+    ).collect()[0][0]
+    assert full >= 0.99, full
+    # exchange-free walk: one Exchange at most before the kernel stage
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    probe_part = plan.split("InMemoryRelation")[0]
+    assert probe_part.count("Exchange") == 1, probe_part
+    # L2 stays distributed: the index holds a DataFrame, not a matrix,
+    # and the driver-resident coarse layer is nlist1 rows only
+    assert idx.l1_centroids.shape[0] == 4
+    assert not hasattr(idx, "l2_centroids")
+    idx.close()
+
+
 def test_layered_graph_sq8_recall_and_incremental(spark, sf_dir):
     """Compressed (SQ8-segment) layered graph: reconstruction error may
     cost a little recall vs the float walk but must clear 0.85; the full

@@ -126,6 +126,31 @@ def test_pack_sequences_has_no_single_partition_window(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
+def test_acctbal_deciles_has_no_single_partition_window(spark, sf_dir):
+    """ntile must come from the distributed rank (range repartition +
+    per-partition offset), never a global single-partition WindowExec —
+    and the values must equal the naive global-window ntile."""
+    from pyspark.sql import Window
+
+    from cs598vectordb_spark.operators.relational import acctbal_deciles
+
+    c = load_table(spark, sf_dir, "customer")
+    out = acctbal_deciles(c)
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan, plan
+    naive = (
+        c.withColumn(
+            "decile",
+            F.ntile(10).over(Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())),
+        )
+        .groupBy("decile")
+        .count()
+    )
+    got = {r["decile"]: r["n"] for r in out.collect()}
+    want = {r["decile"]: r["count"] for r in naive.collect()}
+    assert got == want, (got, want)
+
+
 def test_stratified_sample_partitions_by_stratum(spark, sf_dir):
     from cs598vectordb_spark.operators.textops import stratified_sample
 
