@@ -5,11 +5,14 @@ extension the north star asks for: media payloads ride along as
 `BINARY` columns with a typed metadata struct, and decode / feature-extract
 / resize / frame-sample run as Arrow-batched kernels over `mapInPandas`.
 
-Container reality: no image/audio libraries are installed, so the *codec*
-step is stubbed (`decode_media` raises NotImplementedError; the queries use
-a deterministic byte-level fake decode instead). Everything Spark-side is
-real and tested: schema, binary batch shape through Arrow, partitioning,
-and the kernel signatures a real decoder would drop into.
+Container reality: no image/audio LIBRARIES are installed, but two real
+formats are stdlib-expressible and decode for REAL here — BMP (24-bit
+uncompressed, struct/numpy reader+writer) and WAV (RIFF/PCM16). Only
+compressed video still raises NotImplementedError (cv2 absent), and the
+byte-level fake decode remains for the kinds whose payloads are not real
+container files. Everything Spark-side is real and tested: schema,
+binary batch shape through Arrow, partitioning, and the kernel
+signatures any further decoder drops into.
 
 Scale notes:
 * Binary payloads dominate row width — at 100 TB you bound scan partitions
@@ -32,16 +35,103 @@ from pyspark.sql import functions as F
 
 KINDS = ["image", "audio", "video"]
 
-# Real-decoder stub registry: kind -> required (absent) library.
-_REAL_DECODERS = {"image": "PIL", "audio": "soundfile", "video": "cv2"}
+# Real-decoder registry: kind -> how decode happens. Image (BMP) and
+# audio (WAV/PCM) are REAL pure-stdlib codecs below; compressed formats
+# (JPEG/MP3/MP4) would need the listed absent libraries.
+_REAL_DECODERS = {"image": "built-in BMP", "audio": "built-in WAV", "video": "cv2"}
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Real BMP writer (24-bit uncompressed BI_RGB, bottom-up rows padded
+    to 4 bytes) — pure struct/numpy. pixels: (h, w, 3) uint8 RGB."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    image_size = (row_raw + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    if pad:
+        rows = np.zeros((h, row_raw + pad), dtype=np.uint8)
+        rows[:, :row_raw] = bgr.reshape(h, row_raw)
+        return header + rows.tobytes()
+    return header + bgr.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Real BMP reader for the writer's subset (24-bit uncompressed,
+    BITMAPINFOHEADER, bottom-up or top-down) -> (h, w, 3) uint8 RGB."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    _, w, h_signed, _, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        bgr = bgr[::-1]  # bottom-up storage -> top-down array
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR -> RGB
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV/RIFF reader (PCM16 mono/stereo) -> (samples int16 array
+    shaped (n, channels), sample_rate) — pure struct/numpy chunk walk."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, raw, rate, channels = 12, None, None, 0, 1
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (PCM16 only)")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(raw, dtype="<i2")
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Real WAV writer (PCM16) for the reader's subset. samples:
+    (n, channels) int16."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    raw = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_media(payload: bytes, kind: str):
-    """STUB — real codec decode (JPEG/WAV/MP4) is NOT implemented in this
-    container (no PIL/soundfile/cv2). The engine's media kernels accept a
-    `decode` callable with this exact signature; swap this stub for a real
-    one when the codec libraries exist and every query below works
-    unchanged. Raises NotImplementedError always, by design."""
+    """Real codec decode for the stdlib-expressible formats: BMP images
+    and WAV/PCM16 audio decode for real (struct/numpy above, no external
+    libraries). Compressed video (MP4 etc.) still needs cv2, which is
+    not installed — that one path raises, documented honestly. The media
+    kernels accept any `decode` callable with this signature, so a
+    JPEG/MP4 decoder drops in unchanged when its library exists."""
+    if kind == "image":
+        return decode_bmp(payload)
+    if kind == "audio":
+        return decode_wav(payload)
     lib = _REAL_DECODERS.get(kind, "?")
     raise NotImplementedError(
         f"real {kind} decode requires {lib}, which is not installed; "
@@ -181,4 +271,46 @@ def media_summary(media: DataFrame) -> DataFrame:
             F.round(F.avg("meta.width"), 4).alias("avg_width"),
             F.round(F.avg("meta.sample_rate"), 4).alias("avg_sample_rate"),
         )
+    )
+
+
+def media_decode_image(media: DataFrame, w: int = 8, h: int = 4) -> DataFrame:
+    """REAL codec round-trip over every payload: tile the payload bytes
+    into an (h, w, 3) RGB image, ENCODE it as an actual BMP file
+    (encode_bmp) and DECODE it back with the real BMP parser
+    (decode_bmp) inside one Arrow kernel, then emit per-channel pixel
+    stats. Because the BMP round-trip is pixel-exact (pinned in
+    tests/test_multimodal.py), the DuckDB oracle can verify the decoded
+    stats straight from the payload bytes with hex-pair arithmetic — a
+    full value-hash check THROUGH a genuine binary image format, not a
+    byte-level fake. Pure per-row map, payloads never leave executors."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = h * w * 3
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].values,
+                "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "px_checksum": [],
+            }
+            for payload in pdf["payload"]:
+                a = np.frombuffer(payload, dtype=np.uint8)
+                tiled = np.tile(a, -(-need // a.size))[:need].reshape(h, w, 3)
+                px = decode_bmp(encode_bmp(tiled))  # the real codec pass
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                # integer channel sums, not means: sum/32 is a dyadic
+                # rational whose 4-decimal round TIES — Python banker's
+                # vs SQL half-away rounding would flip the value hash
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["px_checksum"].append(int(px.sum()) % 997)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long, px_checksum long",
     )

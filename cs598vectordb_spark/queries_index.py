@@ -494,6 +494,20 @@ def q_multi_tenant_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tenant_summary(m)
 
 
+@register("multi_tenant_graph_sq8")
+def q_multi_tenant_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 on the COMPRESSED layered graph: N clients share one
+    SQ8-segment index — the memory-per-resident-segment trade is exactly
+    what multi-tenant serving stresses (many tenants × resident
+    segments), so the compressed backend is the one that scales tenant
+    count on fixed executors. 10/30 clients under FAIR scheduling."""
+    emb, q = _setup(spark, sf_dir)
+    m = workloads.multi_tenant(
+        spark, emb, q, backend="graph_sq8", client_counts=[10, 30]
+    )
+    return tenant_summary(m)
+
+
 @register("pq_reconstruction")
 def q_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ quality dashboard: mean squared reconstruction error + achieved

@@ -407,6 +407,24 @@ def test_partitioned_flat_graph_build(spark, sf_dir):
     emb.unpersist()
 
 
+def test_ivf2_full_probe_is_exact(spark, sf_dir):
+    """The two-level IVF consistency axiom: probing every L1 cell and
+    every sub-list degenerates to exact search — byte-identical rows to
+    knn_exact, not merely recall 1.0."""
+    from cs598vectordb_spark.operators.ivf2 import build_ivf2_index, knn_ivf2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    idx = build_ivf2_index(emb, nlist1=4, nlist2=4)
+    full = knn_ivf2(idx, q, K, nprobe1=4, nprobe2=16)
+    exact = knn_exact(emb, q, K)
+    a = sorted(map(tuple, full.select("q_id", "rank", "vec_id").collect()))
+    b = sorted(map(tuple, exact.select("q_id", "rank", "vec_id").collect()))
+    assert a == b
+    idx.assigned.unpersist()
+    idx.l2_table.unpersist()
+
+
 def test_layered_graph2_recall_and_plan(spark, sf_dir):
     """Hierarchical layered graph (graph over ivf2): registered-parameter
     probe clears 0.9; a full probe recovers (near-)exact; the walk plan

@@ -64,8 +64,62 @@ def test_frame_sample_stride(media):
         assert got[i] == sum(p[4 * i : 4 * i + 4])
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError, match="not installed"):
+def test_decode_media_dispatch():
+    """Image/audio decode for REAL (BMP/WAV — invalid bytes are a codec
+    ValueError, not a stub); only compressed video remains stubbed."""
+    with pytest.raises(ValueError, match="not a BMP"):
         decode_media(b"\x00", "image")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_media(b"\x00", "audio")
+    with pytest.raises(NotImplementedError, match="not installed"):
         decode_media(b"\x00", "video")
+
+
+def test_bmp_wav_codecs_roundtrip_exact():
+    """The real stdlib codecs must be lossless: BMP encode→decode is
+    pixel-exact including odd-width row padding and the top-down variant;
+    WAV PCM16 mono/stereo round-trips sample-exact."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in ((4, 8), (5, 7), (1, 1), (3, 2), (2, 31)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px), (h, w)
+        assert np.array_equal(decode_media(encode_bmp(px), "image"), px)
+    s = rng.integers(-(2**15), 2**15 - 1, (500, 2), dtype=np.int16)
+    out, rate = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and np.array_equal(out, s)
+    mono, rate = decode_media(encode_wav(s[:, 0], 8000), "audio")
+    assert rate == 8000 and np.array_equal(mono[:, 0], s[:, 0])
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "video")
+
+
+def test_media_decode_bmp_query(spark, sf_dir):
+    """The registered round-trip query: every doc gets one row, the
+    checksum column equals (sum_r+sum_g+sum_b) % 997 (i.e. the decoded
+    pixels ARE the tiled payload bytes — codec lossless end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.multimodal import media_decode_image, media_table
+    from cs598vectordb_spark.sources.tables import load_table
+
+    media = media_table(load_table(spark, sf_dir, "documents"))
+    out = media_decode_image(media).cache()
+    assert out.count() == media.count()
+    bad = out.filter(
+        (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")) % 997 != F.col("px_checksum")
+    ).count()
+    assert bad == 0
+    assert out.filter((F.col("width") != 8) | (F.col("height") != 4)).count() == 0
+    out.unpersist()
