@@ -994,23 +994,19 @@ def materialize_layered(index: LayeredGraphIndex, path: str) -> LayeredGraphInde
     index.segments.write.mode("overwrite").partitionBy("centroid_id").parquet(
         os.path.join(path, "segments")
     )
-    import pandas as pd
-
+    # plain-Python rows + explicit schema: no type inference and no Arrow
+    # dependency (ndarray cells crash the non-Arrow inference fallback if
+    # the session's Arrow conversion is degraded for any reason)
+    mins = None if index.codec is None else [float(x) for x in index.codec.mins]
+    rngs = None if index.codec is None else [float(x) for x in index.codec.ranges]
+    rows = [
+        (i, [float(x) for x in index.centroids[i]], index.nlist, index.degree, mins, rngs)
+        for i in range(index.nlist)
+    ]
     spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "centroid_id": np.arange(index.nlist, dtype=np.int64),
-                "centroid": list(index.centroids.astype(np.float64)),
-                "nlist": index.nlist,
-                "degree": index.degree,
-                "codec_mins": [
-                    None if index.codec is None else index.codec.mins
-                ] * index.nlist,
-                "codec_ranges": [
-                    None if index.codec is None else index.codec.ranges
-                ] * index.nlist,
-            }
-        )
+        rows,
+        "centroid_id long, centroid array<double>, nlist int, degree int, "
+        "codec_mins array<double>, codec_ranges array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     return open_layered(spark, path)
 

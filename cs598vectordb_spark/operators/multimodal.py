@@ -246,8 +246,8 @@ def frame_sample(media: DataFrame, stride: int = 2, frame_bytes: int = 4) -> Dat
 def resize_plan(media: DataFrame, scale: int = 2) -> DataFrame:
     """Image resize as a metadata transform + payload passthrough: the
     deterministic fake halves the declared dimensions and keeps the byte
-    count; a real implementation swaps the identity payload map for a
-    PIL.Image.resize inside the same kernel slot (`decode_media` stub).
+    count; a real pixel resample drops into the media_decode_image
+    kernel slot (the BMP decode there is already real).
     JVM-only expressions — resize *planning* needs no Python at all."""
     return media.filter(F.col("kind") == "image").select(
         "doc_id",
@@ -313,4 +313,41 @@ def media_decode_image(media: DataFrame, w: int = 8, h: int = 4) -> DataFrame:
         kernel,
         "doc_id long, width int, height int, sum_r long, sum_g long, "
         "sum_b long, px_checksum long",
+    )
+
+
+def media_decode_audio(media: DataFrame, n_samples: int = 64, rate: int = 8000) -> DataFrame:
+    """REAL audio-codec round-trip, the WAV sibling of media_decode_image:
+    payload bytes are tiled into n_samples little-endian int16 samples,
+    written as an actual RIFF/WAV PCM16 file (encode_wav) and decoded
+    back by the engine's own chunk-walking parser (decode_wav) inside
+    the Arrow kernel. Emits integer amplitude stats the DuckDB oracle
+    recomputes from the bytes directly — the hash matches only because
+    the WAV round-trip is sample-exact."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = n_samples * 2
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].values,
+                "n_samples": [], "sample_rate": [],
+                "sum_amp": [], "min_amp": [], "max_amp": [],
+            }
+            for payload in pdf["payload"]:
+                a = np.frombuffer(payload, dtype=np.uint8)
+                tiled = np.tile(a, -(-need // a.size))[:need]
+                samples = tiled.view("<i2")
+                decoded, got_rate = decode_wav(encode_wav(samples, rate))
+                mono = decoded[:, 0]
+                out["n_samples"].append(len(mono))
+                out["sample_rate"].append(got_rate)
+                out["sum_amp"].append(int(mono.astype(np.int64).sum()))
+                out["min_amp"].append(int(mono.min()))
+                out["max_amp"].append(int(mono.max()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, n_samples int, sample_rate int, sum_amp long, "
+        "min_amp int, max_amp int",
     )

