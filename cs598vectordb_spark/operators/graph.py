@@ -983,6 +983,111 @@ def knn_graph_layered2(
     )
 
 
+def delete_from_layered2(
+    index: LayeredGraph2Index, keep: DataFrame, id_col: str = "vec_id"
+) -> LayeredGraph2Index:
+    """Hierarchical-index delete: one semi-join + repartition of the
+    segment table, same tombstone semantics as delete_from_layered
+    (dangling edges masked by the walk kernel)."""
+    segs = (
+        index.segments.join(keep.select(id_col), id_col, "semi")
+        .repartition(index.nlist1 * index.nlist2, "segment_id")
+        .persist()
+    )
+    segs.count()
+    return LayeredGraph2Index(
+        segs, index.l1_centroids, index.l2_table, index.nlist1, index.nlist2, index.degree
+    )
+
+
+def insert_into_layered2(
+    index: LayeredGraph2Index,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> LayeredGraph2Index:
+    """Hierarchical-index insert with NO driver-sized assignment step:
+    L1 cells come from the broadcast (driver-sized by design) coarse
+    layer, but the L2 sub-cell of each arrival is picked by a
+    DISTRIBUTED join against the L2 table (|delta|·nlist2 scored rows,
+    min per arrival) — the full sub-centroid matrix never reaches the
+    driver, matching the probe's discipline. Touched segments then run
+    the same shared repair kernel as the flat layered index."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = delta.sparkSession
+    C1 = index.l1_centroids
+    bc = spark.sparkContext.broadcast(C1)
+
+    def assign_l1(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                np.square(B).sum(1, keepdims=True)
+                - 2.0 * (B @ Cb.T)
+                + np.square(Cb).sum(1)[None, :]
+            )
+            yield pdf.assign(l1_id=d2.argmin(axis=1).astype(np.int32))
+
+    a1 = delta.select(id_col, vec_col).mapInPandas(
+        assign_l1,
+        StructType(
+            list(delta.select(id_col, vec_col).schema.fields)
+            + [StructField("l1_id", IntegerType())]
+        ),
+    )
+    # L2 pick: distributed join against the (l1-pruned) sub-centroid rows
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("l2_id").asc())
+    assigned_delta = (
+        a1.join(index.l2_table, "l1_id")
+        .withColumn("_d2", d2)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            (F.col("l1_id") * index.nlist2 + F.col("l2_id"))
+            .cast("int")
+            .alias("segment_id"),
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("array<bigint>").alias("nbr_ids"),
+        )
+        .select(*index.segments.schema.fieldNames())
+    )
+    repair = _make_repair_kernel(id_col, vec_col, index.degree, None)
+    touched = [
+        int(r[0]) for r in assigned_delta.select("segment_id").distinct().collect()
+    ]
+    untouched = index.segments.filter(~F.col("segment_id").isin(touched))
+    repaired = (
+        index.segments.filter(F.col("segment_id").isin(touched))
+        .unionByName(assigned_delta)
+        .groupBy("segment_id")
+        .applyInPandas(repair, index.segments.schema)
+    )
+    segs = (
+        untouched.unionByName(repaired)
+        .repartition(index.nlist1 * index.nlist2, "segment_id")
+        .persist()
+    )
+    segs.count()
+    # superseded version released by callers via close()
+    return LayeredGraph2Index(
+        segs, C1, index.l2_table, index.nlist1, index.nlist2, index.degree
+    )
+
+
 def materialize_layered(index: LayeredGraphIndex, path: str) -> LayeredGraphIndex:
     """Persist the layered index to parquet (segments PARTITIONED BY
     centroid_id + a small centroid sidecar table) and re-open it — the
@@ -1059,6 +1164,76 @@ def open_layered(spark, path: str) -> LayeredGraphIndex:
 # Centroids are intentionally left untouched: incremental maintenance
 # serves reads between periodic full rebuilds, exactly the
 # serve-while-rebuild split dynamic_overlap measures.
+
+
+def _make_repair_kernel(id_col: str, data_col: str, degree: int, codec_arrs):
+    """Per-segment repair kernel shared by every layered variant (the
+    grouping key column rides through untouched): (a) new nodes get
+    exact top-degree edges, (b) existing nodes re-rank surviving old
+    edges merged with the arrivals, (c) dangling edges from earlier
+    deletes drop, (d) nodes left under-degree backfill from surviving
+    neighbors' 2-hop neighborhoods so degree does not erode across
+    cycles. With codec_arrs set, ranking happens in reconstructed-float
+    space — the same space the walk kernel scores probes in."""
+    import pandas as pd
+
+    def repair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.ascontiguousarray(np.stack(pdf[data_col].to_numpy()), dtype=np.float64)
+        if codec_arrs is not None:
+            mns, rngs = codec_arrs
+            X = mns[None, :] + X / 255.0 * rngs[None, :]
+        c = len(ids)
+        is_new = pdf["nbr_ids"].isna().to_numpy()
+        new_pos = np.flatnonzero(is_new)
+        if len(new_pos) == 0 or c <= 1:
+            return pdf
+        k_eff = min(degree, c - 1)
+
+        def pair_d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            diff = X[a] - X[b]
+            return np.einsum("ij,ij->i", diff, diff)
+
+        from cs598vectordb_spark.operators.knn import squared_l2_block
+
+        # (a) new nodes: exact edges against the whole segment
+        d_new = squared_l2_block(X, X[new_pos])  # c × |new|
+        d_new[new_pos, np.arange(len(new_pos))] = np.inf
+        nbrs_out: list[np.ndarray] = [None] * c  # type: ignore[list-item]
+        for j, p in enumerate(new_pos):
+            col = d_new[:, j]
+            part = np.argpartition(col, k_eff - 1)[:k_eff]
+            order = np.lexsort((ids[part], col[part]))
+            nbrs_out[p] = ids[part[order]].astype(np.int64)
+
+        def to_pos(global_ids: np.ndarray) -> np.ndarray:
+            p = np.minimum(np.searchsorted(ids, global_ids), c - 1)
+            return p[ids[p] == global_ids]
+
+        old_lists = pdf["nbr_ids"]
+        for p in np.flatnonzero(~is_new):
+            old = np.asarray(old_lists.iloc[p], dtype=np.int64)
+            op = to_pos(old)
+            parts = [op, new_pos]
+            if len(op) < k_eff:  # (d) 2-hop backfill
+                for qpos in op:
+                    two_hop = old_lists.iloc[qpos]
+                    if two_hop is not None and not is_new[qpos]:
+                        parts.append(to_pos(np.asarray(two_hop, dtype=np.int64)))
+            cand = np.unique(np.concatenate(parts))
+            cand = cand[cand != p]
+            if len(cand) == 0:
+                nbrs_out[p] = np.array([], dtype=np.int64)
+                continue
+            cd = pair_d(np.full(len(cand), p), cand)
+            sel = np.lexsort((ids[cand], cd))[: min(k_eff, len(cand))]
+            nbrs_out[p] = ids[cand[sel]].astype(np.int64)
+        out = {f: pdf[f] for f in pdf.columns if f != "nbr_ids"}
+        out["nbr_ids"] = nbrs_out
+        return pd.DataFrame(out)
+
+    return repair
 
 
 def delete_from_layered(index: LayeredGraphIndex, keep: DataFrame, id_col: str = "vec_id") -> LayeredGraphIndex:
@@ -1148,68 +1323,7 @@ def insert_into_layered(
         "nbr_ids", F.lit(None).cast("array<bigint>")
     ).select(*out_schema.fieldNames())
     codec_arrs = (codec.mins, codec.ranges) if codec is not None else None
-
-    def repair(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        X = np.ascontiguousarray(np.stack(pdf[data_col].to_numpy()), dtype=np.float64)
-        if codec_arrs is not None:  # rank in reconstructed-float space —
-            # the same space the walk kernel scores probes in
-            mns, rngs = codec_arrs
-            X = mns[None, :] + X / 255.0 * rngs[None, :]
-        c = len(ids)
-        is_new = pdf["nbr_ids"].isna().to_numpy()
-        new_pos = np.flatnonzero(is_new)
-        if len(new_pos) == 0 or c <= 1:
-            return pdf
-        k_eff = min(degree, c - 1)
-
-        def pair_d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-            diff = X[a] - X[b]
-            return np.einsum("ij,ij->i", diff, diff)
-
-        from cs598vectordb_spark.operators.knn import squared_l2_block
-
-        # (a) new nodes: exact edges against the whole segment
-        d_new = squared_l2_block(X, X[new_pos])  # c × |new|
-        d_new[new_pos, np.arange(len(new_pos))] = np.inf
-        nbrs_out: list[np.ndarray] = [None] * c  # type: ignore[list-item]
-        for j, p in enumerate(new_pos):
-            col = d_new[:, j]
-            part = np.argpartition(col, k_eff - 1)[:k_eff]
-            order = np.lexsort((ids[part], col[part]))
-            nbrs_out[p] = ids[part[order]].astype(np.int64)
-
-        def to_pos(global_ids: np.ndarray) -> np.ndarray:
-            p = np.minimum(np.searchsorted(ids, global_ids), c - 1)
-            return p[ids[p] == global_ids]
-
-        # (b)+(c)+(d) existing nodes: surviving old edges (dangling
-        # dropped, distances recomputed by gather) merged with the new
-        # arrivals; nodes the dangling drops left short of k_eff widen
-        # their candidate pool with surviving neighbors' neighborhoods
-        # (2-hop backfill) so degree does not erode across cycles
-        old_lists = pdf["nbr_ids"]
-        for p in np.flatnonzero(~is_new):
-            old = np.asarray(old_lists.iloc[p], dtype=np.int64)
-            op = to_pos(old)
-            parts = [op, new_pos]
-            if len(op) < k_eff:  # (d) 2-hop backfill
-                for qpos in op:
-                    two_hop = old_lists.iloc[qpos]
-                    if two_hop is not None and not is_new[qpos]:
-                        parts.append(to_pos(np.asarray(two_hop, dtype=np.int64)))
-            cand = np.unique(np.concatenate(parts))
-            cand = cand[cand != p]
-            if len(cand) == 0:
-                nbrs_out[p] = np.array([], dtype=np.int64)
-                continue
-            cd = pair_d(np.full(len(cand), p), cand)
-            sel = np.lexsort((ids[cand], cd))[: min(k_eff, len(cand))]
-            nbrs_out[p] = ids[cand[sel]].astype(np.int64)
-        out = {f: pdf[f] for f in pdf.columns if f != "nbr_ids"}
-        out["nbr_ids"] = nbrs_out
-        return pd.DataFrame(out)
+    repair = _make_repair_kernel(id_col, data_col, degree, codec_arrs)
 
     touched = [
         int(r[0]) for r in assigned_delta.select("centroid_id").distinct().collect()

@@ -78,6 +78,18 @@ def _build_probe(backend: str):
                 idx, queries, k, nprobe=12, beam=32, rounds=4, n_entry=12
             ),
         )
+    if backend == "graph2":
+        from cs598vectordb_spark.operators.graph import (
+            build_layered_graph2,
+            knn_graph_layered2,
+        )
+
+        return (
+            lambda base: build_layered_graph2(base, nlist1=4, nlist2=4, degree=16),
+            lambda base, idx, queries, k: knn_graph_layered2(
+                idx, queries, k, nprobe1=4, nprobe2=12, beam=32, rounds=4, n_entry=12
+            ),
+        )
     raise ValueError(f"unknown backend {backend}")
 
 
@@ -99,6 +111,16 @@ def _maintenance(backend: str):
         return (
             lambda idx, keep: delete_from_layered(idx, keep),
             lambda idx, delta: insert_into_layered(idx, delta),
+        )
+    if backend == "graph2":
+        from cs598vectordb_spark.operators.graph import (
+            delete_from_layered2,
+            insert_into_layered2,
+        )
+
+        return (
+            lambda idx, keep: delete_from_layered2(idx, keep),
+            lambda idx, delta: insert_into_layered2(idx, delta),
         )
     return None
 

@@ -468,6 +468,21 @@ def q_dynamic_overlap_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dynamic_overlap_graph2")
+def q_dynamic_overlap_graph2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/exclusive=false on the HIERARCHICAL layered graph: incremental
+    maintenance with no driver-sized assignment anywhere — deletes
+    semi-join; inserts pick their L2 sub-cell via a distributed join
+    against the L2 table and repair only touched segments. The dynamic
+    story now covers the index whose segment count scales past any
+    driver-resident centroid matrix."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.dynamic_protocol(
+        spark, emb, q, backend="graph2", update_percents=[50],
+        intervals_per_phase=2, exclusive=False,
+    )
+
+
 @register("multi_tenant")
 def q_multi_tenant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: tenant scaling summary (mean latency/qps, sum-qps throughput,

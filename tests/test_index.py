@@ -460,6 +460,37 @@ def test_layered_graph2_recall_and_plan(spark, sf_dir):
     idx.close()
 
 
+def test_layered_graph2_incremental_delete_insert_recovers(spark, sf_dir):
+    """Hierarchical-index maintenance: delete drops recall (tombstone
+    honesty), the distributed-assignment insert repairs it back to
+    baseline — without any driver-sized L2 step."""
+    from cs598vectordb_spark.operators import updates as upd
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph2,
+        delete_from_layered2,
+        insert_into_layered2,
+        knn_graph_layered2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    truth = knn_exact(emb, q, K)
+    kw = dict(nprobe1=4, nprobe2=12, beam=32, rounds=4, n_entry=12)
+    idx = build_layered_graph2(emb, nlist1=4, nlist2=4, degree=16)
+    base_rec = recall_at_k(knn_graph_layered2(idx, q, K, **kw), truth, K).collect()[0][0]
+    v1 = upd.delete_tail_pct(emb, 50)
+    idx_del = delete_from_layered2(idx, v1)
+    assert idx_del.segments.count() == v1.count()
+    del_rec = recall_at_k(knn_graph_layered2(idx_del, q, K, **kw), truth, K).collect()[0][0]
+    assert del_rec < base_rec, (del_rec, base_rec)
+    idx_ins = insert_into_layered2(idx_del, upd.deleted_tail_slice(emb, 50))
+    assert idx_ins.segments.count() == emb.count()
+    ins_rec = recall_at_k(knn_graph_layered2(idx_ins, q, K, **kw), truth, K).collect()[0][0]
+    assert ins_rec >= base_rec - 0.03, (ins_rec, base_rec)
+    for i in (idx, idx_del, idx_ins):
+        i.close()
+
+
 def test_layered_graph_sq8_recall_and_incremental(spark, sf_dir):
     """Compressed (SQ8-segment) layered graph: reconstruction error may
     cost a little recall vs the float walk but must clear 0.85; the full

@@ -165,3 +165,37 @@ def test_pack_sequences_contiguous_for_sparse_ids(rows, parts):
         assert r.n_seqs == (off + r.n_tokens - 1) // 7 - off // 7 + 1
         off += r.n_tokens
     assert len(out) == len(uniq)
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_bmp_codec_roundtrip_property(h, w, seed):
+    """Real BMP codec: encode→decode is the identity for every raster
+    shape (row padding varies with w % 4) and every pixel content."""
+    from cs598vectordb_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_codec_roundtrip_property(n, channels, rate, seed):
+    """Real WAV codec: encode→decode preserves every sample and the
+    declared rate for mono and stereo PCM16."""
+    from cs598vectordb_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.random.default_rng(seed).integers(
+        -(2**15), 2**15, (n, channels), dtype=np.int16
+    )
+    out, got_rate = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate and np.array_equal(out, s)
