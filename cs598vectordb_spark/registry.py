@@ -52,8 +52,10 @@ _PRIORITY: tuple[str, ...] = (
     "fingerprints", "source_summary", "token_counts", "simhash_banded",
     "lang_detect",
     "stratified_sample", "media_resize",
-    # --- round-5 filler (24 slots): touched-this-round first, then
-    # single-green former reds, then §2-core representatives
+    # --- round-5 filler (24 slots): NEW oracled entries first (the real
+    # codec round-trips land with driver evidence in their birth round),
+    # then touched-this-round, single-green former reds, §2-core reps
+    "media_decode_bmp", "media_decode_wav", "media_resize_pixels",
     "dedup_clusters",
     "sq8_encode", "stream_ingest_updates", "stream_merge_upserts",
     "media_dedup", "ingest",
@@ -63,7 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
     "recall_low_dim",
     "events_last5_summary", "events_first5_series",
-    "pricing_summary", "merge_upsert", "pack_sequences", "dedup_exact",
+    "pricing_summary",
     # --- rotated out for round 5 (all green in r4; due back in r6):
     # events_hourly, sessionize, props_json_extract, asof_attribution,
     # range_click_burst, salted_user_stats, decimal_revenue,
@@ -72,7 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     # stream_dedup, stream_knn, stream_late_data, decontamination,
     # curate_corpus, sq8_error, hash_split, ngram_profile,
     # tfidf_keywords, semantic_doc_search, minhash_lsh_dedup,
-    # simhash_near_dups, embedding_near_dup
+    # simhash_near_dups, embedding_near_dup, merge_upsert,
+    # pack_sequences, dedup_exact
 )
 
 
