@@ -321,3 +321,53 @@ def ngram_profile(docs: DataFrame, topk: int = 5) -> DataFrame:
         .filter(F.col("rank") <= topk)
         .select("lang", "rank", "gram", "n")
     )
+
+
+def doc_repetition(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_grams, max_gram_count, dup_gram_frac): intra-document
+    repetition — the Gopher-rules quality signal the inter-doc dedup
+    family cannot see (a document that repeats ITSELF is low-quality
+    even when globally unique). Per doc: total word trigrams, the most
+    repeated trigram's count, and the fraction of grams that are
+    repeats (1 - distinct/total).
+
+    Scale shape: explode + partial-agg on (doc_id, gram) — the count
+    combines map-side, so the shuffle carries one row per DISTINCT gram
+    per doc, never the token stream; a second tiny agg on doc_id. Docs
+    too short for a trigram keep a zero row via the left join."""
+    t = tokens(normalize_ws(F.col("text")))
+    idx = F.sequence(F.lit(1), F.size(t) - 2)
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i.cast("int")),
+                F.element_at(t, (i + 1).cast("int")),
+                F.element_at(t, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = (
+        docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("max_gram_count"),
+        (F.sum("c") - F.count(F.lit(1))).alias("_dup"),
+    )
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("max_gram_count", F.lit(0)).cast("long").alias("max_gram_count"),
+            F.round(
+                F.coalesce(F.col("_dup") / F.col("n_grams"), F.lit(0.0)), 6
+            ).alias("dup_gram_frac"),
+        )
+    )

@@ -688,3 +688,33 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exhaustive pair set — which is what the oracle computes."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_banded_pairs(docs, max_hamming=3, n_bands=4)
+
+
+@register(
+    "doc_repetition",
+    f"""
+WITH toks AS ({_TOKENS_CTE}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens) - 1),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS gram
+  FROM toks WHERE len(tokens) >= 3
+),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS mx, SUM(c) - COUNT(*) AS dup
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.mx, 0) AS BIGINT) AS max_gram_count,
+       ROUND(COALESCE(CAST(s.dup AS DOUBLE) / s.n_grams, 0.0), 6) AS dup_gram_frac
+FROM documents d LEFT JOIN stats s USING (doc_id)
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): trigram
+    total / most-repeated count / repeated fraction per doc — the
+    quality signal inter-doc dedup cannot see."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.doc_repetition(docs)

@@ -194,3 +194,26 @@ def test_ivf2_partition_pruning(spark, sf_dir, emb_q, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "l1_id" in pf, pf
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Both sides written bucketed+sorted on the join key: with broadcast
+    disabled (the 100 TB case — neither side fits an executor) the
+    SortMergeJoin must consume the bucketed scans DIRECTLY, no exchange
+    on either input; the only shuffle left is the final tiny segment
+    agg. At small sf Catalyst rightly prefers broadcast — the registered
+    query lets it; this test pins the at-scale plan."""
+    import re
+
+    from cs598vectordb_spark.queries_relational import q_bucketed_customer_orders
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(q_bucketed_customer_orders(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    join_part = plan.split("SortMergeJoin")[1]  # the join's two inputs
+    assert "Exchange" not in join_part, join_part
