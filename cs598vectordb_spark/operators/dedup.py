@@ -667,3 +667,44 @@ def simhash_banded_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def shingle_cardinality_kmv(
+    docs: DataFrame, k: int = 256, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(k, k_eff, kth_hash, exact_distinct, est_distinct, rel_err): the
+    K-MINIMUM-VALUES cardinality sketch over the corpus's distinct
+    shingle hashes — the classic mergeable distinct-count sketch
+    (Bar-Yossef et al.): with hashes uniform on [0, M), the k-th
+    smallest hash h_k estimates |D| ≈ (k-1)·M/h_k. Unlike HLL the
+    estimator here is DETERMINISTIC given the engine's seeded rolling
+    hash, so the estimate itself faces the DuckDB value-hash oracle —
+    a fully verified approximate operator.
+
+    Scale shape: the k smallest of a distinct-hash stream is a
+    distributed TakeOrdered (per-partition top-k then a k-row driver
+    merge) — associative and mergeable, the same property that lets KMV
+    sketches union across corpus shards. The exact_distinct column is
+    the test-scale honesty check; at 100 TB you keep only the sketch
+    (that is its point) and rel_err is what the sketch's k buys you."""
+    from cs598vectordb_spark.functions.text import ROLLING_MOD
+
+    hashed = shingle_hashes(docs, text_col, id_col)
+    vals = hashed.select(F.explode("hashes").alias("h")).distinct()
+    kmin = vals.orderBy(F.col("h").asc()).limit(k)
+    small = kmin.agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_eff"))
+    exact = vals.agg(F.count(F.lit(1)).alias("n"))
+    est = F.when(
+        F.col("k_eff") < k, F.col("n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(ROLLING_MOD)) / F.col("h_k"))
+    return (
+        small.crossJoin(exact)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.col("k_eff").cast("int").alias("k_eff"),
+            F.col("h_k").cast("long").alias("kth_hash"),
+            F.col("n").cast("long").alias("exact_distinct"),
+            F.round(est, 4).alias("est_distinct"),
+            F.round(F.abs(est - F.col("n")) / F.col("n"), 6).alias("rel_err"),
+        )
+    )

@@ -718,3 +718,47 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality signal inter-doc dedup cannot see."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.doc_repetition(docs)
+
+
+_KMV_K = 256
+
+
+@register(
+    "shingle_cardinality_kmv",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles
+  FROM ({_TOKENS_CTE})
+),
+hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {_duck_rolling("s")}) AS hashes
+  FROM sh
+),
+vals AS (SELECT DISTINCT unnest(hashes) AS h FROM hashed),
+small AS (
+  SELECT MAX(h) AS h_k, COUNT(*) AS k_eff
+  FROM (SELECT h FROM vals ORDER BY h ASC LIMIT {_KMV_K})
+),
+exact AS (SELECT COUNT(*) AS n FROM vals),
+est AS (
+  SELECT k_eff, h_k, n,
+         CASE WHEN k_eff < {_KMV_K} THEN CAST(n AS DOUBLE)
+              ELSE {float(_KMV_K - 1)} * CAST({ROLLING_MOD} AS DOUBLE) / h_k
+         END AS e
+  FROM small, exact
+)
+SELECT CAST({_KMV_K} AS INTEGER) AS k,
+       CAST(k_eff AS INTEGER) AS k_eff,
+       CAST(h_k AS BIGINT) AS kth_hash,
+       CAST(n AS BIGINT) AS exact_distinct,
+       ROUND(e, 4) AS est_distinct,
+       ROUND(ABS(e - n) / n, 6) AS rel_err
+FROM est
+""",
+)
+def q_shingle_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-shingle sketch — a deterministic,
+    oracle-verified approximate cardinality operator (the 'novel sketch'
+    leg of the custom-operator family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_cardinality_kmv(docs, k=_KMV_K)
