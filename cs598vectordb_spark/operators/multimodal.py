@@ -41,6 +41,16 @@ KINDS = ["image", "audio", "video"]
 _REAL_DECODERS = {"image": "built-in BMP", "audio": "built-in WAV", "video": "cv2"}
 
 
+def _tile_bytes(a: np.ndarray, need: int) -> np.ndarray:
+    """Tile payload bytes to exactly `need` bytes. A zero-length payload
+    yields zeros instead of the ZeroDivisionError `-(-need // a.size)`
+    would raise — an empty BINARY row must produce a row, not kill its
+    whole Arrow batch. The oracle SQL mirrors this with CASE nb > 0."""
+    if a.size == 0:
+        return np.zeros(need, dtype=np.uint8)
+    return np.tile(a, -(-need // a.size))[:need]
+
+
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """Real BMP writer (24-bit uncompressed BI_RGB, bottom-up rows padded
     to 4 bytes) — pure struct/numpy. pixels: (h, w, 3) uint8 RGB."""
@@ -93,11 +103,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("malformed WAV: fmt chunk shorter than 16 bytes")
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt != 1 or bits != 16:
                 raise ValueError("unsupported WAV variant (PCM16 only)")
         elif cid == b"data":
+            if len(body) != size:
+                raise ValueError("malformed WAV: data chunk overruns buffer")
             raw = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or raw is None:
@@ -296,7 +310,7 @@ def media_decode_image(media: DataFrame, w: int = 8, h: int = 4) -> DataFrame:
             }
             for payload in pdf["payload"]:
                 a = np.frombuffer(payload, dtype=np.uint8)
-                tiled = np.tile(a, -(-need // a.size))[:need].reshape(h, w, 3)
+                tiled = _tile_bytes(a, need).reshape(h, w, 3)
                 px = decode_bmp(encode_bmp(tiled))  # the real codec pass
                 out["width"].append(px.shape[1])
                 out["height"].append(px.shape[0])
@@ -335,7 +349,7 @@ def media_decode_audio(media: DataFrame, n_samples: int = 64, rate: int = 8000) 
             }
             for payload in pdf["payload"]:
                 a = np.frombuffer(payload, dtype=np.uint8)
-                tiled = np.tile(a, -(-need // a.size))[:need]
+                tiled = _tile_bytes(a, need)
                 samples = tiled.view("<i2")
                 decoded, got_rate = decode_wav(encode_wav(samples, rate))
                 mono = decoded[:, 0]
@@ -372,7 +386,7 @@ def media_resize_pixels(media: DataFrame, w: int = 8, h: int = 4, scale: int = 2
             }
             for payload in pdf["payload"]:
                 a = np.frombuffer(payload, dtype=np.uint8)
-                tiled = np.tile(a, -(-need // a.size))[:need].reshape(h, w, 3)
+                tiled = _tile_bytes(a, need).reshape(h, w, 3)
                 px = decode_bmp(encode_bmp(tiled))  # real decode first
                 small = px[::scale, ::scale]  # nearest-neighbor resample
                 out["new_height"].append(small.shape[0])

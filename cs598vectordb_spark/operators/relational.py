@@ -177,10 +177,18 @@ def acctbal_deciles(customer: DataFrame, parts: int = 32) -> DataFrame:
     NTILE's uneven-tile arithmetic (first n%10 tiles get one extra row)
     is reproduced exactly from the 0-based rank, so the DuckDB oracle's
     real ntile() hashes identically. Partition-boundary sampling noise
-    cannot change results: only the exact global rank feeds the tile."""
+    cannot change results: only the exact global rank feeds the tile.
+
+    The ranged frame is localCheckpoint()ed before the count collect so
+    the offset job and the final aggregation read the SAME materialized
+    partitioning — otherwise the second job re-runs the range
+    partitioner, and resampled boundaries (nondeterministic source,
+    future AQE behavior) could route rows to a pid absent from the
+    offset map, silently nulling deciles. Only (c_acctbal, c_custkey)
+    is checkpointed, so the footprint stays two columns at any scale."""
     ranked = customer.select("c_acctbal", "c_custkey").repartitionByRange(
         parts, F.col("c_acctbal").asc(), F.col("c_custkey").asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     counts = {r["_pid"]: r["cnt"] for r in ranked.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("cnt")).collect()}
     n = sum(counts.values())
