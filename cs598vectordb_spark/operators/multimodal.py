@@ -135,6 +135,70 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Real PPM writer (P6 binary, 8-bit, row-major top-down RGB) — the
+    netpbm sibling of encode_bmp. pixels: (h, w, 3) uint8."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def encode_pgm(gray: np.ndarray) -> bytes:
+    """Real PGM writer (P5 binary, 8-bit grayscale). gray: (h, w) uint8."""
+    h, w = gray.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(gray, dtype=np.uint8).tobytes()
+
+
+def _parse_pnm_header(data: bytes, magic: bytes) -> tuple[int, int, int]:
+    """Parse a binary-netpbm header (magic, whitespace/#-comment-separated
+    width height maxval, one whitespace byte, raster). Returns
+    (w, h, raster_offset). Malformed inputs raise ValueError like the
+    other codecs, never a struct/index error."""
+    if data[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1] in b" \t\r\n#":
+            if data[pos : pos + 1] == b"#":  # comment runs to end of line
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+            else:
+                pos += 1
+        start = pos
+        while pos < len(data) and data[pos : pos + 1] not in b" \t\r\n":
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PNM header")
+        try:
+            vals.append(int(data[start:pos]))
+        except ValueError as e:
+            raise ValueError("malformed PNM header") from e
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("unsupported PNM maxval (8-bit only)")
+    if w <= 0 or h <= 0:
+        raise ValueError("malformed PNM dimensions")
+    return w, h, pos + 1  # exactly one whitespace byte before the raster
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Real PPM reader (P6 binary, 8-bit; handles whitespace and
+    #-comments in the header) -> (h, w, 3) uint8 RGB."""
+    w, h, offset = _parse_pnm_header(data, b"P6")
+    need = w * h * 3
+    if len(data) - offset < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(data, dtype=np.uint8, count=need, offset=offset).reshape(h, w, 3)
+
+
+def decode_pgm(data: bytes) -> np.ndarray:
+    """Real PGM reader (P5 binary, 8-bit) -> (h, w) uint8 grayscale."""
+    w, h, offset = _parse_pnm_header(data, b"P5")
+    need = w * h
+    if len(data) - offset < need:
+        raise ValueError("truncated PGM raster")
+    return np.frombuffer(data, dtype=np.uint8, count=need, offset=offset).reshape(h, w)
+
+
 def decode_media(payload: bytes, kind: str):
     """Real codec decode for the stdlib-expressible formats: BMP images
     and WAV/PCM16 audio decode for real (struct/numpy above, no external
@@ -400,4 +464,76 @@ def media_resize_pixels(media: DataFrame, w: int = 8, h: int = 4, scale: int = 2
         kernel,
         "doc_id long, new_width int, new_height int, sum_r long, sum_g long, "
         "sum_b long",
+    )
+
+
+def media_decode_ppm(media: DataFrame, w: int = 8, h: int = 4) -> DataFrame:
+    """REAL netpbm round-trip, the PPM (P6) sibling of media_decode_image:
+    payload bytes tiled into an (h, w, 3) raster, written as an actual
+    binary-PPM file (encode_ppm) and decoded back by the engine's own
+    header-walking parser (decode_ppm) inside the Arrow kernel. Emits
+    channel sums plus whole-raster min/max so the oracle check covers
+    order statistics, not just sums. Pure per-row map; payloads never
+    leave executors."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = h * w * 3
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].values,
+                "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+                "min_px": [], "max_px": [],
+            }
+            for payload in pdf["payload"]:
+                a = np.frombuffer(payload, dtype=np.uint8)
+                tiled = _tile_bytes(a, need).reshape(h, w, 3)
+                px = decode_ppm(encode_ppm(tiled))  # the real codec pass
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long, min_px int, max_px int",
+    )
+
+
+def media_decode_pgm(media: DataFrame, w: int = 8, h: int = 4) -> DataFrame:
+    """REAL grayscale netpbm round-trip (PGM/P5): payload bytes tiled
+    into an (h, w) single-channel raster, encoded as an actual binary
+    PGM and decoded back by decode_pgm inside the Arrow kernel — the
+    one-channel leg of the real-codec matrix (BMP, WAV, PPM, PGM).
+    Integer stats only, same tie-rounding rationale as the BMP kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = h * w
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"].values,
+                "width": [], "height": [],
+                "sum_px": [], "min_px": [], "max_px": [], "px_checksum": [],
+            }
+            for payload in pdf["payload"]:
+                a = np.frombuffer(payload, dtype=np.uint8)
+                tiled = _tile_bytes(a, need).reshape(h, w)
+                px = decode_pgm(encode_pgm(tiled))  # the real codec pass
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["sum_px"].append(int(px.sum()))
+                out["min_px"].append(int(px.min()))
+                out["max_px"].append(int(px.max()))
+                out["px_checksum"].append(int(px.sum()) % 997)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, width int, height int, sum_px long, min_px int, "
+        "max_px int, px_checksum long",
     )
