@@ -44,7 +44,11 @@ def main() -> int:
         "knn_pq_refined",
         "knn_sq8",
         "knn_ivf_sq8",
-        "knn_graph",
+        # knn_graph (flat beam-search graph) is deliberately NOT here:
+        # ~5 stage-waves per hop make it 4.9× slower than layered2 at
+        # sf0.1 and a scale-killer at 100×. It stays a tested operator
+        # (tests/test_index graph_search_recall); layered/layered2/sq8
+        # are the graph paths of record.
         "knn_graph_layered",
         "knn_graph_layered2",
         "knn_graph_sq8",
@@ -153,7 +157,6 @@ def main() -> int:
                 "knn_pq_refined": qps("knn_pq_refined"),
                 "knn_sq8": qps("knn_sq8"),
                 "knn_ivf_sq8": qps("knn_ivf_sq8"),
-                "knn_graph": qps("knn_graph"),
                 "knn_graph_layered": qps("knn_graph_layered"),
                 "knn_graph_layered2": qps("knn_graph_layered2"),
                 "knn_graph_sq8": qps("knn_graph_sq8"),

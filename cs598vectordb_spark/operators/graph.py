@@ -120,7 +120,7 @@ def build_knn_graph_partitioned(
     nlist: int = 8,
     spill: int = 2,
     train_sample: int = 10_000,
-    exact_segment_rows: int = 32_768,
+    exact_segment_rows: int = 16_384,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
@@ -576,7 +576,7 @@ def build_layered_graph(
     base: DataFrame,
     nlist: int = 16,
     degree: int = 16,
-    exact_segment_rows: int = 32_768,
+    exact_segment_rows: int = 16_384,
     compress: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -838,7 +838,7 @@ def build_layered_graph2(
     nlist1: int = 4,
     nlist2: int = 4,
     degree: int = 16,
-    exact_segment_rows: int = 32_768,
+    exact_segment_rows: int = 16_384,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = SEED,
@@ -981,6 +981,68 @@ def knn_graph_layered2(
         id_col,
         vec_col,
     )
+
+
+def autotune_layered2(
+    index: LayeredGraph2Index,
+    queries: DataFrame,
+    truth: DataFrame,
+    target_recall: float = 0.9,
+    k: int = DEFAULT_K,
+    grid: list[tuple[int, int, int]] | None = None,
+) -> tuple[dict, list[dict]]:
+    """T4 for the engine's best index: sweep (nprobe1, nprobe2, beam) on
+    one built layered2 graph, score recall against the exact oracle, and
+    return the cheapest config clearing the target — the missing sibling
+    of autotune_ivf2 (the weaker LSH/IVF/ivf2 paths all had sweeps while
+    the index of record did not).
+
+    Cost model: selectivity (fraction of sub-cells a query may touch,
+    capped at nprobe1·nlist2 reachable through the L1 prune) is the
+    dominant term — it bounds bytes scanned, which is what matters at
+    100 TB — with beam as the tie-breaker (per-segment walk compute).
+    Deterministic: the walk kernel is seed-free (entry points are the
+    best-scored n_entry vertices), so the trace is reproducible on a
+    fixed index.
+
+    Reference analog: MRPT autotunes to a recall target on a sample,
+    /root/reference/dynamic_script_mrpt.py:44-47
+    (`build_autotune_sample(0.9, 10)`)."""
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+
+    grid = grid or [
+        (1, 3, 16),
+        (2, 4, 16),
+        (2, 6, 24),
+        (2, 8, 24),
+        (3, 8, 32),
+        (4, 12, 32),
+    ]
+    n_segments = index.nlist1 * index.nlist2
+    trace, best = [], None
+    for np1, np2, beam in grid:
+        rec = recall_at_k(
+            knn_graph_layered2(index, queries, k, nprobe1=np1, nprobe2=np2, beam=beam),
+            truth,
+            k,
+        ).collect()[0][0]
+        entry = {
+            "nprobe1": np1,
+            "nprobe2": np2,
+            "beam": beam,
+            "recall": rec,
+            "selectivity": round(
+                min(np2, np1 * index.nlist2, n_segments) / n_segments, 4
+            ),
+        }
+        trace.append(entry)
+        if rec >= target_recall and (
+            best is None
+            or (entry["selectivity"], entry["beam"])
+            < (best["selectivity"], best["beam"])
+        ):
+            best = entry
+    return best or {}, trace
 
 
 def delete_from_layered2(

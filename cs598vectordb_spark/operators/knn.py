@@ -73,13 +73,18 @@ def _topk_from_scores(
 
 
 def squared_l2_block(B: np.ndarray, Q: np.ndarray) -> np.ndarray:
-    """||b-q||² for every (base, query) pair — one BLAS GEMM."""
-    d2 = (
-        np.square(B).sum(axis=1, keepdims=True)
-        - 2.0 * (B @ Q.T)
-        + np.square(Q).sum(axis=1)[np.newaxis, :]
-    )
-    return np.maximum(d2, 0.0)  # fp noise can dip a self-distance below 0
+    """||b-q||² for every (base, query) pair — one BLAS GEMM.
+
+    Updates the GEMM output in place so the only |B|×|Q| transient is the
+    result itself (the expression form allocated three: the product, the
+    broadcast sum, and the maximum copy — 3× the peak per-task memory in
+    the graph builders' exact-segment path)."""
+    d2 = B @ Q.T
+    d2 *= -2.0
+    d2 += np.square(B).sum(axis=1, keepdims=True)
+    d2 += np.square(Q).sum(axis=1)[np.newaxis, :]
+    np.maximum(d2, 0.0, out=d2)  # fp noise can dip a self-distance below 0
+    return d2
 
 
 def _topk_per_query(

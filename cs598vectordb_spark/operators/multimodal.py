@@ -5,14 +5,15 @@ extension the north star asks for: media payloads ride along as
 `BINARY` columns with a typed metadata struct, and decode / feature-extract
 / resize / frame-sample run as Arrow-batched kernels over `mapInPandas`.
 
-Container reality: no image/audio LIBRARIES are installed, but two real
+Container reality: no image/audio LIBRARIES are installed, but four real
 formats are stdlib-expressible and decode for REAL here — BMP (24-bit
-uncompressed, struct/numpy reader+writer) and WAV (RIFF/PCM16). Only
-compressed video still raises NotImplementedError (cv2 absent), and the
-byte-level fake decode remains for the kinds whose payloads are not real
-container files. Everything Spark-side is real and tested: schema,
-binary batch shape through Arrow, partitioning, and the kernel
-signatures any further decoder drops into.
+uncompressed, struct/numpy reader+writer), WAV (RIFF/PCM16), and the
+netpbm pair PPM (P6 binary RGB) / PGM (P5 binary grayscale) with
+whitespace/#-comment header parsing. Only compressed video still raises
+NotImplementedError (cv2 absent), and the byte-level fake decode remains
+for the kinds whose payloads are not real container files. Everything
+Spark-side is real and tested: schema, binary batch shape through Arrow,
+partitioning, and the kernel signatures any further decoder drops into.
 
 Scale notes:
 * Binary payloads dominate row width — at 100 TB you bound scan partitions
@@ -35,9 +36,9 @@ from pyspark.sql import functions as F
 
 KINDS = ["image", "audio", "video"]
 
-# Real-decoder registry: kind -> how decode happens. Image (BMP) and
-# audio (WAV/PCM) are REAL pure-stdlib codecs below; compressed formats
-# (JPEG/MP3/MP4) would need the listed absent libraries.
+# Real-decoder registry: kind -> how decode happens. Image (BMP, plus the
+# netpbm PPM/PGM codecs below) and audio (WAV/PCM) are REAL pure-stdlib
+# codecs; compressed formats (JPEG/MP3/MP4) would need absent libraries.
 _REAL_DECODERS = {"image": "built-in BMP", "audio": "built-in WAV", "video": "cv2"}
 
 
@@ -177,7 +178,12 @@ def _parse_pnm_header(data: bytes, magic: bytes) -> tuple[int, int, int]:
         raise ValueError("unsupported PNM maxval (8-bit only)")
     if w <= 0 or h <= 0:
         raise ValueError("malformed PNM dimensions")
-    return w, h, pos + 1  # exactly one whitespace byte before the raster
+    # spec: EXACTLY one whitespace byte between maxval and the raster; a
+    # foreign file with e.g. CRLF here would silently shift the raster by
+    # a byte if we didn't check.
+    if data[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        raise ValueError("malformed PNM header (no whitespace before raster)")
+    return w, h, pos + 1
 
 
 def decode_ppm(data: bytes) -> np.ndarray:

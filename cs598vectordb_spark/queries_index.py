@@ -267,7 +267,9 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("pq_train_encode", lambda: pq_artifacts_for(spark, sf_dir)),
         ("sq8_train_encode", lambda: sq_artifacts_for(spark, sf_dir)),
         ("ivf_sq8_build", lambda: ivf_sq_index_for(spark, sf_dir)),
-        ("knn_graph_build", lambda: knn_graph_for(spark, sf_dir)),
+        # flat knn_graph build removed from the warm set: its probe is no
+        # longer a headline query (superseded by layered2), and the warm
+        # registry builds it lazily if the rows-only variants are called.
         ("layered_graph_build", lambda: layered_graph_for(spark, sf_dir)),
         ("ivf2_build", lambda: ivf2_index_for(spark, sf_dir)),
         ("layered_graph_sq8_build", lambda: layered_graph_sq8_for(spark, sf_dir)),
@@ -806,6 +808,32 @@ def q_ivf2_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(t["nprobe1"], t["nprobe2"], t["recall"], t["selectivity"]) for t in trace],
         "nprobe1 int, nprobe2 int, recall double, selectivity double",
+    )
+
+
+@register("graph2_autotune")
+def q_graph2_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 for the index of record: (nprobe1, nprobe2, beam) sweep on the
+    layered2 graph; the chosen config is the cheapest (selectivity, then
+    beam) clearing 0.9 recall — MRPT's build_autotune_sample(0.9, 10)
+    re-expressed for the hierarchical graph
+    (/root/reference/dynamic_script_mrpt.py:44-47). Deterministic on a
+    fixed index → rows-only; the recall floor is pinned in
+    tests/test_index.py."""
+    from cs598vectordb_spark.operators.graph import autotune_layered2
+
+    emb, q_full = _setup(spark, sf_dir)
+    q = q_full.limit(20)
+    truth = knn_exact(emb, q, _K)
+    _, trace = autotune_layered2(
+        layered_graph2_for(spark, sf_dir), q, truth, target_recall=0.9, k=_K
+    )
+    return spark.createDataFrame(
+        [
+            (t["nprobe1"], t["nprobe2"], t["beam"], t["recall"], t["selectivity"])
+            for t in trace
+        ],
+        "nprobe1 int, nprobe2 int, beam int, recall double, selectivity double",
     )
 
 

@@ -253,3 +253,76 @@ def q_media_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs598vectordb_spark.operators.multimodal import media_resize_pixels
 
     return media_resize_pixels(_media(spark, sf_dir))
+
+
+@register(
+    "media_decode_ppm",
+    f"""
+WITH {_MEDIA_HEX},
+px AS (
+  SELECT doc_id, hex, length(hex) // 2 AS nb FROM media
+),
+chan AS (
+  SELECT doc_id,
+         list_transform(generate_series(0::BIGINT, 31),
+                        t -> {_byte("((3*t) % nb) + 1")}) AS r,
+         list_transform(generate_series(0::BIGINT, 31),
+                        t -> {_byte("((3*t+1) % nb) + 1")}) AS g,
+         list_transform(generate_series(0::BIGINT, 31),
+                        t -> {_byte("((3*t+2) % nb) + 1")}) AS b,
+         -- the exact 96-byte tiled raster, for the order statistics
+         list_transform(generate_series(0::BIGINT, 95),
+                        k -> {_byte("(k % nb) + 1")}) AS allb
+  FROM px
+)
+SELECT doc_id, 8 AS width, 4 AS height,
+       CAST(list_sum(r) AS BIGINT) AS sum_r,
+       CAST(list_sum(g) AS BIGINT) AS sum_g,
+       CAST(list_sum(b) AS BIGINT) AS sum_b,
+       CAST(list_min(allb) AS INTEGER) AS min_px,
+       CAST(list_max(allb) AS INTEGER) AS max_px
+FROM chan
+""",
+)
+def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL netpbm (P6 binary PPM) round-trip: payload tiled to an RGB
+    raster, written as an actual PPM file and decoded back by the
+    engine's own whitespace/#-comment-aware header parser
+    (operators.multimodal.encode_ppm/decode_ppm). Channel sums AND
+    whole-raster min/max value-hashed against byte recomputation — the
+    hash matches only because the PPM round-trip is pixel-exact."""
+    from cs598vectordb_spark.operators.multimodal import media_decode_ppm
+
+    return media_decode_ppm(_media(spark, sf_dir))
+
+
+@register(
+    "media_decode_pgm",
+    f"""
+WITH {_MEDIA_HEX},
+px AS (
+  SELECT doc_id, hex, length(hex) // 2 AS nb FROM media
+),
+gray AS (
+  SELECT doc_id,
+         list_transform(generate_series(0::BIGINT, 31),
+                        t -> {_byte("(t % nb) + 1")}) AS g
+  FROM px
+)
+SELECT doc_id, 8 AS width, 4 AS height,
+       CAST(list_sum(g) AS BIGINT) AS sum_px,
+       CAST(list_min(g) AS INTEGER) AS min_px,
+       CAST(list_max(g) AS INTEGER) AS max_px,
+       CAST(list_sum(g) % 997 AS BIGINT) AS px_checksum
+FROM gray
+""",
+)
+def q_media_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL grayscale netpbm (P5 binary PGM) round-trip — the
+    one-channel leg of the real-codec matrix (BMP, WAV, PPM, PGM):
+    payload tiled to an 8x4 grayscale raster through
+    encode_pgm/decode_pgm, integer stats value-hashed against DuckDB
+    byte arithmetic."""
+    from cs598vectordb_spark.operators.multimodal import media_decode_pgm
+
+    return media_decode_pgm(_media(spark, sf_dir))

@@ -121,6 +121,29 @@ def q_stream_merge_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_merge_upserts_cow",
+    """
+SELECT vec_id,
+       CAST(label + CASE WHEN vec_id % 10 = 2 THEN 300
+                         WHEN vec_id % 10 = 5 THEN 200
+                         ELSE 0 END AS INTEGER) AS label
+FROM embeddings
+""",
+)
+def q_stream_merge_upserts_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned copy-on-write streaming MERGE: snapshot laid out
+    partitionBy(pid = vec_id % 10); each micro-batch reads only the
+    touched partitions (PartitionFilters at the scan) and rewrites only
+    those directories (dynamic partition overwrite) — batch cost scales
+    with |touched partitions|, not |table|. Same last-writer-wins closed
+    form as stream_merge_upserts; untouched-partition immutability is
+    mtime-pinned in tests/test_streaming.py."""
+    from cs598vectordb_spark.streaming.jobs import merge_upserts_cow_stream
+
+    return merge_upserts_cow_stream(spark, sf_dir, _io_dir(sf_dir, "stream_merge_cow"))
+
+
+@register(
     "stream_late_data",
     """
 WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),

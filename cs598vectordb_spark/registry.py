@@ -40,49 +40,43 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # rotation maintains: every oracled entry's newest green row is at most
 # two rounds old.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-6 slot 1-3: the three entries registered after r5's
-    # priority freeze (commit f69f6d5) that have never been driver-graded
-    # (birth-round-evidence policy violation, flagged by the r5 verdict)
-    "bucketed_customer_orders", "doc_repetition", "shingle_cardinality_kmv",
-    # --- round-6 new oracled entries (land with driver evidence in
-    # their birth round)
-    "media_decode_ppm", "media_decode_pgm",
-    "stream_merge_upserts_cow",
-    # --- r4-green set rotated out in round 5; newest green row is r4,
-    # so the ≤2-rounds-old invariant makes them due now (29 entries)
-    "events_hourly", "sessionize", "props_json_extract",
-    "asof_attribution", "range_click_burst", "salted_user_stats",
-    "decimal_revenue",
-    "media_features", "media_frame_sample", "media_summary",
-    "stream_events_hourly", "stream_sessionize", "stream_stateful_counts",
-    "stream_dedup", "stream_knn", "stream_late_data",
-    "decontamination", "curate_corpus", "sq8_error", "hash_split",
-    "ngram_profile", "tfidf_keywords", "semantic_doc_search",
-    "minhash_lsh_dedup", "simhash_near_dups", "embedding_near_dup",
-    "merge_upsert", "pack_sequences", "dedup_exact",
-    # --- round-6 filler (to slot 50): entries whose implementation was
-    # touched this round (deciles persist fix, multimodal zero-payload
-    # guards, WAV chunk validation, MERGE copy-on-write), then §2-core
-    # representatives
-    "acctbal_deciles",
-    "media_decode_wav", "media_decode_bmp", "media_resize_pixels",
-    "media_resize",
-    "stream_merge_upserts",
-    "knn_exact", "pricing_summary",
-    "scan_fvecs", "scan_ivecs", "load_dataset", "scan_logs",
+    # --- round-7 slot 1-5: the r6 reds (TIMESTAMP_NTZ fixture drift,
+    # fixed in sources/tables.py) — re-graded first to show the repair
+    "sessionize", "asof_attribution",
+    "stream_events_hourly", "stream_sessionize", "stream_late_data",
+    # --- round-7 slot 6-8: the r6 phantom-priority names, now actually
+    # registered (PNM codecs wired, COW MERGE implemented) — birth-round
+    # driver evidence
+    "media_decode_ppm", "media_decode_pgm", "stream_merge_upserts_cow",
+    # --- r5-green set rotated out in round 6; newest green row is r5,
+    # so the ≤2-rounds-old invariant makes them due now (38 entries)
+    "knn_exact_expr", "knn_cosine", "knn_filtered", "knn_collect",
+    "shipping_priority", "local_supplier_volume", "revenue_change",
+    "order_priority_count", "customer_order_stats", "brand_top_parts",
+    "status_pivot", "customer_number_extract", "lineitem_rollup",
+    "priority_customers_setops", "customer_order_gaps",
+    "minhash_signatures", "jaccard_topk", "doc_stats", "quality_scores",
+    "fingerprints", "source_summary", "token_counts", "simhash_banded",
+    "lang_detect", "stratified_sample", "dedup_clusters", "sq8_encode",
+    "stream_ingest_updates", "media_dedup", "ingest", "sql_text_surface",
+    "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
+    "recall_low_dim", "events_last5_summary", "events_first5_series",
+    # --- round-7 filler (to slot 50): §2-core representatives kept
+    # fresh every round
+    "knn_exact", "pricing_summary", "merge_upsert", "dedup_exact",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r5-green entries not re-graded this round (due back in r7):
-    # knn_exact_expr, knn_cosine, knn_filtered, knn_collect,
-    # shipping_priority, local_supplier_volume, revenue_change,
-    # order_priority_count, customer_order_stats, brand_top_parts,
-    # status_pivot, customer_number_extract, lineitem_rollup,
-    # priority_customers_setops, customer_order_gaps,
-    # minhash_signatures, jaccard_topk, doc_stats, quality_scores,
-    # fingerprints, source_summary, token_counts, simhash_banded,
-    # lang_detect, stratified_sample, dedup_clusters, sq8_encode,
-    # stream_ingest_updates, media_dedup, ingest, sql_text_surface,
-    # delete_pct, insert_restore, upsert_guard, knn_post_delete,
-    # recall_low_dim, events_last5_summary, events_first5_series
+    # r6-green entries not re-graded this round (due back in r8):
+    # bucketed_customer_orders, doc_repetition, shingle_cardinality_kmv,
+    # events_hourly, props_json_extract, range_click_burst,
+    # salted_user_stats, decimal_revenue, media_features,
+    # media_frame_sample, media_summary, stream_stateful_counts,
+    # stream_dedup, stream_knn, decontamination, curate_corpus,
+    # sq8_error, hash_split, ngram_profile, tfidf_keywords,
+    # semantic_doc_search, minhash_lsh_dedup, simhash_near_dups,
+    # embedding_near_dup, pack_sequences, acctbal_deciles,
+    # media_decode_wav, media_decode_bmp, media_resize_pixels,
+    # media_resize, stream_merge_upserts, scan_fvecs, scan_ivecs,
+    # load_dataset, scan_logs
 )
 
 

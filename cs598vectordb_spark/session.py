@@ -35,10 +35,13 @@ def get_spark(app_name: str = "cs598vectordb_spark", cpus: int | None = None) ->
         # head-of-line blocking. Pools are created on demand by
         # setLocalProperty('spark.scheduler.pool', ...).
         .config("spark.scheduler.mode", "FAIR")
-        # events.parquet carries TIMESTAMP(NANOS); Spark reads them as long
-        # nanos and sources/tables.py converts to micro-precision timestamps
-        # (same floor-truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP).
+        # events.ts has shipped as TIMESTAMP(NANOS) (read as long nanos,
+        # converted in sources/tables.py) and as timestamp[us]-no-tz (which
+        # would infer TIMESTAMP_NTZ and break numeric casts + watermarks).
+        # Pin both confs; session tz is UTC so TIMESTAMP == the oracle's
+        # timezone-free values either way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # exact kNN uses an explicit crossJoin(broadcast(queries)); keep the

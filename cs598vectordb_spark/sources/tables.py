@@ -18,13 +18,33 @@ from cs598vectordb_spark.config import DEFAULT_N_QUERIES, TABLES
 
 
 _RUNTIME_CONFS = (
-    # events.parquet carries TIMESTAMP(NANOS); without this a session
+    # Older fixtures carried TIMESTAMP(NANOS); without this a session
     # throws PARQUET_TYPE_ILLEGAL on read. Runtime-settable SQLConf.
     ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # Newer fixtures write timestamp[us] with isAdjustedToUTC=false, which
+    # Spark would otherwise infer as TIMESTAMP_NTZ — breaking casts to
+    # numeric and withWatermark (both require TIMESTAMP). Session tz is
+    # pinned UTC below, so reading as TIMESTAMP is value-identical.
+    ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     # Timestamps render in the session timezone when collected; the DuckDB
     # oracle's TIMESTAMPs are timezone-free, so pin UTC for parity.
     ("spark.sql.session.timeZone", "UTC"),
 )
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType regardless of the
+    parquet fixture's physical encoding. Handles all three encodings the
+    driver fixtures have shipped: TIMESTAMP(NANOS) read as bigint nanos
+    (legacy conf), timestamp[us] with no tz read as TIMESTAMP_NTZ (when
+    the inferTimestampNTZ conf couldn't be applied), and plain TIMESTAMP.
+    Session tz is pinned UTC so the NTZ→TZ cast is value-identical."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def _align_session(spark: SparkSession) -> None:
@@ -54,11 +74,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejected the soft set above, or raced a concurrent unset)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    # events.ts is TIMESTAMP(NANOS) in parquet — read as long nanos and
-    # floor-truncated to micro precision here, matching DuckDB's
-    # CAST(TIMESTAMP_NS AS TIMESTAMP) on the oracle side.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts has shipped as TIMESTAMP(NANOS), timestamp[us]-no-tz, and
+    # plain TIMESTAMP across fixture generations — normalize to TIMESTAMP.
+    if name == "events":
+        df = normalize_ts(df, "ts")
     return df
 
 

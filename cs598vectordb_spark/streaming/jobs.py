@@ -33,6 +33,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cs598vectordb_spark.sources.tables import _align_session, normalize_ts
+
 _MEM_SEQ = itertools.count()
 
 
@@ -53,16 +55,16 @@ def _run_to_memory(writer_df: DataFrame, mode: str = "append") -> DataFrame:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned from the
-    batch reader; TIMESTAMP(NANOS) → micros exactly as sources/tables.py)."""
+    batch reader; ts normalized to TIMESTAMP exactly as sources/tables.py
+    — watermarks reject TIMESTAMP_NTZ, so the normalization is load-bearing)."""
+    _align_session(spark)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(batch.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ts(stream, "ts")
 
 
 def hourly_counts(spark: SparkSession, sf_dir: str, delay: str = "1 hour") -> DataFrame:
@@ -115,6 +117,7 @@ def split_events_files(
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
+    _align_session(spark)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     now = time.time()
     for i in range(n_splits):
@@ -144,10 +147,11 @@ def stateful_user_counts(
 
     split_events_files(spark, sf_dir, work_dir, n_splits)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    stream = (
+    stream = normalize_ts(
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(work_dir)
+        .parquet(work_dir),
+        "ts",
     )
 
     def update(key, pdf_iter, state: GroupState):
@@ -518,3 +522,95 @@ def merge_upserts_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> Dat
     q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(versions["cur"]).select("vec_id", "label")
+
+
+def merge_upserts_cow_stream(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_parts: int = 10
+) -> DataFrame:
+    """Partition-pruned copy-on-write streaming MERGE — the at-scale
+    version of merge_upserts_stream, whose whole-snapshot rewrite per
+    micro-batch is O(|table|) per batch and quadratic over a run. Here
+    the snapshot is hash-partitioned on pid = vec_id % n_parts
+    (partitionBy layout on disk) and each micro-batch:
+
+      1. derives the touched partition set from the batch keys (collect
+         is bounded by n_parts — a handful of ints, never rows),
+      2. reads ONLY those partitions — `pid IN (...)` prunes at the
+         scan, visible as PartitionFilters in the plan (tests/test_plans),
+      3. merges (broadcast anti-join + union, last-writer-wins within
+         the batch via max(seq)),
+      4. rewrites ONLY the touched partition directories via dynamic
+         partition overwrite; untouched partitions keep their files
+         byte-identical (mtime-pinned in tests/test_streaming.py).
+
+    Batch cost scales with |touched partitions|, not |table| — at 100 TB
+    with daily-partitioned data this is the Delta/Iceberg/Hudi COW write
+    path (foreachBatch + MERGE in those formats adds commit atomicity; a
+    plain parquet dir stands in here). The localCheckpoint before the
+    rewrite materializes the merged rows so the self-overwrite is safe
+    (Spark otherwise refuses to overwrite a path it is reading).
+
+    Reference analog: Milvus predicate delete + re-flush touches only the
+    affected segment, not the collection
+    (/root/reference/dynamic_script_milvus.py:133-146)."""
+    _align_session(spark)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ops_dir = os.path.join(work_dir, "ops")
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    os.makedirs(ops_dir)
+
+    def upserts(pred, bump: int, seq: int) -> DataFrame:
+        return emb.filter(pred).select(
+            F.lit(seq).alias("seq"),
+            "vec_id",
+            "embedding",
+            (F.col("label") + bump).alias("label"),
+        )
+
+    plan = [
+        upserts(F.col("vec_id") % 10 == 2, 100, 0),
+        upserts(F.col("vec_id") % 10 == 5, 200, 1),
+        upserts(F.col("vec_id") % 10 == 2, 300, 2),  # same keys again
+    ]
+    now = time.time()
+    for i, df in enumerate(plan):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(ops_dir, f"op{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    snap_dir = os.path.join(work_dir, "snapshot")
+    pid = (F.col("vec_id") % n_parts).cast("int").alias("pid")
+    emb.select("vec_id", "embedding", "label", pid).write.partitionBy(
+        "pid"
+    ).parquet(snap_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = batch_df.groupBy("vec_id").agg(F.max("seq").alias("seq"))
+        rows = batch_df.join(latest, ["vec_id", "seq"]).select(
+            "vec_id", "embedding", "label", pid
+        )
+        # bounded collect: at most n_parts ints, never data rows
+        touched = [r[0] for r in rows.select("pid").distinct().collect()]
+        pruned = spark.read.parquet(snap_dir).filter(F.col("pid").isin(touched))
+        merged = (
+            pruned.join(F.broadcast(rows.select("vec_id")), "vec_id", "left_anti")
+            .unionByName(rows)
+            .localCheckpoint()  # break file lineage before self-overwrite
+        )
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("pid").parquet(snap_dir)
+
+    stream = (
+        spark.readStream.schema("seq int, vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(ops_dir)
+    )
+    q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(snap_dir).select("vec_id", "label")

@@ -562,3 +562,26 @@ def test_layered_graph_repeated_cycles_no_erosion(spark, sf_dir):
 
     deg = idx.segments.select(F.avg(F.size("nbr_ids"))).first()[0]
     assert deg >= 10.0, deg
+
+
+def test_graph2_autotune_frontier(spark, sf_dir):
+    """The layered2 sweep must (a) clear the 0.9 target somewhere on the
+    default grid, (b) pick the cheapest clearing config under the
+    (selectivity, beam) order, and (c) be monotone end-to-end: the
+    largest probe config recalls at least as well as the smallest."""
+    from cs598vectordb_spark.operators.graph import autotune_layered2
+    from cs598vectordb_spark.queries_index import layered_graph2_for
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ).limit(20)
+    truth = knn_exact(emb, q, K)
+    idx = layered_graph2_for(spark, sf_dir)
+    best, trace = autotune_layered2(idx, q, truth, target_recall=0.9, k=K)
+    assert best, f"no config cleared 0.9: {trace}"
+    assert best["recall"] >= 0.9
+    clearing = [t for t in trace if t["recall"] >= 0.9]
+    assert (best["selectivity"], best["beam"]) == min(
+        (t["selectivity"], t["beam"]) for t in clearing
+    )
+    assert trace[-1]["recall"] >= trace[0]["recall"] - 0.02, trace
+    assert all(0 < t["selectivity"] <= 1 for t in trace)

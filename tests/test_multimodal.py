@@ -123,3 +123,82 @@ def test_media_decode_bmp_query(spark, sf_dir):
     assert bad == 0
     assert out.filter((F.col("width") != 8) | (F.col("height") != 4)).count() == 0
     out.unpersist()
+
+
+def test_pnm_codecs_roundtrip_exact():
+    """The netpbm codecs must be lossless for arbitrary 8-bit rasters,
+    and the header parser must accept whitespace runs + #-comments."""
+    import numpy as np
+    import pytest
+
+    from cs598vectordb_spark.operators.multimodal import (
+        decode_pgm,
+        decode_ppm,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in ((4, 8), (5, 7), (1, 1), (3, 2), (2, 31)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px), (h, w)
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(decode_pgm(encode_pgm(g)), g), (h, w)
+
+    # header variants a foreign netpbm writer may emit: comments between
+    # tokens, CRLF separators, multi-space runs
+    px = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    raster = px.tobytes()
+    commented = b"P6\n# made by a foreign tool\n3 2\n# maxval next\n255\n" + raster
+    assert np.array_equal(decode_ppm(commented), px)
+    crlf = b"P6\r\n3   2\r\n255\n" + raster
+    assert np.array_equal(decode_ppm(crlf), px)
+
+    # malformed inputs raise ValueError, never struct/index errors
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n3 2\n255\n" + raster)  # wrong magic for PPM
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n65535\n" + raster)  # 16-bit maxval
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n255\n" + raster[:-1])  # truncated raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 x\n255\n" + raster)  # non-numeric dim
+    with pytest.raises(ValueError):
+        decode_pgm(b"P5\n0 2\n255\n")  # zero dimension
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n255")  # EOF where whitespace must be
+    # ADVICE: a non-whitespace byte after maxval must raise, not silently
+    # shift the raster by one
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n255X" + raster)
+
+
+def test_media_decode_pnm_queries(spark, sf_dir):
+    """The registered PNM round-trip queries: one row per doc; the PPM
+    channel sums reconcile with the PGM stats where they overlap (both
+    tile the same payload bytes), and min<=max within 0..255."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.multimodal import (
+        media_decode_pgm,
+        media_decode_ppm,
+        media_table,
+    )
+    from cs598vectordb_spark.sources.tables import load_table
+
+    media = media_table(load_table(spark, sf_dir, "documents"))
+    n = media.count()
+    ppm = media_decode_ppm(media).cache()
+    pgm = media_decode_pgm(media).cache()
+    assert ppm.count() == n and pgm.count() == n
+    assert ppm.filter((F.col("width") != 8) | (F.col("height") != 4)).count() == 0
+    assert (
+        ppm.filter(
+            (F.col("min_px") < 0) | (F.col("max_px") > 255)
+            | (F.col("min_px") > F.col("max_px"))
+        ).count()
+        == 0
+    )
+    assert pgm.filter(F.col("px_checksum") != F.col("sum_px") % 997).count() == 0
+    ppm.unpersist()
+    pgm.unpersist()

@@ -117,6 +117,10 @@ def test_bare_session_reads_events(sf_dir):
         assert n > 0, n
         rows = qs["events_last5_summary"](spark, {sf_dir!r}).collect()
         assert rows, rows
+        # sessionize casts ts to long — dies on TIMESTAMP_NTZ, so this
+        # pins the NTZ normalization under a bare session too
+        ns = qs["sessionize"](spark, {sf_dir!r}).count()
+        assert ns > 0, ns
         print("BARE_OK", n)
         """
     )
@@ -125,3 +129,43 @@ def test_bare_session_reads_events(sf_dir):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "BARE_OK" in proc.stdout, proc.stdout
+
+
+def test_events_ts_always_timestamp(spark):
+    """Regression for the round-6 fixture drift: events.ts has shipped as
+    TIMESTAMP(NANOS) (read as bigint nanos) and as timestamp[us]-no-tz
+    (which Spark would infer as TIMESTAMP_NTZ, breaking numeric casts and
+    watermarks). load_table must yield plain TIMESTAMP at every scale
+    factor regardless of the parquet's physical encoding."""
+    import os
+
+    from cs598vectordb_spark.sources.tables import load_table
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        ev = load_table(spark, d, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp", (sf, ev.dtypes)
+
+
+def test_normalize_ts_handles_all_encodings(spark):
+    """normalize_ts is the single choke point for event-time dtype: bigint
+    nanos -> TIMESTAMP, TIMESTAMP_NTZ -> TIMESTAMP (value-identical under
+    the UTC session tz), TIMESTAMP passes through untouched."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.sources.tables import normalize_ts
+
+    base = spark.range(3).select(
+        (F.col("id") * 1_000_000_000 + 1_755_000_000_000_000_000).alias("ns")
+    )
+    as_bigint = base.select(F.col("ns").alias("ts"))
+    as_tz = base.select(F.timestamp_micros((F.col("ns") / 1000).cast("long")).alias("ts"))
+    as_ntz = as_tz.select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+    fixed = [normalize_ts(df) for df in (as_bigint, as_tz, as_ntz)]
+    for df in fixed:
+        assert dict(df.dtypes)["ts"] == "timestamp"
+    vals = [tuple(r[0] for r in df.orderBy("ts").collect()) for df in fixed]
+    assert vals[0] == vals[1] == vals[2]

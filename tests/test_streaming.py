@@ -109,3 +109,58 @@ def test_stream_dedup_agrees_with_batch_dedup(spark, sf_dir, tmp_path):
     n_groups_batch = batch.select("fingerprint").distinct().count()
     assert n_groups_stream == n_groups_batch
     assert got.count() == docs.count()
+
+
+def test_merge_cow_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """The copy-on-write MERGE contract, asserted at the file level: the
+    upsert plan touches keys vec_id%10 in {2,5}, so with pid = vec_id%10
+    only partitions pid=2 and pid=5 may be rewritten after the initial
+    snapshot; every other partition's files must remain byte-identical
+    (same names, sizes, mtimes). The final table matches the batch MERGE
+    closed form, and the pruned per-batch read shows PartitionFilters."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.streaming.jobs import merge_upserts_cow_stream
+
+    work = str(tmp_path / "cow")
+    snap_dir = os.path.join(work, "snapshot")
+
+    out = merge_upserts_cow_stream(spark, sf_dir, work, n_parts=10).cache()
+
+    def newest_mtime(pid: int) -> float:
+        d = os.path.join(snap_dir, f"pid={pid}")
+        return max(
+            os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    untouched = [p for p in range(10) if p not in (2, 5)]
+    oldest_touched = min(newest_mtime(p) for p in (2, 5))
+    for p in untouched:
+        assert newest_mtime(p) < oldest_touched, (
+            f"partition pid={p} was rewritten by a batch that did not touch it"
+        )
+
+    # value contract: same closed form as the whole-rewrite MERGE
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    expected = emb.select(
+        "vec_id",
+        (
+            F.col("label")
+            + F.when(F.col("vec_id") % 10 == 2, 300)
+            .when(F.col("vec_id") % 10 == 5, 200)
+            .otherwise(0)
+        ).alias("label"),
+    )
+    assert out.count() == emb.count()
+    assert out.exceptAll(expected).count() == 0
+    out.unpersist()
+
+    # the per-batch read prunes at the scan: PartitionFilters, not a
+    # post-scan Filter
+    pruned = spark.read.parquet(snap_dir).filter(F.col("pid").isin([2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pid" in plan, plan
