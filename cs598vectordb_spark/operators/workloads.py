@@ -22,6 +22,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cs598vectordb_spark.config import DEFAULT_K, UPDATE_PERCENTS
 from cs598vectordb_spark.operators import updates as upd
@@ -345,3 +346,58 @@ def multi_tenant(
     _close_index(idx)
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
+def recall_degradation(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    backends: list[str] | None = None,
+    update_percents: list[int] | None = None,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """The reference's headline dynamic artifact re-expressed: per
+    (backend, update_percent), the post-recovery QPS/latency/recall
+    summary row — the results_summary table of
+    /root/reference/dynamic_script_faiss.py:68-73,120-125 (baseline row
+    at update_percent=0, then one row per percent averaging the final
+    intervals after the delete+insert cycle), plus post_delete_recall so
+    the degradation dip itself is visible, not only the recovery.
+
+    Runs the exclusive (settled-snapshot, deterministic) protocol on the
+    engine's incremental-maintenance indexes; the recovery invariant —
+    final_recall >= baseline_recall - 0.02 — is pinned in
+    tests/test_updates_metrics.py. Summary aggregation happens on the
+    already-driver-sized metrics table (a few rows per phase)."""
+    backends = backends or ["graph2", "graph_sq8"]
+    update_percents = update_percents or UPDATE_PERCENTS
+
+    metrics = None
+    for b in backends:
+        m = dynamic_protocol(
+            spark, base, queries, backend=b, update_percents=update_percents,
+            k=k, run_id=f"degrade_{b}", exclusive=True,
+        )
+        metrics = m if metrics is None else metrics.unionByName(m)
+
+    final = (
+        metrics.filter(F.col("phase").isin("baseline", "post_insert"))
+        .withColumn(
+            "update_percent",
+            F.when(F.col("phase") == "baseline", 0).otherwise(F.col("update_pct")),
+        )
+        .groupBy("backend", "update_percent")
+        .agg(
+            F.round(F.avg("qps"), 4).alias("final_qps"),
+            F.round(F.avg("latency_ms"), 4).alias("final_latency"),
+            F.round(F.avg("recall"), 4).alias("final_recall"),
+        )
+    )
+    dips = (
+        metrics.filter(F.col("phase") == "post_delete")
+        .groupBy("backend", F.col("update_pct").alias("update_percent"))
+        .agg(F.round(F.avg("recall"), 4).alias("post_delete_recall"))
+    )
+    return final.join(dips, ["backend", "update_percent"], "left").orderBy(
+        "backend", "update_percent"
+    )

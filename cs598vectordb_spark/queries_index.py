@@ -378,6 +378,21 @@ def q_dynamic_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary_last5(m)
 
 
+@register("recall_degradation")
+def q_recall_degradation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline dynamic artifact: recall-degradation
+    curves across update cycles at update_percents=[25,50,75] on the
+    engine's incremental indexes (layered2 + compressed layered/SQ8),
+    in the results_summary shape of dynamic_script_faiss.py:68-73,
+    120-125 plus the post-delete dip column. Recovery invariant
+    (final_recall >= baseline - 0.02) pinned in
+    tests/test_updates_metrics.py; wall-clock columns vary → rows-only."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.recall_degradation(
+        spark, emb, q.limit(20), backends=["graph2", "graph_sq8"]
+    )
+
+
 @register("dynamic_phase_regions")
 def q_dynamic_phase_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: interval spans per phase from the same protocol run."""

@@ -91,3 +91,33 @@ def test_merge_upsert_row_level_actions(spark):
     assert out[1]._merge_action == "updated" and out[1].label == 60 and out[1].embedding == [9.0]
     assert out[2]._merge_action == "inserted" and out[2].label == 7
     assert len(out) == 3
+
+
+def test_recall_degradation_recovers(spark, sf_dir):
+    """The reference's headline dynamic invariant (its summary rule,
+    dynamic_script_faiss.py:120-122): after each delete+insert cycle at
+    25/50/75%, the maintained index's recall must recover to within
+    0.02 of its own baseline — incremental maintenance (semi-join
+    deletes, delta-segment repair inserts) must not erode the index.
+    One backend per data point to keep the test bounded; graph_sq8 (the
+    compressed path) is the harder case so it's the one pinned."""
+    from cs598vectordb_spark.operators.workloads import recall_degradation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 20)
+    rows = recall_degradation(
+        spark, emb, q, backends=["graph_sq8"], update_percents=[25, 50, 75]
+    ).collect()
+    by_pct = {r.update_percent: r for r in rows}
+    assert set(by_pct) == {0, 25, 50, 75}, sorted(by_pct)
+    baseline = by_pct[0].final_recall
+    assert baseline >= 0.85, baseline
+    for pct in (25, 50, 75):
+        assert by_pct[pct].final_recall >= baseline - 0.02, (
+            pct, baseline, by_pct[pct].final_recall,
+        )
+        # the dip must actually be visible at high delete fractions:
+        # scoring vs fixed gt, deleting 75% of the base necessarily
+        # removes true neighbors
+        if pct == 75:
+            assert by_pct[pct].post_delete_recall < baseline, by_pct[pct]
