@@ -111,6 +111,19 @@ def main() -> int:
         4,
     )
 
+    # (nprobe1, nprobe2, beam) recall/selectivity frontier of the index
+    # of record (layered2), recorded every run so probe-parameter drift
+    # is visible in the bench history — the T4 sweep the reference runs
+    # as MRPT build_autotune_sample(0.9, 10).
+    from cs598vectordb_spark.operators.graph import autotune_layered2
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.queries_index import layered_graph2_for
+
+    q20 = queries_from_embeddings(emb, 20)
+    g2_best, g2_trace = autotune_layered2(
+        layered_graph2_for(spark, sf_dir), q20, knn_exact(emb, q20, 10), 0.9, 10
+    )
+
     # One cold pass (absorbs per-query one-time costs: broadcast builds,
     # shuffle file creation, codegen) then THREE steady passes; the
     # reported per-query number is the per-query MEDIAN of the steady
@@ -162,6 +175,8 @@ def main() -> int:
                 "knn_graph_sq8": qps("knn_graph_sq8"),
             },
             "lsh_selectivity": lsh_sel,
+            "graph2_autotune_best": g2_best,
+            "graph2_autotune_frontier": g2_trace,
             "index_build_seconds": build_seconds,
             "cold_pass_seconds": round(sum(cold.values()), 3),
             "steady_pass_seconds": [

@@ -27,6 +27,16 @@ ORACLE_ROUND = 4
 # [25, 75] (dynamic_script_milvus.py:59).
 UPDATE_PERCENTS = [25, 50, 75]
 
+# State-store shard count for streaming aggregations. Unlike batch
+# shuffles (sized to cores), stateful-stream partitioning should track
+# KEY CARDINALITY: every shard is a state-store instance with per-batch
+# open/commit overhead, so 32 shards for a few hundred keys is pure
+# scheduling tax (measured 2× wall on the hourly/session windows at
+# sf0.1). A cluster deployment raises this to ~2-3× total cores once the
+# keyspace (users, windows) actually needs it; it is pinned at stream
+# START and immutable for the checkpoint's lifetime thereafter.
+STREAM_STATE_PARTITIONS = 8
+
 TABLES = [
     "region",
     "nation",

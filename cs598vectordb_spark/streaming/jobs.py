@@ -38,19 +38,36 @@ from cs598vectordb_spark.sources.tables import _align_session, normalize_ts
 _MEM_SEQ = itertools.count()
 
 
-def _run_to_memory(writer_df: DataFrame, mode: str = "append") -> DataFrame:
+def _run_to_memory(
+    writer_df: DataFrame, mode: str = "append", state_partitions: int | None = None
+) -> DataFrame:
     """Start an availableNow stream into a uniquely-named memory sink, wait
-    for it to drain, and return the sink contents as a batch DataFrame."""
+    for it to drain, and return the sink contents as a batch DataFrame.
+
+    Stateful-stream shuffle partitioning is keyspace-sized, not
+    core-sized (config.STREAM_STATE_PARTITIONS): the conf is pinned into
+    the checkpoint at stream start, so it is set just for the start call
+    and restored after — batch queries in the same session keep their
+    core-sized shuffle width."""
+    from cs598vectordb_spark.config import STREAM_STATE_PARTITIONS
+
+    spark = writer_df.sparkSession
     name = f"stream_sink_{os.getpid()}_{next(_MEM_SEQ)}"
-    q = (
-        writer_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return writer_df.sparkSession.table(name)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(state_partitions or STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            writer_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    return spark.table(name)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,10 +17,10 @@ from cs598vectordb_spark.streaming.jobs import (
 
 
 def test_hourly_counts_match_closed_batch_windows(spark, sf_dir):
+    from cs598vectordb_spark.sources.tables import load_table
+
     got = hourly_counts(spark, sf_dir, delay="1 hour")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = load_table(spark, sf_dir, "events")
     max_ts = ev.select(F.max("ts")).first()[0]
     exp = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
