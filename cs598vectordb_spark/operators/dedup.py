@@ -373,29 +373,39 @@ def cross_split_contamination(
     training pipeline runs before training: test-set text leaking into
     the train split inflates benchmark numbers.
 
-    Plan: shingle-hash once, explode to (doc, hash), drop shingles whose
-    document frequency exceeds max_df (boilerplate n-grams are not
-    contamination and would otherwise fan the join out quadratically —
-    the standard df-cap), tag each posting with its split, and
-    equi-join train postings ⋈ test postings on the hash. Cost is
-    bounded by true cross-split shingle collisions, never |train|×|test|;
-    every shuffle key is a uniform hash. `splits` is any (doc_id, split)
-    assignment — hash_split's output slots in directly."""
+    Plan: tag each doc's split BEFORE the shingle explode (the join key
+    count is |docs|, not |postings| — shingle fan-out never crosses a
+    join), shingle-hash ONCE, explode to (doc, split, hash), apply the
+    df-cap as a COUNT window over the hash (boilerplate n-grams are not
+    contamination and would otherwise fan the final join out
+    quadratically — the standard df-cap), then equi-join train ⋈ test
+    postings on the hash. The window, the train side, and the test side
+    all share one hash-partitioning of the single postings pass, so the
+    whole pipeline is ONE shuffle of the postings plus the final
+    per-pair partial-agg — the previous groupBy-then-join formulation
+    executed the shingle kernel twice (no exchange reuse across its two
+    branches). Cost is bounded by true cross-split shingle collisions,
+    never |train|×|test|. `splits` is any (doc_id, split) assignment —
+    hash_split's output slots in directly. At 100 TB the test side
+    (benchmark suites, megabytes by nature) is broadcastable; the
+    shuffle-free variant replaces the final join with
+    tr.join(F.broadcast(te), "h")."""
     hashed = shingle_hashes(docs, text_col, id_col)
-    postings = hashed.select(F.col(id_col), F.explode("hashes").alias("h"))
-    rare = (
-        postings.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # every split's postings stay in until AFTER the df window: a shingle
+    # frequent across train+val is boilerplate even if rare within
+    # train∪test alone, so the cap counts document frequency globally
+    tagged = hashed.join(splits.select(F.col(id_col), "split"), id_col)
+    postings = tagged.select(F.col(id_col), "split", F.explode("hashes").alias("h"))
+    w = Window.partitionBy("h")
+    pruned = (
+        postings.withColumn("_df", F.count(F.lit(1)).over(w))
         .filter(F.col("_df") <= max_df)
-        .select("h")
+        .drop("_df")
     )
-    tagged = postings.join(rare, "h").join(
-        splits.select(F.col(id_col), "split"), id_col
-    )
-    tr = tagged.filter(F.col("split") == from_split).select(
+    tr = pruned.filter(F.col("split") == from_split).select(
         F.col(id_col).alias("train_doc"), "h"
     )
-    te = tagged.filter(F.col("split") == vs_split).select(
+    te = pruned.filter(F.col("split") == vs_split).select(
         F.col(id_col).alias("test_doc"), "h"
     )
     return (
