@@ -277,9 +277,16 @@ def dedup_clusters(
     instead of O(diameter) (the same shortcutting large-star/small-star
     exploits, as one extra doc_id-equi-join per round instead of an
     edge-rewrite). Each round localCheckpoints to truncate lineage
-    (else the plan doubles per iteration). At 100 TB the edge list is
-    the banded-LSH output (bounded by collisions, never all-pairs) and
-    each round shuffles on uniform doc_id keys."""
+    (else the plan doubles per iteration).
+
+    The loop runs ONLY over edge-touched vertices: a doc with no
+    collision edge is provably its own singleton component, so it joins
+    the result directly instead of riding every propagation round. At
+    100 TB this is the difference between shuffling |corpus| rows per
+    round and shuffling |collision vertices| (≪ corpus for any sane
+    near-dup rate); the edge list itself is the banded-LSH output
+    (bounded by collisions, never all-pairs) and every shuffle key is a
+    uniform doc_id."""
     raw_pairs, hashed = _lsh_verified_pairs(docs, k, bands, rows, text_col, id_col)
     try:
         pairs = raw_pairs.filter(F.col("jaccard") >= threshold)
@@ -292,9 +299,13 @@ def dedup_clusters(
         ).localCheckpoint(eager=True)
     finally:
         hashed.unpersist()
-    labels = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    # edges carry both directions, so src alone covers every touched vertex
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     for it in range(max_iter):
         nb = (
             edges.join(
@@ -352,9 +363,17 @@ def dedup_clusters(
         if changed == 0:
             break
     w = Window.partitionBy("cluster_id")
-    return labels.select(
+    clustered = labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
     )
+    singletons = docs.join(
+        labels.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    return clustered.unionByName(singletons)
 
 
 def cross_split_contamination(
