@@ -338,13 +338,16 @@ def _local_knn_graph(
     X: np.ndarray, ids: np.ndarray, degree: int, block: int = 4096
 ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Exact per-segment kNN adjacency (global ids + distances), ties
-    broken by id. Scored in COLUMN BLOCKS: peak extra memory is
-    |seg|·block floats (≈1 GB at a 32k-row segment), never the full
-    |seg|² matrix — a 50k-row segment's full float64 matrix would be
-    ~20 GB inside one Arrow worker, an executor OOM at exactly the
-    segment sizes a 100 TB base produces. Compute is still |seg|² GEMM,
-    which is why the builder caps the exact path at exact_segment_rows
-    and hands larger segments to NN-descent."""
+    broken by id. Scored in COLUMN BLOCKS: peak extra memory is ONE
+    |block|×|seg| float64 array (squared_l2_block updates its GEMM
+    output in place) — 4096×16384×8 B = 512 MB at the exact-path cap
+    (exact_segment_rows=16_384), ~0.6 GB worst case per Arrow worker
+    with the argpartition scratch, never the full |seg|² matrix (a
+    50k-row segment's full float64 matrix would be ~20 GB, an executor
+    OOM at exactly the segment sizes a 100 TB base produces). Compute is
+    still |seg|² GEMM, which is why the builders cap the exact path and
+    hand larger segments to the spill-partitioned/NN-descent fallbacks
+    (forced end-to-end at exact_segment_rows=0 in tests/test_index.py)."""
     from cs598vectordb_spark.operators.knn import squared_l2_block
 
     c = len(ids)

@@ -360,6 +360,33 @@ def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_cube",
+    f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), {_R}) AS sum_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) — all four grouping sets in one
+    pass with partial aggregation, plus grouping_id so a NULL dimension
+    value is distinguishable from a rolled-up dimension (the bitmask both
+    engines define identically: first listed column = high bit). The
+    grouping-sets complement to lineitem_rollup's hierarchy."""
+    from pyspark.sql import functions as F
+
+    (o,) = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), _R).alias("sum_price"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
     "priority_customers_setops",
     """
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

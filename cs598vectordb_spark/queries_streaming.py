@@ -228,3 +228,38 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs598vectordb_spark.streaming.jobs import stream_dedup
 
     return stream_dedup(spark, sf_dir, _io_dir(sf_dir, "stream_dedup"), n_splits=3)
+
+
+def _near_dedup_oracle() -> str:
+    from cs598vectordb_spark.queries_text import _duck_bands, _duck_minhash_sigs
+
+    return f"""
+WITH {_duck_minhash_sigs(16)},
+banded AS ({_duck_bands(8, 2)}),
+win AS (
+  SELECT band, sig,
+         arg_min(doc_id, (doc_id % 3) * 100000000000 + doc_id) AS winner
+  FROM banded GROUP BY band, sig
+),
+flags AS (
+  SELECT b.doc_id,
+         MIN(CASE WHEN w.winner <> b.doc_id THEN w.winner END) AS dup_of
+  FROM banded b JOIN win w USING (band, sig)
+  GROUP BY b.doc_id
+)
+SELECT doc_id, dup_of IS NOT NULL AS is_dup, CAST(dup_of AS BIGINT) AS dup_of
+FROM flags
+"""
+
+
+@register("stream_near_dedup", _near_dedup_oracle())
+def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup: banded-MinHash bucket claims with
+    first-seen-wins applyInPandasWithState across 3 ordered micro-batches
+    — the incremental half of minhash_lsh_dedup. Oracle reproduces the
+    closed form (bucket winner = argmin (batch, doc_id); dup_of = least
+    foreign winner over the doc's buckets)."""
+    from cs598vectordb_spark.streaming.jobs import stream_near_dedup
+
+    work = os.path.join(_io_dir(sf_dir, "stream_near_dedup"), "splits")
+    return stream_near_dedup(spark, sf_dir, work, n_splits=3)

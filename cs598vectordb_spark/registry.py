@@ -44,10 +44,12 @@ _PRIORITY: tuple[str, ...] = (
     # fixed in sources/tables.py) — re-graded first to show the repair
     "sessionize", "asof_attribution",
     "stream_events_hourly", "stream_sessionize", "stream_late_data",
-    # --- round-7 slot 6-8: the r6 phantom-priority names, now actually
-    # registered (PNM codecs wired, COW MERGE implemented) — birth-round
-    # driver evidence
+    # --- round-7 slot 6-10: the r6 phantom-priority names, now actually
+    # registered (PNM codecs wired, COW MERGE implemented), plus the
+    # round's new entries (grouping-sets CUBE, streaming near-dup) —
+    # birth-round driver evidence
     "media_decode_ppm", "media_decode_pgm", "stream_merge_upserts_cow",
+    "orders_cube", "stream_near_dedup",
     # --- r5-green set rotated out in round 6; newest green row is r5,
     # so the ≤2-rounds-old invariant makes them due now (38 entries)
     "knn_exact_expr", "knn_cosine", "knn_filtered", "knn_collect",
@@ -63,9 +65,10 @@ _PRIORITY: tuple[str, ...] = (
     "recall_low_dim", "events_last5_summary", "events_first5_series",
     # --- round-7 filler (to slot 50): §2-core representatives kept
     # fresh every round
-    "knn_exact", "pricing_summary", "merge_upsert", "dedup_exact",
+    "knn_exact", "dedup_exact",
     # ---------------- 50-slot grading boundary is here ----------------
     # r6-green entries not re-graded this round (due back in r8):
+    # merge_upsert, pricing_summary,
     # bucketed_customer_orders, doc_repetition, shingle_cardinality_kmv,
     # events_hourly, props_json_extract, range_click_burst,
     # salted_user_stats, decimal_revenue, media_features,

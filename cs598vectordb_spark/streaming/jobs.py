@@ -631,3 +631,107 @@ def merge_upserts_cow_stream(
     q = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(snap_dir).select("vec_id", "label")
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_splits: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup — the incremental form of
+    minhash_lsh_dedup, completing the dedup matrix (exact batch, exact
+    stream, near batch, near stream): banded MinHash bucket claims with
+    first-seen-wins state.
+
+    The banded signature table (doc_id, band, sig) — the same bands the
+    batch pipeline bucket-joins — is computed batch-side and split into
+    ordered micro-batch files (doc_id % n_splits, staggered mtimes,
+    exactly the stream_dedup pattern). The STREAM is the part a crawl
+    pipeline genuinely runs incrementally: each (band, sig) bucket keeps
+    ONE winner (first batch to arrive; lowest doc_id within that batch),
+    held in applyInPandasWithState — one long per distinct band
+    signature, the bounded incremental dedup cache a 100 TB crawl keeps
+    per shard. A doc hitting any already-claimed bucket is a near-dup
+    CANDIDATE of that bucket's winner (P[band collision] tracks Jaccard;
+    the batch verify stage prunes false positives downstream, exactly as
+    in minhash_lsh_dedup).
+
+    Deterministic closed form (ordered batches): bucket winner =
+    argmin over the bucket of (doc_id % n_splits, doc_id); a doc is
+    flagged iff some bucket pairs it with a different winner, and
+    dup_of = the smallest such winner — reproduced exactly by the
+    DuckDB oracle."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from cs598vectordb_spark.operators.dedup import minhash_signatures
+
+    _align_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sigs = minhash_signatures(docs, k)
+    band_cols = []
+    for b in range(bands):
+        s = F.concat_ws(
+            "-", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), s.alias("sig")))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    os.makedirs(work_dir)
+    now = time.time()
+    for i in range(n_splits):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        banded.filter(F.col("doc_id") % n_splits == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(work_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    stream = (
+        spark.readStream.schema("doc_id long, band int, sig string")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "batch*.parquet")
+        .parquet(work_dir)
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        winner = state.get[0] if state.exists else None
+        out_ids, out_win = [], []
+        for pdf in pdf_iter:
+            for did in sorted(pdf["doc_id"].tolist()):
+                if winner is None:
+                    winner = did
+                out_ids.append(did)
+                out_win.append(winner)
+        state.update((winner,))
+        yield pd.DataFrame({"doc_id": out_ids, "winner_id": out_win})
+
+    claimed = stream.groupBy("band", "sig").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, winner_id long",
+        stateStructType="winner_id long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(claimed, mode="update")
+    return (
+        out.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(F.col("winner_id") != F.col("doc_id"), F.col("winner_id"))
+            ).alias("dup_of")
+        )
+        .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"), "dup_of")
+    )

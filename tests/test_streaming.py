@@ -164,3 +164,33 @@ def test_merge_cow_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
     pruned = spark.read.parquet(snap_dir).filter(F.col("pid").isin([2]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "pid" in plan, plan
+
+
+def test_stream_near_dedup_agrees_with_batch_lsh(spark, sf_dir, tmp_path):
+    """The streaming near-dup claims must be consistent with the batch
+    banded-LSH machinery they share: every (doc, dup_of) pair must be a
+    batch candidate pair (they collide on at least one band), dup_of is
+    always an earlier arrival under the (batch, doc_id) order, and docs
+    with no batch candidate pair are never flagged."""
+    from cs598vectordb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.streaming.jobs import stream_near_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stream_near_dedup(spark, sf_dir, str(tmp_path / "near"), n_splits=3)
+    flagged = {r.doc_id: r.dup_of for r in out.filter(F.col("is_dup")).collect()}
+
+    cand = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in lsh_candidate_pairs(minhash_signatures(docs, 16), 8, 2).collect()
+    }
+    in_pairs = {d for p in cand for d in p}
+    for doc, winner in flagged.items():
+        assert tuple(sorted((doc, winner))) in cand, (doc, winner)
+        assert (winner % 3, winner) < (doc % 3, doc), (doc, winner)
+    assert set(flagged) <= in_pairs
+    # total coverage: one row per document
+    assert out.count() == docs.count()
