@@ -409,7 +409,11 @@ def cross_split_contamination(
     (benchmark suites, megabytes by nature) is broadcastable; the
     shuffle-free variant replaces the final join with
     tr.join(F.broadcast(te), "h")."""
-    hashed = shingle_hashes(docs, text_col, id_col)
+    # persist the kernel output (one row per doc, same discipline as
+    # _lsh_verified_pairs): the train and test branches both descend from
+    # it, and without the pin whether the Python pass runs once or twice
+    # is left to AQE exchange reuse
+    hashed = shingle_hashes(docs, text_col, id_col).persist()
     # every split's postings stay in until AFTER the df window: a shingle
     # frequent across train+val is boilerplate even if rare within
     # train∪test alone, so the cap counts document frequency globally
@@ -427,12 +431,18 @@ def cross_split_contamination(
     te = pruned.filter(F.col("split") == vs_split).select(
         F.col(id_col).alias("test_doc"), "h"
     )
-    return (
+    out = (
         tr.join(te, "h")
         .groupBy("train_doc", "test_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    try:
+        # materialize (bounded by true cross-split collisions) before
+        # releasing the kernel cache — same pattern as minhash_lsh_dedup
+        return out.localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
 
 
 # ------------------------------------------------------------ jaccard

@@ -1424,3 +1424,60 @@ def graph_quality(graph: DataFrame, truth: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [(round(hit / max(n_truth, 1), 4), n_truth)], "graph_recall double, n_edges long"
     )
+
+
+def materialize_layered2(index: LayeredGraph2Index, path: str) -> LayeredGraph2Index:
+    """Persist the hierarchical index to parquet and re-open it — the
+    layered2 sibling of materialize_layered (reference analog:
+    faiss.write_index/read_index; Milvus persists per-segment indexes,
+    /root/reference/dynamic_script_milvus.py:76-82). Three artifacts:
+    segments PARTITIONED BY segment_id, the DISTRIBUTED L2 centroid
+    table (never driver-collected — the property that lets segment
+    count exceed any driver-sized top layer), and a driver-sized L1
+    sidecar (nlist1 rows by design)."""
+    spark = index.segments.sparkSession
+    index.segments.write.mode("overwrite").partitionBy("segment_id").parquet(
+        os.path.join(path, "segments")
+    )
+    index.l2_table.write.mode("overwrite").parquet(os.path.join(path, "l2"))
+    rows = [
+        (
+            i,
+            [float(x) for x in index.l1_centroids[i]],
+            index.nlist1,
+            index.nlist2,
+            index.degree,
+        )
+        for i in range(index.nlist1)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l1_id long, centroid array<double>, nlist1 int, nlist2 int, degree int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "l1"))
+    return open_layered2(spark, path)
+
+
+def open_layered2(spark, path: str) -> LayeredGraph2Index:
+    """Re-open a materialized layered2 index: L1 sidecar to the driver
+    (nlist1 rows), L2 table stays a distributed relation, and the
+    segment table gets its one-time repartition on segment_id so the
+    walk kernel's exchange-free plan holds exactly as for a freshly
+    built index."""
+    meta = spark.read.parquet(os.path.join(path, "l1"))
+    rows = meta.orderBy("l1_id").collect()
+    l1 = np.ascontiguousarray(
+        np.stack([np.asarray(r["centroid"]) for r in rows]), dtype=np.float64
+    )
+    nlist1, nlist2, degree = (
+        int(rows[0]["nlist1"]),
+        int(rows[0]["nlist2"]),
+        int(rows[0]["degree"]),
+    )
+    l2 = spark.read.parquet(os.path.join(path, "l2"))
+    segs = (
+        spark.read.parquet(os.path.join(path, "segments"))
+        .repartition(nlist1 * nlist2, "segment_id")
+        .persist()
+    )
+    segs.count()
+    return LayeredGraph2Index(segs, l1, l2, nlist1, nlist2, degree)

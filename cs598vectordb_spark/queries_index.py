@@ -826,6 +826,30 @@ def q_ivf2_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_graph2_materialized")
+def q_knn_graph2_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index of record served FROM DISK: layered2 persisted
+    (segments partitioned by segment_id, distributed L2 table,
+    driver-sized L1 sidecar) and reopened; probes identical to the
+    fresh index — round-trip exactness pinned in tests/test_index.py.
+    Deterministic but graph-structure-dependent → rows-only."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2, materialize_layered2
+
+    _, q = _setup(spark, sf_dir)
+
+    def build():
+        idx = layered_graph2_for(spark, sf_dir)
+        path = _os.path.join("/tmp/cs598_spark_io", _os.path.basename(sf_dir.rstrip("/")), "graph2_mat")
+        return materialize_layered2(idx, path)
+
+    opened = _warm(spark, ("layered_graph2_mat", sf_dir), build)
+    return knn_graph_layered2(opened, q, _K, nprobe1=4, nprobe2=12, beam=32).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
 @register("graph2_autotune")
 def q_graph2_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 for the index of record: (nprobe1, nprobe2, beam) sweep on the

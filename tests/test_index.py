@@ -585,3 +585,35 @@ def test_graph2_autotune_frontier(spark, sf_dir):
     )
     assert trace[-1]["recall"] >= trace[0]["recall"] - 0.02, trace
     assert all(0 < t["selectivity"] <= 1 for t in trace)
+
+
+def test_layered2_materialize_roundtrip(spark, sf_dir, tmp_path):
+    """Persist + reopen of the hierarchical index must serve IDENTICAL
+    results to the freshly built index (same segments, same walk, same
+    ranks), and the reopened L1/L2 metadata must match."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.graph import (
+        knn_graph_layered2,
+        materialize_layered2,
+    )
+    from cs598vectordb_spark.queries_index import layered_graph2_for
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    fresh = layered_graph2_for(spark, sf_dir)
+    opened = materialize_layered2(fresh, str(tmp_path / "g2"))
+
+    assert opened.nlist1 == fresh.nlist1 and opened.nlist2 == fresh.nlist2
+    assert opened.degree == fresh.degree
+    assert np.allclose(opened.l1_centroids, fresh.l1_centroids)
+    assert opened.l2_table.count() == fresh.l2_table.count()
+
+    a = knn_graph_layered2(fresh, q, K, nprobe1=4, nprobe2=12, beam=32).select(
+        "q_id", "rank", "vec_id"
+    )
+    b = knn_graph_layered2(opened, q, K, nprobe1=4, nprobe2=12, beam=32).select(
+        "q_id", "rank", "vec_id"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    opened.segments.unpersist()
