@@ -1,0 +1,133 @@
+"""PCA embedding compression — dimensionality reduction for the vector
+surface (the training-data-pipeline step between raw embeddings and a
+cheaper ANN index; the reference serves raw SIFT vectors, so this is
+engine-extension surface like the dedup/text operators).
+
+Spark-first shape, one data pass + one projection pass:
+
+1. ONE distributed pass accumulates the Gram matrix and mean via
+   per-Arrow-batch partial sums (`X.T @ X`, column sums, row count) —
+   each partition emits a single (d*d + d + 1)-element row, so the
+   driver combines |partitions| rows of d=64-sized algebra, never data.
+2. The d x d eigendecomposition runs on the driver — d*d doubles is
+   driver-sized BY DESIGN (the same argument as the layered index's L1
+   centroid matrix), independent of row count: the one part of PCA that
+   is O(d^3), not O(n).
+3. Projection broadcasts the (d x out_dim) component matrix and maps
+   each batch through one GEMM — embarrassingly parallel, no shuffle.
+
+Determinism: eigh is deterministic for a fixed matrix; the component
+sign ambiguity is fixed by forcing each component's
+largest-absolute-value coordinate positive. Partial-sum float ordering
+can jitter the last bits across partition schedules, so the registered
+query faces the rows-only check while the mathematical invariants
+(orthonormality, non-increasing spectrum, exact isometry at full rank)
+are pinned in tests/test_knn.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fit_pca(
+    base: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(components d x d, eigenvalues desc, mean): one distributed pass of
+    partial Gram/mean sums, then a driver-side eigh of the d x d
+    covariance."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g = X.T @ X
+            gram = g if gram is None else gram + g
+            cs = X.sum(axis=0)
+            s = cs if s is None else s + cs
+            n += len(X)
+        if n:
+            yield pd.DataFrame(
+                {"gram": [gram.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    rows = (
+        base.select(vec_col)
+        .mapInPandas(partials, "gram array<double>, s array<double>, n long")
+        .collect()  # one row per partition: |parts| * (d*d+d+1) doubles
+    )
+    gram = np.sum([np.asarray(r["gram"]) for r in rows], axis=0)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    n = int(sum(r["n"] for r in rows))
+    d = s.shape[0]
+    gram = gram.reshape(d, d)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals = np.maximum(evals[order], 0.0)
+    evecs = evecs[:, order]
+    # fix the sign ambiguity: largest-|coordinate| of each component > 0
+    flips = np.sign(evecs[np.abs(evecs).argmax(axis=0), np.arange(d)])
+    flips[flips == 0] = 1.0
+    return evecs * flips[None, :], evals, mean
+
+
+def pca_project(
+    base: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    fitted: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """(id, pca ARRAY<FLOAT>): project every vector onto the top out_dim
+    principal components — broadcast the component matrix, one GEMM per
+    Arrow batch, no shuffle."""
+    comps, _, mean = fitted if fitted is not None else fit_pca(base, vec_col)
+    W = np.ascontiguousarray(comps[:, :out_dim])
+    spark = base.sparkSession
+    bc = spark.sparkContext.broadcast((W, mean))
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Wb, mb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = (X - mb[None, :]) @ Wb
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "pca": [row.astype(np.float32) for row in P],
+                }
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, pca array<float>"
+    )
+
+
+def pca_spectrum(base: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(component, eigenvalue, explained_ratio, cum_ratio): the variance
+    spectrum — the artifact that answers 'how small can out_dim be' for
+    an embedding-compression pass."""
+    _, evals, _ = fit_pca(base, vec_col)
+    total = float(evals.sum()) or 1.0
+    cum = np.cumsum(evals) / total
+    spark = base.sparkSession
+    rows = [
+        (int(i), round(float(evals[i]), 6), round(float(evals[i] / total), 6), round(float(cum[i]), 6))
+        for i in range(len(evals))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double, cum_ratio double"
+    ).orderBy("component")

@@ -263,3 +263,32 @@ def q_semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "lang", "source", "n_chars")),
         "vec_id",
     ).select("q_id", "rank", "vec_id", "lang", "source", "n_chars")
+
+
+@register("pca_spectrum")
+def q_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-compression planning artifact: the PCA variance spectrum
+    of the embeddings table (one distributed Gram pass, driver-side d x d
+    eigh — d*d doubles is driver-sized by design). Partial-sum float
+    ordering jitters last bits across schedules → rows-only; the
+    mathematical invariants (orthonormality, non-increasing spectrum,
+    full-rank isometry) are pinned in tests/test_knn.py."""
+    from cs598vectordb_spark.operators.pca import pca_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_spectrum(emb)
+
+
+@register("knn_exact_pca")
+def q_knn_exact_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN in PCA-compressed space (out_dim=16 of 64): fit + project
+    (broadcast GEMM, no shuffle) then the standard exact kernel over the
+    compressed vectors — the cheap-ANN path an embedding-compression
+    pipeline buys; recall vs full-dim truth pinned in tests/test_knn.py."""
+    from cs598vectordb_spark.operators.pca import fit_pca, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fitted = fit_pca(emb)
+    proj = pca_project(emb, 16, fitted=fitted).withColumnRenamed("pca", "embedding")
+    q = queries_from_embeddings(proj, 20)
+    return knn_exact(proj, q, k=10).select("q_id", "rank", "vec_id")

@@ -64,3 +64,48 @@ def test_knn_collect_shape(spark, sf_dir):
         ids = row.nn_csv.split(",")
         assert len(ids) == K
         assert int(ids[0]) == row.q_id  # self first
+
+
+def test_pca_invariants(spark, sf_dir):
+    """PCA correctness without an SQL oracle: components orthonormal,
+    spectrum non-increasing and variance-complete, full-rank projection
+    an exact isometry (pairwise distances preserved => identical kNN),
+    and low-rank projection keeps recall well above chance."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+    from cs598vectordb_spark.operators.pca import fit_pca, pca_project, pca_spectrum
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, evals, mean = fit_pca(emb)
+    d = comps.shape[0]
+    assert np.allclose(comps.T @ comps, np.eye(d), atol=1e-8)
+    assert all(evals[i] >= evals[i + 1] - 1e-9 for i in range(d - 1))
+
+    spec = pca_spectrum(emb).collect()
+    assert len(spec) == d
+    assert abs(spec[-1]["cum_ratio"] - 1.0) < 1e-4
+
+    # full-rank projection is a rotation: kNN identical to original space
+    q = queries_from_embeddings(emb, 20)
+    truth = knn_exact(emb, q, 10).select("q_id", "rank", "vec_id")
+    full = pca_project(emb, d, fitted=(comps, evals, mean)).withColumnRenamed(
+        "pca", "embedding"
+    )
+    qf = queries_from_embeddings(full, 20)
+    got = knn_exact(full, qf, 10).select("q_id", "rank", "vec_id")
+    assert got.exceptAll(truth).count() == 0 and truth.exceptAll(got).count() == 0
+
+    # low-rank (16 of 64) keeps substantial neighborhood structure
+    low = pca_project(emb, 16, fitted=(comps, evals, mean)).withColumnRenamed(
+        "pca", "embedding"
+    )
+    ql = queries_from_embeddings(low, 20)
+    rec = recall_at_k(knn_exact(low, ql, 10), truth, 10).collect()[0][0]
+    # the synthetic embeddings are ISOTROPIC — PCA's worst case, all
+    # eigenvalues comparable — so 16/64 dims measured ~0.28 recall;
+    # the floor asserts far-above-chance (random 10-of-N is ~0.002),
+    # not compression quality on clusterable data
+    assert rec >= 0.2, rec

@@ -169,3 +169,59 @@ def test_normalize_ts_handles_all_encodings(spark):
         assert dict(df.dtypes)["ts"] == "timestamp"
     vals = [tuple(r[0] for r in df.orderBy("ts").collect()) for df in fixed]
     assert vals[0] == vals[1] == vals[2]
+
+
+def test_fixture_schema_contract(spark, sf_dir):
+    """Early-warning tripwire for driver fixture drift (the events.ts
+    encoding changed between rounds and silently broke five operators
+    before this suite said a word). Pins, per table, the column dtypes
+    the engine's operators depend on — AFTER load_table normalization,
+    so a new physical encoding is fine as long as the normalization
+    layer absorbs it. A failure here means: extend
+    sources.tables.normalize_* (or the runtime confs), don't patch the
+    individual operators."""
+    from cs598vectordb_spark.sources.tables import load_all
+
+    expected = {
+        "region": {"r_regionkey": "int", "r_name": "string"},
+        "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+        "customer": {
+            "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+            "c_acctbal": "double", "c_mktsegment": "string",
+        },
+        "supplier": {
+            "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+            "s_acctbal": "double",
+        },
+        "part": {
+            "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+            "p_type": "string", "p_size": "int", "p_retailprice": "double",
+        },
+        "orders": {
+            "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+            "o_totalprice": "double", "o_orderdate": "timestamp",
+            "o_orderpriority": "string",
+        },
+        "lineitem": {
+            "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+            "l_linenumber": "int", "l_quantity": "double",
+            "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+            "l_returnflag": "string", "l_linestatus": "string",
+            "l_shipdate": "timestamp",
+        },
+        "events": {
+            "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+            "event_type": "string", "value": "double", "props": "string",
+        },
+        "documents": {
+            "doc_id": "bigint", "text": "string", "lang": "string",
+            "source": "string", "n_chars": "bigint",
+        },
+        "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+    }
+    tables = load_all(spark, sf_dir)
+    for name, want in expected.items():
+        got = dict(tables[name].dtypes)
+        # subset check: new columns may appear, the pinned ones must hold
+        broken = {c: (t, got.get(c)) for c, t in want.items() if got.get(c) != t}
+        assert not broken, (name, broken)
