@@ -360,6 +360,71 @@ def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_steps",
+    """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (SELECT user_id, MIN(ts) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT v.user_id, MIN(ev.ts) AS t_click
+  FROM v JOIN ev ON ev.user_id = v.user_id
+   AND ev.event_type = 'click' AND ev.ts > v.t_view
+  GROUP BY v.user_id
+),
+p AS (
+  SELECT c.user_id, MIN(ev.ts) AS t_purchase
+  FROM c JOIN ev ON ev.user_id = c.user_id
+   AND ev.event_type = 'purchase' AND ev.ts > c.t_click
+  GROUP BY c.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM p
+) ORDER BY step
+""",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): users counted
+    at step k only if they performed the step-k event strictly AFTER
+    their step-(k-1) entry time. Expressed as successive per-user min-ts
+    aggregations + equi-joins on user_id — each stage's frame is one row
+    per surviving user, monotonically shrinking, so at 100 TB the funnel
+    narrows the data instead of fanning it out (the window-function
+    formulation would carry every event row through every step). The
+    survivor set stays a shuffled join side (|users| rows can exceed any
+    broadcast threshold); AQE downgrades to broadcast when it fits."""
+    from pyspark.sql import functions as F
+
+    (ev,) = _t(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after(v, "click", "t_click", "t_view")
+    p = first_after(c, "purchase", "t_purchase", "t_click")
+    counts = [
+        (1, "view", v.count()),
+        (2, "click", c.count()),
+        (3, "purchase", p.count()),
+    ]
+    return spark.createDataFrame(counts, "step int, event_type string, n_users long")
+
+
+@register(
     "orders_cube",
     f"""
 SELECT o_orderstatus, o_orderpriority,
