@@ -850,6 +850,37 @@ def q_knn_graph2_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_graph2_filtered")
+def q_knn_graph2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN on the hierarchical index — the post-filter-with-
+    expansion strategy filtered-HNSW engines use when the predicate is
+    too broad to pre-filter (pre-filtering the base would invalidate the
+    prebuilt graph's edge structure): probe for k·expansion candidates
+    (labels are ~10% selective, expansion 15 ⇒ ~15 expected survivors
+    for k=10), join the predicate, re-rank, keep top-k. Every result
+    satisfies the predicate by construction; recall vs the exact
+    filtered oracle is floored in tests/test_index.py. For NEEDLE
+    predicates the right plan flips to the pushdown-filtered exact
+    kernel (knn_filtered) — the engine serves both regimes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2
+
+    emb, q = _setup(spark, sf_dir)
+    idx = layered_graph2_for(spark, sf_dir)
+    cand = knn_graph_layered2(idx, q, k=15 * _K, nprobe1=4, nprobe2=12, beam=32)
+    labeled = cand.join(emb.select("vec_id", "label"), "vec_id").filter(
+        F.col("label") == 3
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        labeled.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("q_id", "rank", "vec_id")
+    )
+
+
 @register("graph2_autotune")
 def q_graph2_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 for the index of record: (nprobe1, nprobe2, beam) sweep on the

@@ -617,3 +617,29 @@ def test_layered2_materialize_roundtrip(spark, sf_dir, tmp_path):
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     opened.segments.unpersist()
+
+
+def test_graph2_filtered_ann(spark, sf_dir):
+    """Filtered ANN (post-filter with expansion) on the hierarchical
+    index: every result satisfies the predicate, per-query results never
+    exceed k, and recall vs the exact pre-filtered oracle clears a floor
+    on this isotropic data."""
+    import __spark_entry__ as em
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    got = em.queries()["knn_graph2_filtered"](spark, sf_dir).cache()
+
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = got.collect()
+    assert rows, "no filtered results"
+    assert all(labels[r.vec_id] == 3 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert all(len(rs) <= K and sorted(rs) == list(range(1, len(rs) + 1)) for rs in per_q.values())
+
+    truth = knn_exact(emb.filter(F.col("label") == 3), q, K)
+    rec = recall_at_k(got, truth, K).collect()[0][0]
+    assert rec >= 0.5, rec
+    got.unpersist()
