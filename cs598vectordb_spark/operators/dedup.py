@@ -158,13 +158,25 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8, rows: int = 2, id_col: str = "doc_id"
+    sigs: DataFrame,
+    bands: int = 8,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band signature become a candidate
     pair. The self-join is on (band, sig) — a bucket join, not a cross
-    product. Skewed buckets (degenerate signatures) would hotspot one
-    reducer at scale; AQE skew-join handles moderate cases, and a bucket-
-    size cap (drop buckets > N) is the standard escape hatch."""
+    product. Skewed buckets (degenerate signatures — boilerplate pages,
+    empty docs) would hotspot one reducer at scale; AQE skew-join
+    handles moderate cases, and `bucket_cap` is the standard escape
+    hatch: a bucket with more than `bucket_cap` members contributes
+    O(n²) pairs and near-zero information (its members are duplicates
+    of EACH OTHER — any member pair-checks identically), so oversized
+    buckets are dropped from pair generation. Docs in a dropped bucket
+    still pair through their other bands; the recall cost is only for
+    pairs whose EVERY colliding band is over the cap — i.e. mass-scale
+    boilerplate, which exact dedup catches first. Default None keeps
+    exhaustive semantics (the oracle-checked configuration)."""
     band_cols = []
     for b in range(bands):
         sig = F.concat_ws("-", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)])
@@ -172,6 +184,13 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "sig")
+        exploded = (
+            exploded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

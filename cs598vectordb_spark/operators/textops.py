@@ -371,3 +371,44 @@ def doc_repetition(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("dup_gram_frac"),
         )
     )
+
+
+def compressibility(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, compress_ratio): zlib-level-6
+    compressed size over raw size — the Gopher/RefinedWeb-style
+    compressibility quality signal (highly repetitive boilerplate
+    compresses far below prose; random noise compresses above 1.0 with
+    header overhead). zlib is bit-deterministic for a fixed level, but
+    no SQL engine exposes it, so the registered query is rows-only and
+    the signal's invariants (prose band, repetitive << prose < noise)
+    are pinned in tests/test_dedup_text.py.
+
+    Arrow mapInPandas kernel — per-row zlib over batch strings, pure
+    projection, no shuffle; at 100 TB this is the cheapest quality
+    dimension after the Catalyst ratio columns."""
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = [(t or "").encode("utf-8") for t in pdf[text_col]]
+            nb = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "compress_ratio": [
+                        round(c / b, 6) if b else 0.0 for b, c in zip(nb, nc)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel,
+        f"{id_col} long, n_bytes long, n_compressed long, compress_ratio double",
+    )

@@ -762,3 +762,14 @@ def q_shingle_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg of the custom-operator family)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.shingle_cardinality_kmv(docs, k=_KMV_K)
+
+
+@register("compressibility")
+def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document — the Gopher-style quality
+    signal no ratio column captures (repetitive boilerplate compresses
+    far below prose). Deterministic for a fixed zlib level, but not
+    SQL-expressible → rows-only; invariants pinned in
+    tests/test_dedup_text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.compressibility(docs)

@@ -242,3 +242,67 @@ def test_contamination_detects_planted_leak(spark):
     }
     assert (0, 2) in hits and hits[(0, 2)] >= 6  # the leaked passage
     assert (1, 3) not in hits  # boilerplate-only overlap is df-capped away
+
+
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """The 100 TB skew escape hatch: 200 byte-identical docs collapse
+    into one bucket per band — uncapped that is ~200²/2 pairs per band;
+    with bucket_cap the degenerate buckets drop out entirely while
+    pairs between genuinely-similar NON-degenerate docs survive through
+    their own (small) buckets. Default (cap=None) keeps exhaustive
+    semantics — the oracle-checked configuration."""
+    from cs598vectordb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    boiler = [(i, "the same boilerplate page text repeated everywhere") for i in range(200)]
+    realish = [
+        (1000, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+        (1001, "alpha bravo charlie delta echo foxtrot golf hotel juliet"),
+        (1002, "completely different words about distributed query engines"),
+    ]
+    docs = spark.createDataFrame(boiler + realish, "doc_id long, text string")
+    sigs = minhash_signatures(docs, 16)
+
+    uncapped = lsh_candidate_pairs(sigs, 8, 2)
+    capped = lsh_candidate_pairs(sigs, 8, 2, bucket_cap=50)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 200 * 199 // 2  # the degenerate clique dominates
+    assert n_cap < 200  # clique gone, bounded output
+    # the near-duplicate pair among real docs survives the cap
+    real_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (1000, 1001) in real_pairs, real_pairs
+
+
+def test_compressibility_signal(spark, sf_dir):
+    """The zlib quality signal must order text classes correctly:
+    highly repetitive << prose-like fixture text, and tiny-alphabet
+    noise still compresses below 1.0 while the ratio never goes
+    negative; ratios are deterministic across runs."""
+    from cs598vectordb_spark.operators.textops import compressibility
+    from cs598vectordb_spark.sources.tables import load_table
+
+    probe = spark.createDataFrame(
+        [
+            (1, "spam " * 400),
+            (2, "the quick brown fox jumps over the lazy dog and keeps "
+                "running through fields of green grass toward the river"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in compressibility(probe).collect()}
+    assert got[1].compress_ratio < 0.05, got[1]          # repetition collapses
+    assert 0.3 < got[2].compress_ratio <= 1.1, got[2]     # prose band
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = compressibility(docs)
+    assert out.count() == docs.count()
+    bad = out.filter(
+        (F.col("compress_ratio") <= 0) | (F.col("n_compressed") <= 0)
+    ).count()
+    assert bad == 0
+
+    a = sorted(compressibility(probe).collect())
+    b = sorted(compressibility(probe).collect())
+    assert a == b  # bit-deterministic for a fixed zlib level
