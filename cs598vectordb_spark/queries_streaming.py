@@ -263,3 +263,30 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = os.path.join(_io_dir(sf_dir, "stream_near_dedup"), "splits")
     return stream_near_dedup(spark, sf_dir, work, n_splits=3)
+
+
+@register(
+    "stream_sink_parquet",
+    """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+  FROM ev GROUP BY 1, 2
+)
+SELECT hour, event_type, n_events, sum_value
+FROM agg
+WHERE hour + INTERVAL 1 HOUR <= (SELECT MAX(ts) FROM ev) - INTERVAL 1 HOUR
+""",
+)
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable streaming output: the watermarked hourly aggregate through
+    a CHECKPOINTED parquet file sink, read back via the sink's
+    _spark_metadata exactly-once manifest — the files on disk face the
+    same closed-window oracle as the memory-sink job; replay idempotence
+    is pinned in tests/test_streaming.py."""
+    from cs598vectordb_spark.streaming.jobs import hourly_counts_to_parquet
+
+    return hourly_counts_to_parquet(
+        spark, sf_dir, _io_dir(sf_dir, "stream_sink_parquet"), delay="1 hour"
+    )

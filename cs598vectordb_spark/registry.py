@@ -50,6 +50,7 @@ _PRIORITY: tuple[str, ...] = (
     # birth-round driver evidence
     "media_decode_ppm", "media_decode_pgm", "stream_merge_upserts_cow",
     "orders_cube", "stream_near_dedup", "funnel_steps",
+    "stream_sink_parquet",
     # --- r5-green set rotated out in round 6; newest green row is r5,
     # so the ≤2-rounds-old invariant makes them due now (38 entries)
     "knn_exact_expr", "knn_cosine", "knn_filtered", "knn_collect",
@@ -63,12 +64,9 @@ _PRIORITY: tuple[str, ...] = (
     "stream_ingest_updates", "media_dedup", "ingest", "sql_text_surface",
     "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
     "recall_low_dim", "events_last5_summary", "events_first5_series",
-    # --- round-7 filler (to slot 50): §2-core representatives kept
-    # fresh every round
-    "knn_exact",
     # ---------------- 50-slot grading boundary is here ----------------
     # r6-green entries not re-graded this round (due back in r8):
-    # merge_upsert, pricing_summary, dedup_exact,
+    # knn_exact, merge_upsert, pricing_summary, dedup_exact,
     # bucketed_customer_orders, doc_repetition, shingle_cardinality_kmv,
     # events_hourly, props_json_extract, range_click_burst,
     # salted_user_stats, decimal_revenue, media_features,

@@ -735,3 +735,49 @@ def stream_near_dedup(
         )
         .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"), "dup_of")
     )
+
+
+def hourly_counts_to_parquet(
+    spark: SparkSession, sf_dir: str, work_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """The PRODUCTION sink path: the watermarked hourly aggregate written
+    through a checkpointed parquet file sink (append mode) and read back
+    via the sink's _spark_metadata manifest — the exactly-once mechanism
+    a 100 TB pipeline relies on (output files commit atomically through
+    the manifest; a replay from the same checkpoint emits nothing new,
+    asserted in tests/test_streaming.py). Same closed-form emission as
+    hourly_counts, so the same DuckDB oracle grades the files on disk.
+
+    The memory-sink jobs verify streaming SEMANTICS; this one verifies
+    the durable-output contract."""
+    data_dir = os.path.join(work_dir, "data")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    from cs598vectordb_spark.config import STREAM_STATE_PARTITIONS
+
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", data_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    # reading the sink DIRECTORY goes through _spark_metadata: only files
+    # the manifest committed are visible (a crashed write's orphans are not)
+    return spark.read.parquet(data_dir)

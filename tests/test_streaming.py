@@ -194,3 +194,47 @@ def test_stream_near_dedup_agrees_with_batch_lsh(spark, sf_dir, tmp_path):
     assert set(flagged) <= in_pairs
     # total coverage: one row per document
     assert out.count() == docs.count()
+
+
+def test_parquet_sink_exactly_once_replay(spark, sf_dir, tmp_path):
+    """The file sink's exactly-once contract: a second availableNow run
+    against the SAME checkpoint and the same (fully consumed) input must
+    commit zero new rows — the _spark_metadata manifest, not file
+    listing, defines the sink's contents."""
+    import os
+
+    from cs598vectordb_spark.config import STREAM_STATE_PARTITIONS
+    from cs598vectordb_spark.streaming.jobs import events_stream, hourly_counts_to_parquet
+
+    work = str(tmp_path / "sink")
+    first = hourly_counts_to_parquet(spark, sf_dir, work)
+    n1 = first.count()
+    assert n1 > 0
+    assert os.path.isdir(os.path.join(work, "data", "_spark_metadata"))
+
+    # replay: same checkpoint, same input — the source offset log says
+    # everything is consumed, so the run is a no-op
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", os.path.join(work, "data"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
+    n2 = spark.read.parquet(os.path.join(work, "data")).count()
+    assert n2 == n1, (n1, n2)
