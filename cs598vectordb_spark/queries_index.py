@@ -930,3 +930,28 @@ def q_ivf_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t["nlist"], t["nprobe"], t["recall"], t["selectivity"]) for t in trace],
         "nlist int, nprobe int, recall double, selectivity double",
     )
+
+
+@register("stream_knn_graph2")
+def q_stream_knn_graph2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed streaming kNN serving: query micro-batches probed
+    against the warm hierarchical graph index inside foreachBatch — the
+    online-serving architecture (one served index, arriving queries)
+    with the engine's index of record instead of the exact kernel.
+    Graph-structure-dependent → rows-only; drained-union recall vs exact
+    is floored in tests/test_streaming.py."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2
+    from cs598vectordb_spark.queries_sources import _io_dir
+    from cs598vectordb_spark.streaming.jobs import stream_knn
+
+    idx = layered_graph2_for(spark, sf_dir)
+
+    def probe(batch_df: DataFrame) -> DataFrame:
+        return knn_graph_layered2(
+            idx, batch_df, k=_K, nprobe1=4, nprobe2=12, beam=32
+        ).select("q_id", "rank", "vec_id")
+
+    work = _os.path.join(_io_dir(sf_dir, "stream_knn_graph2"), "run")
+    return stream_knn(spark, sf_dir, work, n_splits=3, k=_K, probe=probe)

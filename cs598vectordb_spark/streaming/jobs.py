@@ -344,6 +344,7 @@ def stream_knn(
     n_splits: int = 3,
     k: int = 10,
     n_queries: int = 100,
+    probe=None,
 ) -> DataFrame:
     """Streaming kNN serving — the reference's background search loop
     (dynamic_script_faiss.py:31-43) as a Structured Streaming job: query
@@ -354,9 +355,14 @@ def stream_knn(
     Deterministic: the batches partition the query set (q_id % n_splits),
     and per-query results are independent, so the drained union equals
     batch kNN over all queries regardless of arrival order — which is
-    exactly what the DuckDB oracle computes. At scale the foreachBatch
-    body swaps the exact operator for an index probe (LSH/IVF) against
-    the serving snapshot; the streaming plumbing is unchanged."""
+    exactly what the DuckDB oracle computes.
+
+    `probe` swaps the serving engine: None = the exact kernel (the
+    oracle-checked configuration); a callable (query_batch -> (q_id,
+    rank, vec_id)) serves from an index instead — stream_knn_graph2
+    passes the hierarchical-graph probe, the index-backed online-serving
+    architecture, with recall vs exact floored in pytest. The streaming
+    plumbing is identical either way."""
     from cs598vectordb_spark.operators.knn import knn_exact
     from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
 
@@ -389,9 +395,12 @@ def stream_knn(
     def serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        knn_exact(base, batch_df, k=k).select("q_id", "rank", "vec_id").write.mode(
-            "append"
-        ).parquet(out_dir)
+        res = (
+            probe(batch_df)
+            if probe is not None
+            else knn_exact(base, batch_df, k=k).select("q_id", "rank", "vec_id")
+        )
+        res.write.mode("append").parquet(out_dir)
 
     q = stream.writeStream.foreachBatch(serve).trigger(availableNow=True).start()
     q.awaitTermination()

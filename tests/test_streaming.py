@@ -238,3 +238,23 @@ def test_parquet_sink_exactly_once_replay(spark, sf_dir, tmp_path):
         spark.conf.set(key, prev)
     n2 = spark.read.parquet(os.path.join(work, "data")).count()
     assert n2 == n1, (n1, n2)
+
+
+def test_stream_knn_graph2_recall(spark, sf_dir):
+    """Index-backed streaming serving must drain to near-exact results:
+    every query answered exactly once with k dense ranks, recall vs the
+    batch exact oracle above the layered2 probe's floor."""
+    import __spark_entry__ as em
+
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    got = em.queries()["stream_knn_graph2"](spark, sf_dir).cache()
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 100)
+    assert got.select("q_id").distinct().count() == 100
+    truth = knn_exact(emb, q, 10)
+    rec = recall_at_k(got, truth, 10).collect()[0][0]
+    assert rec >= 0.8, rec
+    got.unpersist()
