@@ -217,3 +217,33 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     assert "Bucketed: true" in plan, plan
     join_part = plan.split("SortMergeJoin")[1]  # the join's two inputs
     assert "Exchange" not in join_part, join_part
+
+
+def test_funnel_filters_push_to_scan(spark, sf_dir):
+    """The funnel's per-step event_type predicates must reach the parquet
+    scan as PushedFilters — at 100 TB each funnel stage reads only its
+    event type's row groups, not the whole events table."""
+    from cs598vectordb_spark.sources.tables import load_table
+
+    spark.catalog.clearCache()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    plan = plan_of(stage)
+    assert "PushedFilters" in plan and "EqualTo(event_type,view)" in plan, plan
+
+
+def test_compressibility_is_projection_only(spark, sf_dir):
+    """The zlib quality kernel must stay a pure per-row projection — no
+    Exchange anywhere in its plan (quality scoring at 100 TB must not
+    shuffle the corpus)."""
+    from cs598vectordb_spark.operators.textops import compressibility
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(compressibility(docs))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
