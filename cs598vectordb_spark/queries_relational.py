@@ -425,6 +425,71 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_retention",
+    """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+firsts AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day FROM ev GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS INTEGER) AS day_offset
+  FROM ev e JOIN firsts f USING (user_id)
+),
+sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_day)
+SELECT a.cohort_day, a.day_offset,
+       COUNT(*) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(COUNT(*) / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+FROM activity a JOIN sizes s USING (cohort_day)
+WHERE a.day_offset <= 7
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, per
+    (cohort, day-offset) the fraction still active — the standard
+    event-analytics triangle, bounded to a week of offsets. Two
+    aggregations plus one user-keyed join; every shuffle key (user_id,
+    then (cohort, offset)) is uniform, and the activity frame is
+    DISTINCT (user, day) — bounded by users × days, not raw events."""
+    from pyspark.sql import functions as F
+
+    (ev,) = _t(spark, sf_dir, "events")
+    ev = ev.select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date(F.col("ts")), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+@register(
     "orders_cube",
     f"""
 SELECT o_orderstatus, o_orderpriority,
