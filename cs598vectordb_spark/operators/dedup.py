@@ -157,6 +157,47 @@ def minhash_signatures(
     return hashed.select(*cols)
 
 
+def _banded(
+    sigs: DataFrame, bands: int, rows: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, sig): explode a column-per-minhash signature table into
+    banded bucket keys — shared by pair generation and the overflow
+    report so both see identical buckets."""
+    band_cols = []
+    for b in range(bands):
+        sig = F.concat_ws("-", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)])
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def lsh_bucket_overflow(
+    sigs: DataFrame,
+    bands: int = 8,
+    rows: int = 2,
+    id_col: str = "doc_id",
+    bucket_cap: int = 1000,
+) -> DataFrame:
+    """(band, sig, bucket_size, dropped_pairs): the over-cap buckets that
+    lsh_candidate_pairs(bucket_cap=...) excludes from pair generation —
+    the no-silent-caps report. A pipeline logs/sinks this next to the
+    dedup output so truncated mass is measured, not invisible:
+    dropped_pairs = C(bucket_size, 2) is the pair count the cap avoided
+    per bucket (the quadratic blowup), bucket_size the doc mass whose
+    collisions in THIS band went unexamined."""
+    return (
+        _banded(sigs, bands, rows, id_col)
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > bucket_cap)
+        .withColumn(
+            "dropped_pairs",
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 8,
@@ -176,14 +217,10 @@ def lsh_candidate_pairs(
     still pair through their other bands; the recall cost is only for
     pairs whose EVERY colliding band is over the cap — i.e. mass-scale
     boilerplate, which exact dedup catches first. Default None keeps
-    exhaustive semantics (the oracle-checked configuration)."""
-    band_cols = []
-    for b in range(bands):
-        sig = F.concat_ws("-", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)])
-        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    exhaustive semantics (the oracle-checked configuration). Dropped
+    mass is observable via lsh_bucket_overflow (same banding), never
+    silent."""
+    exploded = _banded(sigs, bands, rows, id_col)
     if bucket_cap is not None:
         w = Window.partitionBy("band", "sig")
         exploded = (

@@ -88,12 +88,18 @@ def pca_project(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     fitted: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    out_dtype: str = "float32",
 ) -> DataFrame:
-    """(id, pca ARRAY<FLOAT>): project every vector onto the top out_dim
-    principal components — broadcast the component matrix, one GEMM per
-    Arrow batch, no shuffle."""
+    """(id, pca ARRAY<FLOAT|DOUBLE>): project every vector onto the top
+    out_dim principal components — broadcast the component matrix, one
+    GEMM per Arrow batch, no shuffle.
+
+    out_dtype="float64" keeps the projection in double — used by the
+    oracle-graded query so the only fp divergence vs the DuckDB side is
+    GEMM summation order (~1e-15 relative), not a float32 round."""
     comps, _, mean = fitted if fitted is not None else fit_pca(base, vec_col)
     W = np.ascontiguousarray(comps[:, :out_dim])
+    np_dtype = np.float32 if out_dtype == "float32" else np.float64
     spark = base.sparkSession
     bc = spark.sparkContext.broadcast((W, mean))
 
@@ -107,13 +113,47 @@ def pca_project(
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "pca": [row.astype(np.float32) for row in P],
+                    "pca": [row.astype(np_dtype) for row in P],
                 }
             )
 
+    sql_type = "array<float>" if out_dtype == "float32" else "array<double>"
     return base.select(id_col, vec_col).mapInPandas(
-        project, f"{id_col} long, pca array<float>"
+        project, f"{id_col} long, pca {sql_type}"
     )
+
+
+def save_pca_model(
+    fitted: tuple[np.ndarray, np.ndarray, np.ndarray], out_dim: int, path: str
+) -> None:
+    """Persist the fitted (components, mean) as a flat parquet of
+    (i, j, mean, w) rows — i = 1-based input dim, j = 1-based output dim,
+    w = W[i-1, j-1], mean = mean[i-1] (repeated per j for join-free SQL).
+
+    d*out_dim rows of scalars is driver-sized by the same argument as the
+    fit itself; the artifact is what makes compression→search correctness
+    ORACLE-checkable: DuckDB re-projects with the exact same matrix the
+    engine broadcast (VERDICT r7 item 3; analog: the persisted graph
+    index, queries_index.py)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    comps, _, mean = fitted
+    W = comps[:, :out_dim]
+    d = W.shape[0]
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, out_dim + 1), indexing="ij")
+    table = pa.table(
+        {
+            "i": pa.array(ii.ravel(), type=pa.int32()),
+            "j": pa.array(jj.ravel(), type=pa.int32()),
+            "mean": pa.array(np.repeat(mean, out_dim), type=pa.float64()),
+            "w": pa.array(W.ravel(), type=pa.float64()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
 
 
 def pca_spectrum(base: DataFrame, vec_col: str = "embedding") -> DataFrame:

@@ -40,44 +40,47 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # rotation maintains: every oracled entry's newest green row is at most
 # two rounds old.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 slot 1-5: the r6 reds (TIMESTAMP_NTZ fixture drift,
-    # fixed in sources/tables.py) — re-graded first to show the repair
-    "sessionize", "asof_attribution",
-    "stream_events_hourly", "stream_sessionize", "stream_late_data",
-    # --- round-7 slot 6-10: the r6 phantom-priority names, now actually
-    # registered (PNM codecs wired, COW MERGE implemented), plus the
-    # round's new entries (grouping-sets CUBE, streaming near-dup) —
-    # birth-round driver evidence
+    # --- round-8 slot 1-3: birth-round evidence. cohort_retention was
+    # registered in r7 AFTER the priority was curated (VERDICT r7 item 2
+    # — the one oracled entry with no driver row); knn_exact_2k and
+    # knn_exact_pca are new this round.
+    "cohort_retention", "knn_exact_2k", "knn_exact_pca",
+    # --- r6-green set rotated out in round 7; newest green row is r6,
+    # so the ≤2-rounds-old invariant makes them due now (39 entries)
+    "knn_exact", "merge_upsert", "pricing_summary", "dedup_exact",
+    "bucketed_customer_orders", "doc_repetition",
+    "shingle_cardinality_kmv", "events_hourly", "props_json_extract",
+    "range_click_burst", "salted_user_stats", "decimal_revenue",
+    "media_features", "media_frame_sample", "media_summary",
+    "stream_stateful_counts", "stream_dedup", "stream_knn",
+    "decontamination", "curate_corpus", "sq8_error", "hash_split",
+    "ngram_profile", "tfidf_keywords", "semantic_doc_search",
+    "minhash_lsh_dedup", "simhash_near_dups", "embedding_near_dup",
+    "pack_sequences", "acctbal_deciles", "media_decode_wav",
+    "media_decode_bmp", "media_resize_pixels", "media_resize",
+    "stream_merge_upserts", "scan_fvecs", "scan_ivecs", "load_dataset",
+    "scan_logs",
+    # --- filler to 50: r7-greens whose implementation is touched this
+    # round (stream_near_dedup got the cross-chunk winner fix) plus a
+    # spread of r7-greens re-confirmed early so the r9 rotation load
+    # stays under its own 50-slot budget
+    "stream_near_dedup", "sessionize", "stream_events_hourly",
     "media_decode_ppm", "media_decode_pgm", "stream_merge_upserts_cow",
-    "orders_cube", "stream_near_dedup", "funnel_steps",
-    "stream_sink_parquet",
-    # --- r5-green set rotated out in round 6; newest green row is r5,
-    # so the ≤2-rounds-old invariant makes them due now (38 entries)
-    "knn_exact_expr", "knn_cosine", "knn_filtered", "knn_collect",
-    "shipping_priority", "local_supplier_volume", "revenue_change",
-    "order_priority_count", "customer_order_stats", "brand_top_parts",
-    "status_pivot", "customer_number_extract", "lineitem_rollup",
-    "priority_customers_setops", "customer_order_gaps",
-    "minhash_signatures", "jaccard_topk", "doc_stats", "quality_scores",
-    "fingerprints", "source_summary", "token_counts", "simhash_banded",
-    "lang_detect", "stratified_sample", "dedup_clusters", "sq8_encode",
-    "stream_ingest_updates", "media_dedup", "ingest", "sql_text_surface",
-    "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
-    "recall_low_dim", "events_last5_summary", "events_first5_series",
+    "orders_cube", "funnel_steps",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r6-green entries not re-graded this round (due back in r8):
-    # knn_exact, merge_upsert, pricing_summary, dedup_exact,
-    # bucketed_customer_orders, doc_repetition, shingle_cardinality_kmv,
-    # events_hourly, props_json_extract, range_click_burst,
-    # salted_user_stats, decimal_revenue, media_features,
-    # media_frame_sample, media_summary, stream_stateful_counts,
-    # stream_dedup, stream_knn, decontamination, curate_corpus,
-    # sq8_error, hash_split, ngram_profile, tfidf_keywords,
-    # semantic_doc_search, minhash_lsh_dedup, simhash_near_dups,
-    # embedding_near_dup, pack_sequences, acctbal_deciles,
-    # media_decode_wav, media_decode_bmp, media_resize_pixels,
-    # media_resize, stream_merge_upserts, scan_fvecs, scan_ivecs,
-    # load_dataset, scan_logs
+    # r7-green entries not re-graded this round (due back in r9):
+    # asof_attribution, stream_sessionize, stream_late_data,
+    # stream_sink_parquet, knn_exact_expr, knn_cosine, knn_filtered,
+    # knn_collect, shipping_priority, local_supplier_volume,
+    # revenue_change, order_priority_count, customer_order_stats,
+    # brand_top_parts, status_pivot, customer_number_extract,
+    # lineitem_rollup, priority_customers_setops, customer_order_gaps,
+    # minhash_signatures, jaccard_topk, doc_stats, quality_scores,
+    # fingerprints, source_summary, token_counts, simhash_banded,
+    # lang_detect, stratified_sample, dedup_clusters, sq8_encode,
+    # stream_ingest_updates, media_dedup, ingest, sql_text_surface,
+    # delete_pct, insert_restore, upsert_guard, knn_post_delete,
+    # recall_low_dim, events_last5_summary, events_first5_series
 )
 
 

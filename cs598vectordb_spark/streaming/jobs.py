@@ -38,35 +38,49 @@ from cs598vectordb_spark.sources.tables import _align_session, normalize_ts
 _MEM_SEQ = itertools.count()
 
 
-def _run_to_memory(
-    writer_df: DataFrame, mode: str = "append", state_partitions: int | None = None
-) -> DataFrame:
+def _stream_session(spark: SparkSession, state_partitions: int | None = None) -> SparkSession:
+    """Isolated child session for a streaming job: shares the
+    SparkContext (executors, scheduler pools) but owns its SQLConf, with
+    the stateful-stream shuffle width pinned keyspace-sized
+    (config.STREAM_STATE_PARTITIONS — every state shard is a store
+    instance with per-batch open/commit overhead, so core-sized widths
+    are pure scheduling tax for a few hundred keys).
+
+    A child session, NOT a temporary set/restore of the session-global
+    conf: under the FAIR scheduler a concurrent batch query planned by a
+    ThreadPoolExecutor workload (multi_tenant) during the set/restore
+    window would silently inherit the narrowed width (ADVICE r7). The
+    conf is pinned into the stream's checkpoint at start and immutable
+    thereafter; the parent session's batch plans never see it."""
+    from cs598vectordb_spark.config import STREAM_STATE_PARTITIONS
+
+    child = spark.newSession()
+    _align_session(child)
+    child.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions or STREAM_STATE_PARTITIONS),
+    )
+    return child
+
+
+def _run_to_memory(writer_df: DataFrame, mode: str = "append") -> DataFrame:
     """Start an availableNow stream into a uniquely-named memory sink, wait
     for it to drain, and return the sink contents as a batch DataFrame.
 
-    Stateful-stream shuffle partitioning is keyspace-sized, not
-    core-sized (config.STREAM_STATE_PARTITIONS): the conf is pinned into
-    the checkpoint at stream start, so it is set just for the start call
-    and restored after — batch queries in the same session keep their
-    core-sized shuffle width."""
-    from cs598vectordb_spark.config import STREAM_STATE_PARTITIONS
-
+    The writer_df must be built on a _stream_session child (every
+    builder in this module rebinds to one first), so the narrowed
+    shuffle width travels with the DataFrame's own session — no
+    session-global conf mutation."""
     spark = writer_df.sparkSession
     name = f"stream_sink_{os.getpid()}_{next(_MEM_SEQ)}"
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(state_partitions or STREAM_STATE_PARTITIONS))
-    try:
-        q = (
-            writer_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(key, prev)
+    q = (
+        writer_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -74,7 +88,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned from the
     batch reader; ts normalized to TIMESTAMP exactly as sources/tables.py
     — watermarks reject TIMESTAMP_NTZ, so the normalization is load-bearing)."""
-    _align_session(spark)
+    spark = _stream_session(spark)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(batch.schema)
@@ -163,6 +177,7 @@ def stateful_user_counts(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     split_events_files(spark, sf_dir, work_dir, n_splits)
+    spark = _stream_session(spark)
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     stream = normalize_ts(
         spark.readStream.schema(batch.schema)
@@ -207,6 +222,7 @@ def stream_dedup(
     closed form the DuckDB oracle reproduces."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    spark = _stream_session(spark)
     docs_path = os.path.join(sf_dir, "documents.parquet")
     batch = spark.read.parquet(docs_path)
     if os.path.isdir(work_dir):
@@ -238,23 +254,21 @@ def stream_dedup(
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        winner = state.get[0] if state.exists else None
-        out_ids, out_dup = [], []
+        # Drain every Arrow chunk before picking the winner (same
+        # cross-chunk rule as stream_near_dedup): the batch-wide winner
+        # is the min doc_id over the WHOLE micro-batch.
+        all_ids: list[int] = []
         for pdf in pdf_iter:
-            for did in sorted(pdf["doc_id"].tolist()):
-                if winner is None:
-                    winner = did
-                    out_dup.append(False)
-                else:
-                    out_dup.append(True)
-                out_ids.append(did)
+            all_ids.extend(int(x) for x in pdf["doc_id"].tolist())
+        all_ids.sort()
+        winner = state.get[0] if state.exists else (all_ids[0] if all_ids else None)
         state.update((winner,))
         yield pd.DataFrame(
             {
-                "fingerprint": [key[0]] * len(out_ids),
-                "doc_id": out_ids,
-                "is_dup": out_dup,
-                "winner_id": [winner] * len(out_ids),
+                "fingerprint": [key[0]] * len(all_ids),
+                "doc_id": all_ids,
+                "is_dup": [did != winner for did in all_ids],
+                "winner_id": [winner] * len(all_ids),
             }
         )
 
@@ -321,6 +335,7 @@ def late_data_hourly(
         os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
         schema = part.schema
 
+    spark = _stream_session(spark)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -386,6 +401,7 @@ def stream_knn(
         os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
 
     out_dir = os.path.join(work_dir, "results")
+    spark = _stream_session(spark)
     stream = (
         spark.readStream.schema(queries.schema)
         .option("maxFilesPerTrigger", "1")
@@ -414,6 +430,7 @@ def ingest_updates(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame
     micro-batch-by-micro-batch to versioned embedding snapshots. Returns
     the final snapshot summary; net effect = delete of vec_id%10==7.
     """
+    spark = _stream_session(spark)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ops_dir = os.path.join(work_dir, "ops")
     if os.path.isdir(work_dir):
@@ -492,6 +509,7 @@ def merge_upserts_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> Dat
     batch, so the final table is deterministic: label+300 for vec_id%10
     ==2 (updated twice, last write wins), +200 for %10==5, else the base
     row — the closed form the DuckDB oracle reproduces."""
+    spark = _stream_session(spark)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ops_dir = os.path.join(work_dir, "ops")
     if os.path.isdir(work_dir):
@@ -579,7 +597,7 @@ def merge_upserts_cow_stream(
     Reference analog: Milvus predicate delete + re-flush touches only the
     affected segment, not the collection
     (/root/reference/dynamic_script_milvus.py:133-146)."""
-    _align_session(spark)
+    spark = _stream_session(spark)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ops_dir = os.path.join(work_dir, "ops")
     if os.path.isdir(work_dir):
@@ -678,7 +696,7 @@ def stream_near_dedup(
 
     from cs598vectordb_spark.operators.dedup import minhash_signatures
 
-    _align_session(spark)
+    spark = _stream_session(spark)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     sigs = minhash_signatures(docs, k)
     band_cols = []
@@ -716,16 +734,20 @@ def stream_near_dedup(
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        winner = state.get[0] if state.exists else None
-        out_ids, out_win = [], []
+        # Drain EVERY Arrow chunk before picking the winner: a large
+        # (band, sig) bucket arrives split across chunks once it exceeds
+        # maxRecordsPerBatch, and the batch-wide winner must be the min
+        # doc_id over the whole micro-batch (the oracle's closed form),
+        # not the min of whichever chunk came first.
+        all_ids: list[int] = []
         for pdf in pdf_iter:
-            for did in sorted(pdf["doc_id"].tolist()):
-                if winner is None:
-                    winner = did
-                out_ids.append(did)
-                out_win.append(winner)
+            all_ids.extend(int(x) for x in pdf["doc_id"].tolist())
+        all_ids.sort()
+        winner = state.get[0] if state.exists else (all_ids[0] if all_ids else None)
         state.update((winner,))
-        yield pd.DataFrame({"doc_id": out_ids, "winner_id": out_win})
+        yield pd.DataFrame(
+            {"doc_id": all_ids, "winner_id": [winner] * len(all_ids)}
+        )
 
     claimed = stream.groupBy("band", "sig").applyInPandasWithState(
         update,
@@ -764,29 +786,21 @@ def hourly_counts_to_parquet(
     if os.path.isdir(work_dir):
         shutil.rmtree(work_dir)
     agg = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir)  # rebinds onto a _stream_session child
         .withWatermark("ts", delay)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
     )
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    from cs598vectordb_spark.config import STREAM_STATE_PARTITIONS
-
-    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
-    try:
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", data_dir)
-            .option("checkpointLocation", ckpt_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(key, prev)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     # reading the sink DIRECTORY goes through _spark_metadata: only files
     # the manifest committed are visible (a crashed write's orphans are not)
     return spark.read.parquet(data_dir)

@@ -1,0 +1,95 @@
+"""bench.py output-contract tests (no Spark needed).
+
+The driver captures only the LAST ~2000 chars of bench.py's stdout;
+BENCH_r07.json went parsed:null because "extra" grew past the buffer.
+These tests pin the guarantee that the printed line stays under
+bench.LINE_LIMIT for a worst-case payload, with overflow demoted to the
+detail file rather than dropped.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import bench
+
+
+def _worst_case_out() -> dict:
+    # 40 headline queries with realistically long names
+    queries = {f"knn_graph_layered2_variant_{i:02d}": 12.345 for i in range(40)}
+    return {
+        "metric": "headline_suite_wall_seconds",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "extra": {
+            "knn_exact_qps": 293.9,
+            "knn_exact_2k_qps": 3218.4,
+            "lsh_selectivity": 0.6412,
+            "graph2_autotune_best": {
+                "nprobe1": 4, "nprobe2": 12, "beam": 32,
+                "recall": 0.92, "selectivity": 0.75,
+            },
+            # bulky sweeps that blew the r7 buffer, at 3x r7 size
+            "graph2_autotune_frontier": [
+                {"nprobe1": a, "nprobe2": b, "beam": c,
+                 "recall": 0.9, "selectivity": 0.5}
+                for a in (1, 2, 4) for b in (4, 8, 12) for c in (16, 32)
+            ],
+            "knn_exact_qps_scaling": {str(n): 1000.0 for n in range(100, 4100, 200)},
+            "index_build_seconds": {f"index_family_{i}": 9.87 for i in range(12)},
+            "probe_qps": {f"knn_probe_family_{i}": 123.4 for i in range(8)},
+            "cold_pass_seconds": 99.9,
+            "steady_pass_seconds": [55.5, 56.6, 57.7],
+        },
+    }
+
+
+def test_line_under_limit_and_lossless():
+    out = _worst_case_out()
+    orig_extra_keys = set(out["extra"])
+    detail: dict = {}
+    line = bench.render_bench_line(out, detail)
+
+    assert len(line) < bench.LINE_LIMIT
+    parsed = json.loads(line)
+    # the record proper is never demoted
+    assert parsed["value"] == 123.456
+    assert len(parsed["queries"]) == 40
+    assert parsed["extra"]["detail"] == bench.DETAIL_PATH
+    # lossless: every original extra key survives on exactly one side
+    inline = set(parsed["extra"]) - {"detail"}
+    assert inline | set(detail) >= orig_extra_keys
+    assert not (inline & set(detail))
+    # the known-bulky sweeps must have been demoted, not dropped
+    assert "graph2_autotune_frontier" in detail
+    assert "knn_exact_qps_scaling" in detail
+
+
+def test_compact_payload_stays_inline():
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"knn_exact": 0.5},
+        "sf": 0.01,
+        "extra": {"knn_exact_qps": 200.0},
+    }
+    detail: dict = {}
+    line = bench.render_bench_line(out, detail)
+    assert detail == {}
+    assert json.loads(line)["extra"]["knn_exact_qps"] == 200.0
+
+
+def test_unshrinkable_line_raises():
+    # "queries" is never demoted; if it alone overflows, fail LOUDLY
+    out = {
+        "metric": "m", "value": 1.0, "unit": "sec",
+        "queries": {f"q{i}": 1.0 for i in range(400)},
+        "sf": 0.1, "extra": {},
+    }
+    with pytest.raises(AssertionError, match="bench JSON line"):
+        bench.render_bench_line(out, {})

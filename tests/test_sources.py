@@ -171,18 +171,7 @@ def test_normalize_ts_handles_all_encodings(spark):
     assert vals[0] == vals[1] == vals[2]
 
 
-def test_fixture_schema_contract(spark, sf_dir):
-    """Early-warning tripwire for driver fixture drift (the events.ts
-    encoding changed between rounds and silently broke five operators
-    before this suite said a word). Pins, per table, the column dtypes
-    the engine's operators depend on — AFTER load_table normalization,
-    so a new physical encoding is fine as long as the normalization
-    layer absorbs it. A failure here means: extend
-    sources.tables.normalize_* (or the runtime confs), don't patch the
-    individual operators."""
-    from cs598vectordb_spark.sources.tables import load_all
-
-    expected = {
+_GOLDEN_SCHEMA = {
         "region": {"r_regionkey": "int", "r_name": "string"},
         "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
         "customer": {
@@ -218,10 +207,28 @@ def test_fixture_schema_contract(spark, sf_dir):
             "source": "string", "n_chars": "bigint",
         },
         "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
-    }
-    tables = load_all(spark, sf_dir)
-    for name, want in expected.items():
+}
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_fixture_schema_contract(spark, sf):
+    """Early-warning tripwire for driver fixture drift (the events.ts
+    encoding changed between rounds and silently broke five operators
+    before this suite said a word). Pins, per table, the column dtypes
+    the engine's operators depend on — AFTER load_table normalization,
+    so a new physical encoding is fine as long as the normalization
+    layer absorbs it — at ALL THREE SFs (fixtures regenerate per round
+    and have drifted at one SF without the others; the golden schema is
+    recorded in FIXTURES.md). A failure here means: extend
+    sources.tables.normalize_* (or the runtime confs), don't patch the
+    individual operators."""
+    from cs598vectordb_spark.sources.tables import load_all
+
+    tables = load_all(spark, sf)
+    for name, want in _GOLDEN_SCHEMA.items():
         got = dict(tables[name].dtypes)
         # subset check: new columns may appear, the pinned ones must hold
         broken = {c: (t, got.get(c)) for c, t in want.items() if got.get(c) != t}
-        assert not broken, (name, broken)
+        assert not broken, (sf, name, broken)
