@@ -221,6 +221,19 @@ def main() -> int:
         pred = knn_exact(proj, pq20, 10)
         pca_recall[str(out_dim)] = recall_at_k(pred, truth).collect()[0]["recall"]
 
+    # Multi-tenant STREAMING serving scaling: per-client-count summed
+    # end-to-end serving throughput over the shared layered2 index
+    # (ref: multi_tenant_script.py:121-180 composed with the serving
+    # loop). Recorded in bench detail every run.
+    mt_stream = {
+        str(r["n_clients"]): {
+            "total_qps": r["total_qps"],
+            "avg_latency_ms": r["avg_latency_ms"],
+            "avg_recall": r["avg_recall"],
+        }
+        for r in qs["multi_tenant_stream_graph2"](spark, sf_dir).collect()
+    }
+
     # One cold pass (absorbs per-query one-time costs: broadcast builds,
     # shuffle file creation, codegen) then THREE steady passes; the
     # reported per-query number is the per-query MEDIAN of the steady
@@ -258,6 +271,7 @@ def main() -> int:
         "graph2_autotune_frontier": g2_trace,
         "knn_exact_qps_scaling": qps_scaling,
         "pca_recall_by_out_dim": pca_recall,
+        "multi_tenant_stream_graph2": mt_stream,
         "index_build_seconds": build_seconds,
         "probe_qps": {
             n: qps(n)

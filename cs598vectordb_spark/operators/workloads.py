@@ -401,3 +401,72 @@ def recall_degradation(
     return final.join(dips, ["backend", "update_percent"], "left").orderBy(
         "backend", "update_percent"
     )
+
+
+def multi_tenant_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    probe,
+    work_root: str,
+    client_counts: list[int] | None = None,
+    k: int = DEFAULT_K,
+    n_queries: int = 100,
+    run_id: str = "run0",
+) -> DataFrame:
+    """W3 over the STREAMING serving path: N concurrent clients each run
+    a full query-stream serving job (ordered micro-batches probed inside
+    foreachBatch against one shared warm index — streaming.jobs.stream_knn
+    with the layered2 probe) to completion, under the FAIR scheduler.
+    This is the reference's multi-tenant experiment
+    (multi_tenant_script.py:121-180) composed with its online-serving
+    loop (dynamic_script_faiss.py:31-43): tenants are not just N copies
+    of a batch job but N independent serving pipelines sharing executors
+    and one resident index.
+
+    Per-client wall covers the WHOLE serving run (micro-batch scheduling
+    included — that is the cost a streaming tenant actually pays), so
+    qps here is end-to-end serving throughput, lower by construction
+    than the batch multi_tenant numbers. Each client drains into its own
+    work dir (checkpoint/results are per-tenant state); the index stays
+    shared and is the only large resident object."""
+    import os
+
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+    from cs598vectordb_spark.streaming.jobs import stream_knn
+
+    client_counts = client_counts or [4, 8]
+    base = load_table(spark, sf_dir, "embeddings")
+    queries = queries_from_embeddings(base, n_queries)
+    truth = knn_exact(base, queries, k).cache()
+    truth.count()
+
+    rows = []
+    for n_clients in client_counts:
+        def client(i: int) -> tuple[float, float, float]:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"pool{i}")
+            try:
+                t0 = time.time()
+                res = stream_knn(
+                    spark,
+                    sf_dir,
+                    os.path.join(work_root, f"n{n_clients}_c{i}"),
+                    n_splits=3,
+                    k=k,
+                    n_queries=n_queries,
+                    probe=probe,
+                )
+                res.count()
+                elapsed = max(time.time() - t0, 1e-9)
+                rec = recall_at_k(res, truth, k).collect()[0][0]
+                return n_queries / elapsed, elapsed * 1000.0, rec
+            finally:
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+        with ThreadPoolExecutor(max_workers=n_clients) as ex:
+            results = list(ex.map(client, range(n_clients)))
+        for i, (qps, lat, rec) in enumerate(results):
+            rows.append(
+                (run_id, "stream_graph2", f"client{i}", i, n_queries, qps, lat, rec, 0, n_clients, True)
+            )
+    truth.unpersist()
+    return spark.createDataFrame(rows, METRICS_SCHEMA)

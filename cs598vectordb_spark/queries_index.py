@@ -955,3 +955,34 @@ def q_stream_knn_graph2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = _os.path.join(_io_dir(sf_dir, "stream_knn_graph2"), "run")
     return stream_knn(spark, sf_dir, work, n_splits=3, k=_K, probe=probe)
+
+
+@register("multi_tenant_stream_graph2")
+def q_multi_tenant_stream_graph2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 over the streaming-served hierarchical index: N concurrent
+    tenants each drain an ordered query stream probed in foreachBatch
+    against the ONE shared warm layered2 index — the multi-tenant
+    experiment (multi_tenant_script.py:121-180) composed with the
+    online-serving loop (dynamic_script_faiss.py:31-43). Per-client-count
+    mean latency/qps + summed throughput; wall-clock by nature →
+    rows-only (per-client sum-QPS also lands in bench detail)."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    idx = layered_graph2_for(spark, sf_dir)
+
+    def probe(batch_df: DataFrame) -> DataFrame:
+        return knn_graph_layered2(
+            idx, batch_df, k=_K, nprobe1=4, nprobe2=12, beam=32
+        ).select("q_id", "rank", "vec_id")
+
+    m = workloads.multi_tenant_stream(
+        spark,
+        sf_dir,
+        probe,
+        _os.path.join(_io_dir(sf_dir, "mt_stream_graph2"), "run"),
+        client_counts=[4, 8],
+    )
+    return tenant_summary(m)

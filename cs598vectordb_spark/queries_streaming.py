@@ -290,3 +290,22 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_counts_to_parquet(
         spark, sf_dir, _io_dir(sf_dir, "stream_sink_parquet"), delay="1 hour"
     )
+
+
+@register("dynamic_cow_graph2")
+def q_dynamic_cow_graph2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 end to end on the engine's best write path + best index: the
+    delete/insert cycle arrives as ordered streaming micro-batches, each
+    foreachBatch rewrites only the touched partitions of the
+    copy-on-write parquet snapshot AND incrementally maintains the
+    serving layered2 hierarchical index (tombstone semi-join / touched-
+    segment repair — never a rebuild), probing after every batch.
+    Returns the reference's metrics summary shape
+    (dynamic_script_faiss.py:120-125). Rows-only: qps/latency are
+    wall-clock by nature; the recall-recovery invariant (post_insert >=
+    baseline - 0.02) is pinned in tests/test_streaming.py."""
+    from cs598vectordb_spark.streaming.jobs import cow_dynamic_protocol
+
+    return cow_dynamic_protocol(
+        spark, sf_dir, _io_dir(sf_dir, "dynamic_cow"), pct=50
+    )

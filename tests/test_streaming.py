@@ -258,3 +258,22 @@ def test_stream_knn_graph2_recall(spark, sf_dir):
     rec = recall_at_k(got, truth, 10).collect()[0][0]
     assert rec >= 0.8, rec
     got.unpersist()
+
+
+def test_cow_dynamic_protocol_recovers_recall(spark, sf_dir, tmp_path):
+    """The streaming COW + incremental-index dynamic protocol must (a)
+    dip while half the ground-truth neighbors are deleted, (b) RECOVER
+    once they stream back in (post_insert >= baseline - 0.02 — the
+    reference's stability signal, constant recall across cycles in
+    dynamic_script_faiss logs), with every phase present exactly once."""
+    from cs598vectordb_spark.streaming.jobs import cow_dynamic_protocol
+
+    m = cow_dynamic_protocol(spark, sf_dir, str(tmp_path / "cow"), pct=50)
+    rows = {r.phase: r for r in m.collect()}
+    assert set(rows) == {"baseline", "post_delete", "post_insert"}
+    base_rec = rows["baseline"].recall
+    assert rows["post_delete"].recall < base_rec  # the dip is real
+    assert rows["post_insert"].recall >= base_rec - 0.02, (
+        rows["post_insert"].recall,
+        base_rec,
+    )

@@ -121,3 +121,18 @@ def test_recall_degradation_recovers(spark, sf_dir):
         # removes true neighbors
         if pct == 75:
             assert by_pct[pct].post_delete_recall < baseline, by_pct[pct]
+
+
+def test_multi_tenant_stream_graph2_summary(spark, sf_dir):
+    """The streaming-served multi-tenant sweep must produce one summary
+    row per client count with near-layered2 recall at every scale (the
+    shared index serves all tenants; concurrency must not corrupt or
+    starve any client's drained results)."""
+    import __spark_entry__ as em
+
+    rows = {r.n_clients: r for r in em.queries()["multi_tenant_stream_graph2"](spark, sf_dir).collect()}
+    assert set(rows) == {4, 8}
+    for r in rows.values():
+        assert r.backend == "stream_graph2"
+        assert r.avg_recall >= 0.8, r
+        assert r.total_qps > 0
