@@ -99,6 +99,11 @@ def _topk_per_query(
         qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
         scores = bn @ qn.T
         ascending = False
+    elif metric == "ip":
+        # maximum inner product (MIPS) — FAISS METRIC_INNER_PRODUCT, the
+        # third of the reference libraries' standard metrics
+        scores = B @ Q.T
+        ascending = False
     else:  # pragma: no cover
         raise ValueError(f"unknown metric {metric}")
     return _topk_from_scores(scores, ids, q_ids, k, ascending)
@@ -185,4 +190,30 @@ def knn_collect(knn: DataFrame) -> DataFrame:
             ),
             ",",
         ).alias("nn_csv")
+    )
+
+
+def knn_range(
+    base: DataFrame,
+    queries: DataFrame,
+    radius2: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range (radius) search: ALL base vectors within squared-L2 radius2
+    of each query — FAISS index.range_search re-expressed declaratively
+    (the fourth query mode next to top-k L2/cosine/IP). Pure Catalyst:
+    broadcast the query batch, crossJoin, filter on the codegen'd
+    distance expression — no Python in the plan, and the filter runs
+    INSIDE whole-stage codegen so non-matching pairs die before the
+    (tiny) result ever materializes. Unlike top-k there is no per-query
+    result bound; the radius IS the bound, so at 100 TB the caller
+    chooses radius2 from a distance histogram (pca_spectrum-style
+    planning artifact) rather than k."""
+    q = queries.select(F.col("q_id"), F.col(vec_col).alias("_q_emb"))
+    b = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_b_emb"))
+    return (
+        b.crossJoin(F.broadcast(q))
+        .filter(squared_l2("_q_emb", "_b_emb") <= radius2)
+        .select("q_id", "vec_id")
     )

@@ -309,3 +309,26 @@ def q_dynamic_cow_graph2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cow_dynamic_protocol(
         spark, sf_dir, _io_dir(sf_dir, "dynamic_cow"), pct=50
     )
+
+
+@register(
+    "stream_interval_join",
+    """
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, user_id, event_type FROM events
+)
+SELECT v.user_id AS user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM ev v JOIN ev c
+  ON v.event_type = 'view' AND c.event_type = 'click'
+ AND v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+""",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join (view -> click attribution
+    within 6 hours, watermarked both sides so buffered state stays
+    bounded): inner matches emit exactly once, so the drained result
+    equals the relational self-join the oracle runs."""
+    from cs598vectordb_spark.streaming.jobs import interval_join_stream
+
+    return interval_join_stream(spark, sf_dir)

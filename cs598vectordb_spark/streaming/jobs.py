@@ -950,3 +950,64 @@ def cow_dynamic_protocol(
         idx.close()
     truth.unpersist()
     return spark.createDataFrame(rows, METRICS_SCHEMA)
+
+
+def interval_join_stream(
+    spark: SparkSession, sf_dir: str, window: str = "6 hours", delay: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner interval join — the last core Structured
+    Streaming operator class the surface was missing (file/memory
+    sources, windows, watermarks, arbitrary state, foreachBatch MERGE
+    all exist): every `click` within `window` AFTER a `view` by the same
+    user, the attribution join a clickstream pipeline runs online.
+
+    Both sides carry watermarks and the join has a bounded time range,
+    so each side's buffered state is bounded by (watermark delay +
+    window) of data — the property that makes the join runnable forever
+    at 100 TB/day; without the bound Spark rejects the append-mode plan.
+    Inner-join matches emit as they are found (the watermark only ages
+    buffered state out), so with availableNow draining the fixture the
+    result is the COMPLETE matched set — a plain relational self-join
+    the DuckDB oracle reproduces exactly."""
+    s = _stream_session(spark)
+    batch = s.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def src() -> DataFrame:
+        return normalize_ts(
+            s.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir),
+            "ts",
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"v_user = c_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + INTERVAL {window}"
+        ),
+    )
+    out = _run_to_memory(joined)
+    return out.select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id"
+    )

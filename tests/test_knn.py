@@ -109,3 +109,47 @@ def test_pca_invariants(spark, sf_dir):
     # the floor asserts far-above-chance (random 10-of-N is ~0.002),
     # not compression quality on clusterable data
     assert rec >= 0.2, rec
+
+
+def test_knn_ip_matches_bruteforce(spark, sf_dir):
+    """MIPS kernel == numpy argmax-by-dot ground truth (rank order and
+    membership), including the desc tie-break by vec_id."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 20)
+    got = {
+        (r.q_id, r.rank): r.vec_id
+        for r in knn_exact(emb, q, 10, metric="ip").collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    for qid in range(20):
+        s = X @ X[qid]
+        top = sorted(range(len(ids)), key=lambda i: (-s[i], ids[i]))[:10]
+        for rank, i in enumerate(top, 1):
+            assert got[(qid, rank)] == ids[i], (qid, rank)
+
+
+def test_knn_range_exact_membership(spark, sf_dir):
+    """Range search returns exactly the pairs within radius2 — verified
+    against the exact kernel's distances (no misses at the boundary, no
+    extras)."""
+    from cs598vectordb_spark.operators.knn import knn_exact, knn_range
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 20)
+    r2 = 1.5
+    got = {(r.q_id, r.vec_id) for r in knn_range(emb, q, r2).collect()}
+    # k large enough to cover every in-radius neighbor at this SF
+    full = knn_exact(emb, q, 500).collect()
+    want = {(r.q_id, r.vec_id) for r in full if r.dist <= r2}
+    assert got == want
+    assert len(got) > 20  # at least the self-matches plus real neighbors
