@@ -736,3 +736,35 @@ def q_bucketed_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), _R).alias("avg_totalprice"),
         )
     )
+
+
+@register(
+    "event_value_percentiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (continuous interpolation) — the latency
+    dashboard aggregate (reference reports per-interval latency,
+    dynamic_script_faiss.py:127). Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition, so values
+    hash-match at 4 decimals. At 100 TB the exact percentile is a
+    sort-based aggregate per group; for unbounded cardinality the
+    approx_percentile sketch is the swap-in (same call shape), kept out
+    of the oracle because its t-digest is implementation-defined."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -433,3 +433,46 @@ def q_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, q = _load_q(spark, sf_dir)
     return knn_range(emb, q, _RANGE_R2)
+
+
+@register(
+    "distance_histogram",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
+),
+pairs AS (
+  SELECT {_L2.format(a="q.q_emb", b="b.embedding")} AS dist
+  FROM q CROSS JOIN embeddings b
+  WHERE q.q_id <> b.vec_id
+)
+SELECT CAST(floor(dist / 0.1) AS INTEGER) AS bin,
+       ROUND(floor(dist / 0.1) * 0.1, 1) AS d2_lo,
+       COUNT(*) AS n
+FROM pairs
+GROUP BY 1, 2
+""",
+)
+def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-distance histogram of the query batch against the base
+    (self-pairs excluded), bin width 0.1 — the planning artifact that
+    picks range_search's radius (and sanity-checks index bucket widths):
+    the same role the variance spectrum plays for PCA out_dim. Binning
+    is robust to fp summation noise (~1e-13 vs 0.1 bins: a pair would
+    need to sit within 1e-13 of a bin edge to flip — none do at these
+    SFs), so counts value-hash against DuckDB."""
+    from cs598vectordb_spark.functions.distance import squared_l2
+
+    emb, q = _load_q(spark, sf_dir)
+    b = emb.select(F.col("vec_id"), F.col("embedding").alias("_b_emb"))
+    qq = q.select("q_id", F.col("embedding").alias("_q_emb"))
+    pairs = (
+        b.crossJoin(F.broadcast(qq))
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(squared_l2("_q_emb", "_b_emb").alias("dist"))
+    )
+    binned = F.floor(F.col("dist") / 0.1).cast("int")
+    return pairs.select(binned.alias("bin")).groupBy("bin").agg(
+        F.round(F.col("bin") * 0.1, 1).alias("d2_lo"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("bin", "d2_lo", "n")

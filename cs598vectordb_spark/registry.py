@@ -47,6 +47,7 @@ _PRIORITY: tuple[str, ...] = (
     # new this round.
     "cohort_retention", "knn_exact_2k", "knn_exact_pca",
     "knn_ip", "range_search", "stream_interval_join",
+    "event_value_percentiles", "distance_histogram",
     # --- r6-green set rotated out in round 7; newest green row is r6,
     # so the ≤2-rounds-old invariant makes them due now (39 entries)
     "knn_exact", "merge_upsert", "pricing_summary", "dedup_exact",
@@ -67,10 +68,10 @@ _PRIORITY: tuple[str, ...] = (
     # spread of r7-greens re-confirmed early so the r9 rotation load
     # stays under its own 50-slot budget
     "stream_near_dedup", "media_decode_ppm", "media_decode_pgm",
-    "stream_merge_upserts_cow", "orders_cube",
     # ---------------- 50-slot grading boundary is here ----------------
     # r7-green entries not re-graded this round (due back in r9):
-    # sessionize, stream_events_hourly, funnel_steps,
+    # sessionize, stream_events_hourly, funnel_steps, orders_cube,
+    # stream_merge_upserts_cow,
     # asof_attribution, stream_sessionize, stream_late_data,
     # stream_sink_parquet, knn_exact_expr, knn_cosine, knn_filtered,
     # knn_collect, shipping_priority, local_supplier_volume,

@@ -247,3 +247,18 @@ def test_compressibility_is_projection_only(spark, sf_dir):
     plan = plan_of(compressibility(docs))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_range_search_is_shuffle_free_broadcast(spark, sf_dir):
+    """Radius search must stay a broadcast nested-loop with the distance
+    filter as the join condition: query-side head filter pushed to the
+    scan, NO shuffle exchange anywhere — at 100 TB the base side streams
+    through the codegen'd filter exactly once."""
+    from cs598vectordb_spark.operators.knn import knn_range
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 20)
+    p = plan_of(knn_range(emb, q, 1.5))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "LessThan(vec_id,20)" in p  # query head filter reached the scan
+    assert "Exchange hashpartitioning" not in p  # no shuffle at all
