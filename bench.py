@@ -106,6 +106,7 @@ def main() -> int:
         "knn_ivf_materialized",
         "knn_ivf2",
         "knn_pq_refined",
+        "knn_ivfpq",
         "knn_sq8",
         "knn_ivf_sq8",
         # knn_graph (flat beam-search graph) is deliberately NOT here:
@@ -277,7 +278,7 @@ def main() -> int:
             n: qps(n)
             for n in (
                 "knn_ivf_materialized", "knn_ivf2", "knn_pq_refined",
-                "knn_sq8", "knn_ivf_sq8", "knn_graph_layered",
+                "knn_ivfpq", "knn_sq8", "knn_ivf_sq8", "knn_graph_layered",
                 "knn_graph_layered2", "knn_graph_sq8",
             )
         },

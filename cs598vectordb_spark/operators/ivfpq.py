@@ -1,0 +1,227 @@
+"""IVF-PQ: product-quantized RESIDUALS inside centroid-partitioned
+inverted lists — the composite index the reference's libraries ship as
+their large-scale default (FAISS IndexIVFPQ; Milvus IVF_PQ index type,
+/root/reference/multi_tenant_script.py:94-99 trains the same m×8-bit
+codec). The flat components already exist separately (operators.index
+IVF, operators.pq PQ-over-raw-vectors); this module composes them the
+way the native engines do:
+
+1. Coarse quantizer: the existing IVF k-means (driver-sized centroid
+   matrix, broadcast assignment kernel).
+2. RESIDUAL encoding: each vector stores PQ codes of (x − c[list(x)]),
+   not of x — residual magnitudes are ~the cell radius, so the same
+   ksub budget buys far finer quantization than raw-vector PQ.
+3. The encoded table is materialized PARTITIONED BY centroid_id: a
+   probe reads only nprobe/nlist of the data — partition pruning, the
+   property that makes the scan sublinear at 100 TB.
+4. ADC with PER-LIST lookup tables: distance(q, x) ≈ Σ_j T[q, list,
+   j, code_j] where T is built from (q − c[list]) — nq·nprobe·m·ksub
+   doubles, driver-sized by construction (the same budget FAISS
+   precomputes), broadcast once per batch of queries.
+
+Scale shape: the probe is scan(pruned partitions) → per-batch numpy
+gathers → local top-k → tiny shuffle (≤ |parts|·|Q|·k rows) — identical
+to the exact kernel's map-side-combine discipline, on 8-byte codes
+instead of 256-byte vectors.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import DEFAULT_K, SEED
+from cs598vectordb_spark.operators.index import build_ivf_index
+from cs598vectordb_spark.operators.pq import PqCodebooks, _kmeans_fit
+
+
+@dataclass
+class IvfPqIndex:
+    codes: DataFrame  # (vec_id, centroid_id, codes ARRAY<INT>[m])
+    centroids: np.ndarray  # (nlist, dim) — driver-sized by design
+    cb: PqCodebooks  # trained on residuals
+    nlist: int
+    path: str | None = None
+
+    def close(self) -> None:
+        self.codes.unpersist()
+
+
+def build_ivfpq(
+    base: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+    path: str | None = None,
+) -> IvfPqIndex:
+    """Coarse-assign, residual-encode, and (optionally) materialize
+    partitioned by list id. Training happens on the deterministic
+    orderBy-head sample's residuals; encoding is one Arrow pass."""
+    ivf = build_ivf_index(base, nlist, train_sample, id_col, vec_col, seed)
+    C = ivf.centroids
+    spark = base.sparkSession
+
+    # train sub-codebooks on the SAMPLE's residuals (driver-side d×d-free
+    # algebra on train_sample rows, same budget as train_pq)
+    sample = (
+        base.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    )
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    d2 = (
+        np.square(X).sum(1, keepdims=True)
+        - 2.0 * (X @ C.T)
+        + np.square(C).sum(1)[None, :]
+    )
+    R = X - C[d2.argmin(axis=1)]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack(
+        [
+            _kmeans_fit(R[:, j * dsub : (j + 1) * dsub], ksub, seed + j, 8)
+            for j in range(m)
+        ]
+    )
+    cb = PqCodebooks(books, m, ksub)
+
+    bc = spark.sparkContext.broadcast((C, books))
+
+    def encode(batches):
+        import pandas as pd
+
+        Cb, Bk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            lists = pdf["centroid_id"].to_numpy()
+            Rb = V - Cb[lists]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = Rb[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (sub @ Bk[j].T) + np.square(Bk[j]).sum(1)[None, :]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "centroid_id": lists,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = ivf.assigned.mapInPandas(
+        encode, f"{id_col} long, centroid_id int, codes array<int>"
+    )
+    if path is not None:
+        # materialize partitioned by list id → probes prune partitions
+        encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        codes = spark.read.parquet(path)
+    else:
+        codes = encoded.persist()
+        codes.count()
+    return IvfPqIndex(codes, C, cb, nlist, path)
+
+
+def knn_ivfpq(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the probed lists with per-list residual LUTs.
+    Output (q_id, rank, vec_id, dist) — dist is the quantized distance;
+    compose with the exact re-rank (knn_pq_refined pattern) when the
+    shortlist feeds a recall-critical consumer."""
+    spark = index.codes.sparkSession
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    C = index.centroids
+    books = index.cb.codebooks
+    m, dsub = index.cb.m, books.shape[2]
+
+    # driver-side probe selection: queries and centroids are both
+    # driver-sized (the reference's own design point)
+    qc = (
+        np.square(Q).sum(1, keepdims=True)
+        - 2.0 * (Q @ C.T)
+        + np.square(C).sum(1)[None, :]
+    )
+    probed = np.argsort(qc, axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    # per-(query, probed list) LUTs from the residual target q − c:
+    # nq · nprobe · m · ksub doubles — driver-sized by construction
+    nq = len(q_ids)
+    T = np.empty((nq, nprobe, m, index.cb.ksub))
+    for pi in range(nprobe):
+        Rq = Q - C[probed[:, pi]]
+        for j in range(m):
+            sub = Rq[:, j * dsub : (j + 1) * dsub]
+            T[:, pi, j, :] = (
+                np.square(sub).sum(1, keepdims=True)
+                - 2.0 * (sub @ books[j].T)
+                + np.square(books[j]).sum(1)[None, :]
+            )
+
+    # list → (query rows probing it, LUT slot) reverse map
+    probe_map: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(nq):
+        for pi in range(nprobe):
+            probe_map.setdefault(int(probed[qi, pi]), []).append((qi, pi))
+    bc = spark.sparkContext.broadcast((q_ids, T, probe_map))
+
+    lists = sorted(probe_map)
+    pruned = index.codes.filter(F.col("centroid_id").isin(lists))
+
+    def kern(batches):
+        import pandas as pd
+
+        bq_ids, bT, bmap = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_id, out_d = [], [], []
+            for cid, grp in pdf.groupby("centroid_id"):
+                probers = bmap.get(int(cid))
+                if not probers:
+                    continue
+                Cd = np.stack(grp["codes"].to_numpy())  # (n, m)
+                ids = grp[id_col].to_numpy(dtype=np.int64)
+                n = len(ids)
+                k_eff = min(k, n)
+                for qi, pi in probers:
+                    lut = bT[qi, pi]  # (m, ksub)
+                    scores = lut[np.arange(m)[:, None], Cd.T].sum(axis=0)
+                    part = np.argpartition(scores, k_eff - 1)[:k_eff]
+                    order = np.lexsort((ids[part], scores[part]))
+                    sel = part[order]
+                    out_q.append(np.full(k_eff, bq_ids[qi], dtype=np.int64))
+                    out_id.append(ids[sel])
+                    out_d.append(scores[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_id),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    local = pruned.mapInPandas(kern, "q_id long, vec_id long, dist double")
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
+    )

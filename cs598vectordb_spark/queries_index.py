@@ -267,6 +267,7 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("pq_train_encode", lambda: pq_artifacts_for(spark, sf_dir)),
         ("sq8_train_encode", lambda: sq_artifacts_for(spark, sf_dir)),
         ("ivf_sq8_build", lambda: ivf_sq_index_for(spark, sf_dir)),
+        ("ivfpq_build", lambda: ivfpq_index_for(spark, sf_dir)),
         # flat knn_graph build removed from the warm set: its probe is no
         # longer a headline query (superseded by layered2), and the warm
         # registry builds it lazily if the rows-only variants are called.
@@ -986,3 +987,71 @@ def q_multi_tenant_stream_graph2(spark: SparkSession, sf_dir: str) -> DataFrame:
         client_counts=[4, 8],
     )
     return tenant_summary(m)
+
+
+def ivfpq_index_for(
+    spark: SparkSession, sf_dir: str, nlist: int = 16, m: int = 16, ksub: int = 256
+):
+    import os as _os
+
+    from cs598vectordb_spark.operators.ivfpq import build_ivfpq
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    def build():
+        return build_ivfpq(
+            load_table(spark, sf_dir, "embeddings"),
+            nlist=nlist,
+            m=m,
+            ksub=ksub,
+            path=_os.path.join(_io_dir(sf_dir, "ivfpq_index"), "t"),
+        )
+
+    return _warm(spark, ("ivfpq", sf_dir, nlist, m, ksub), build)
+
+
+@register("knn_ivfpq")
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2/IVF-PQ: product-quantized residuals inside centroid-partitioned
+    inverted lists with per-list ADC LUTs — the composite the native
+    engines default to at scale (FAISS IndexIVFPQ; Milvus IVF_PQ,
+    multi_tenant_script.py:94-99). The encoded table is materialized
+    PARTITIONED BY centroid_id so probes prune partitions (16 one-byte
+    codes/row instead of 64 floats = 16× less scanned per pruned list).
+    Quantized top-k is codebook-dependent → rows-only; recall floor
+    pinned in tests/test_pq.py."""
+    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq
+
+    _, q = _setup(spark, sf_dir)
+    idx = ivfpq_index_for(spark, sf_dir)
+    return knn_ivfpq(idx, q, k=_K, nprobe=8).select("q_id", "rank", "vec_id")
+
+
+@register("knn_ivfpq_refined")
+def q_knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ shortlist + exact re-rank (FAISS's IVFPQR shape): the
+    quantized probe selects 5k candidates from the pruned lists, then
+    only those |Q|*5k rows fetch full vectors for the exact pass —
+    compressed scan does the reading, exact math touches 100x less."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from cs598vectordb_spark.functions.distance import squared_l2
+    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq
+
+    emb, q = _setup(spark, sf_dir)
+    idx = ivfpq_index_for(spark, sf_dir)
+    shortlist = knn_ivfpq(idx, q, k=5 * _K, nprobe=8).select("q_id", "vec_id")
+    qv = q.select(F.col("q_id"), F.col("embedding").alias("_q_emb"))
+    scored = (
+        shortlist.join(
+            emb.select(F.col("vec_id"), F.col("embedding").alias("_b_emb")), "vec_id"
+        )
+        .join(F.broadcast(qv), "q_id")
+        .select("q_id", "vec_id", squared_l2("_q_emb", "_b_emb").alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .select("q_id", "rank", "vec_id")
+    )

@@ -262,3 +262,20 @@ def test_range_search_is_shuffle_free_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert "LessThan(vec_id,20)" in p  # query head filter reached the scan
     assert "Exchange hashpartitioning" not in p  # no shuffle at all
+
+
+def test_ivfpq_partition_pruning(spark, sf_dir, emb_q, tmp_path):
+    """The IVF-PQ probe's centroid_id filter must reach the materialized
+    code table as PartitionFilters — unprobed lists stay unread, and the
+    scanned schema is codes-only (no float vectors anywhere)."""
+    from cs598vectordb_spark.operators.ivfpq import build_ivfpq, knn_ivfpq
+
+    emb, q = emb_q
+    idx = build_ivfpq(emb, nlist=8, m=16, ksub=16, path=str(tmp_path / "ivfpq"))
+    plan = plan_of(knn_ivfpq(idx, q, DEFAULT_K, nprobe=2))
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "centroid_id" in pf, pf
+    assert "embedding" not in plan.split("ReadSchema")[1].splitlines()[0]

@@ -61,3 +61,22 @@ def test_refined_recall_beats_plain_adc(spark, emb_q):
     refined = recall_at_k(knn_pq_refined(codes, cb, emb, q, 10), truth, 10).collect()[0][0]
     assert refined >= plain
     assert refined >= 0.9, (plain, refined)
+
+
+def test_ivfpq_recall_floors(spark, sf_dir):
+    """IVF-PQ (residual codes in centroid-partitioned lists, per-list ADC
+    LUTs) holds the approximate-family floor raw and improves under the
+    exact re-rank; refined stays below the IVF pruning ceiling (nprobe/
+    nlist bounds what any in-list codec can recover)."""
+    import __spark_entry__ as em
+
+    from cs598vectordb_spark.sources.tables import load_table, queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 100)
+    truth = knn_exact(emb, q, 10)
+    raw = recall_at_k(em.queries()["knn_ivfpq"](spark, sf_dir), truth, 10).collect()[0][0]
+    ref = recall_at_k(em.queries()["knn_ivfpq_refined"](spark, sf_dir), truth, 10).collect()[0][0]
+    assert raw >= 0.70, raw
+    assert ref >= raw
+    assert ref >= 0.80, (raw, ref)
