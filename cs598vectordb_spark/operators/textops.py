@@ -412,3 +412,39 @@ def compressibility(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         kernel,
         f"{id_col} long, n_bytes long, n_compressed long, compress_ratio double",
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 500,
+    stride: int = 400,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_start, chunk_len, chunk_md5, chunk_text):
+    fixed-window overlapping chunks (window chunk_chars, stride stride →
+    chunk_chars - stride chars of overlap) — the context-window splitter
+    between a cleaned corpus and tokenization/embedding. Pure Catalyst:
+    sequence + explode + substring, no Python, fully parallel per row;
+    chunk count per doc is ceil(len/stride) so output size is
+    len(corpus)/stride × window — a bounded constant factor (1.25x
+    here), not a blowup. Empty docs emit nothing."""
+    n_chunks = (F.floor((F.length(text_col) - 1) / stride) + 1).cast("int")
+    return (
+        docs.filter(F.length(text_col) > 0)
+        .select(
+            id_col,
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            (F.col("chunk_id").cast("bigint") * stride).alias("chunk_start"),
+            F.expr(
+                f"substring({text_col}, chunk_id * {stride} + 1, {chunk_chars})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("bigint"))
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+    )

@@ -332,3 +332,27 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs598vectordb_spark.streaming.jobs import interval_join_stream
 
     return interval_join_stream(spark, sf_dir)
+
+
+@register(
+    "stream_static_enrich",
+    """
+WITH profile AS (
+  SELECT user_id, COUNT(*) AS user_events, ROUND(SUM(value), 4) AS user_value
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_type, COUNT(*) AS n,
+       ANY_VALUE(p.user_events) AS user_events,
+       ANY_VALUE(p.user_value) AS user_value
+FROM events e JOIN profile p ON e.user_id = p.user_id
+GROUP BY e.user_id, e.event_type
+""",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: arriving events joined to a
+    static per-user profile dimension, aggregated per (user, type) — the
+    stateless enrichment join class (no watermark, no buffered state).
+    Oracle = the identical relational join + aggregate."""
+    from cs598vectordb_spark.streaming.jobs import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)

@@ -773,3 +773,34 @@ def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_text.py."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.compressibility(docs)
+
+
+@register(
+    "chunk_documents",
+    """
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(floor((length(text) - 1) / 400) AS BIGINT) + 1 AS nc
+  FROM documents
+  WHERE length(text) > 0
+),
+idx AS (
+  SELECT doc_id, text, unnest(range(0, nc)) AS i FROM base
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       CAST(i * 400 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(i * 400 + 1 AS BIGINT), 500)) AS BIGINT) AS chunk_len,
+       md5(substr(text, CAST(i * 400 + 1 AS BIGINT), 500)) AS chunk_md5
+FROM idx
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (500-char window, 400 stride) —
+    the corpus → context-window splitter of a training-data pipeline.
+    Chunk content faces the oracle through md5 (the knn_collect CSV
+    trick for unsortable long text): a hash match proves byte-identical
+    chunk boundaries AND content on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs).select(
+        "doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_md5"
+    )

@@ -48,6 +48,7 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_retention", "knn_exact_2k", "knn_exact_pca",
     "knn_ip", "range_search", "stream_interval_join",
     "event_value_percentiles", "distance_histogram",
+    "chunk_documents", "stream_static_enrich",
     # --- r6-green set rotated out in round 7; newest green row is r6,
     # so the ≤2-rounds-old invariant makes them due now (39 entries)
     "knn_exact", "merge_upsert", "pricing_summary", "dedup_exact",
@@ -63,15 +64,18 @@ _PRIORITY: tuple[str, ...] = (
     "media_decode_bmp", "media_resize_pixels", "media_resize",
     "stream_merge_upserts", "scan_fvecs", "scan_ivecs", "load_dataset",
     "scan_logs",
-    # --- filler to 50: r7-greens whose implementation is touched this
-    # round (stream_near_dedup got the cross-chunk winner fix) plus a
-    # spread of r7-greens re-confirmed early so the r9 rotation load
-    # stays under its own 50-slot budget
-    "stream_near_dedup", "media_decode_ppm", "media_decode_pgm",
+    # --- filler to 50: the one r7-green whose implementation changed
+    # this round (stream_near_dedup got the cross-chunk winner fix).
+    # ORACLE BUDGET NOTE (r8): 99 entries now carry oracles; with a
+    # 50-slot gate and the ≤2-rounds-old freshness invariant the hard
+    # capacity is 100. r9's due set is the 46 r7-greens listed below +
+    # any r9 births — future rounds must keep births ≤ the remaining
+    # slack or consciously retire an oracle before adding one.
+    "stream_near_dedup",
     # ---------------- 50-slot grading boundary is here ----------------
     # r7-green entries not re-graded this round (due back in r9):
     # sessionize, stream_events_hourly, funnel_steps, orders_cube,
-    # stream_merge_upserts_cow,
+    # stream_merge_upserts_cow, media_decode_ppm, media_decode_pgm,
     # asof_attribution, stream_sessionize, stream_late_data,
     # stream_sink_parquet, knn_exact_expr, knn_cosine, knn_filtered,
     # knn_collect, shipping_priority, local_supplier_volume,

@@ -1011,3 +1011,40 @@ def interval_join_stream(
     return out.select(
         F.col("v_user").alias("user_id"), "view_id", "click_id"
     )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the arriving event stream broadcast-joined to
+    a static dimension (per-user lifetime profile, computed batch-side
+    from the same fixture) — the enrichment shape every streaming
+    pipeline runs (events × user table, clicks × campaign table). The
+    static side re-plans per micro-batch (Spark re-resolves batch
+    relations each trigger), and as a broadcast join it never forces a
+    stateful shuffle — unlike the stream-stream join there is NO
+    buffered state at all, so this operator is watermark-free and
+    trivially unbounded. Returns per (user, event_type) counts carrying
+    the joined static columns; closed form = plain join + aggregate."""
+    s = _stream_session(spark)
+    batch = s.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    profile = (
+        normalize_ts(batch, "ts")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("user_events"),
+            F.round(F.sum("value"), 4).alias("user_value"),
+        )
+    )
+    stream = normalize_ts(
+        s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir),
+        "ts",
+    )
+    enriched = stream.join(F.broadcast(profile), "user_id")
+    agg = enriched.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("user_events").alias("user_events"),
+        F.first("user_value").alias("user_value"),
+    )
+    out = _run_to_memory(agg, mode="complete")
+    return out.select("user_id", "event_type", "n", "user_events", "user_value")
