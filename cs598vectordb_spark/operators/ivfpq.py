@@ -225,3 +225,71 @@ def knn_ivfpq(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "dist")
     )
+
+
+def delete_from_ivfpq(
+    index: IvfPqIndex, keep: DataFrame, id_col: str = "vec_id"
+) -> IvfPqIndex:
+    """IVF-PQ delete: one semi-join against the surviving keys — codes of
+    deleted rows drop out of their lists; centroids and codebooks are
+    untouched (the frozen-codec discipline every native engine follows:
+    FAISS remove_ids edits lists, never retrains)."""
+    codes = index.codes.join(keep.select(id_col), id_col, "semi").persist()
+    codes.count()
+    return IvfPqIndex(codes, index.centroids, index.cb, index.nlist, None)
+
+
+def insert_into_ivfpq(
+    index: IvfPqIndex,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """IVF-PQ insert: arrivals are coarse-assigned and residual-encoded
+    with the SERVING index's frozen centroids/codebooks (one Arrow pass
+    over |delta|), then unioned into their lists — no retraining, no
+    rebuild, cost O(|delta|). Codec drift under heavy distribution shift
+    is the operator's documented limit; the recall-degradation workload
+    is the measurement that says when a retrain is due."""
+    spark = delta.sparkSession
+    C = index.centroids
+    books = index.cb.codebooks
+    m, dsub = index.cb.m, books.shape[2]
+    bc = spark.sparkContext.broadcast((C, books))
+
+    def encode(batches):
+        import pandas as pd
+
+        Cb, Bk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                np.square(V).sum(1, keepdims=True)
+                - 2.0 * (V @ Cb.T)
+                + np.square(Cb).sum(1)[None, :]
+            )
+            lists = d2.argmin(axis=1).astype(np.int32)
+            Rb = V - Cb[lists]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = Rb[:, j * dsub : (j + 1) * dsub]
+                d = -2.0 * (sub @ Bk[j].T) + np.square(Bk[j]).sum(1)[None, :]
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "centroid_id": lists,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = delta.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, centroid_id int, codes array<int>"
+    )
+    codes = index.codes.select(id_col, "centroid_id", "codes").unionByName(
+        encoded
+    ).persist()
+    codes.count()
+    return IvfPqIndex(codes, index.centroids, index.cb, index.nlist, None)

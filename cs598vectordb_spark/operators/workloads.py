@@ -91,6 +91,13 @@ def _build_probe(backend: str):
                 idx, queries, k, nprobe1=4, nprobe2=12, beam=32, rounds=4, n_entry=12
             ),
         )
+    if backend == "ivfpq":
+        from cs598vectordb_spark.operators.ivfpq import build_ivfpq, knn_ivfpq
+
+        return (
+            lambda base: build_ivfpq(base, nlist=16, m=16, ksub=256),
+            lambda base, idx, queries, k: knn_ivfpq(idx, queries, k, nprobe=8),
+        )
     raise ValueError(f"unknown backend {backend}")
 
 
@@ -122,6 +129,16 @@ def _maintenance(backend: str):
         return (
             lambda idx, keep: delete_from_layered2(idx, keep),
             lambda idx, delta: insert_into_layered2(idx, delta),
+        )
+    if backend == "ivfpq":
+        from cs598vectordb_spark.operators.ivfpq import (
+            delete_from_ivfpq,
+            insert_into_ivfpq,
+        )
+
+        return (
+            lambda idx, keep: delete_from_ivfpq(idx, keep),
+            lambda idx, delta: insert_into_ivfpq(idx, delta),
         )
     return None
 

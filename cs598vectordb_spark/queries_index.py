@@ -1055,3 +1055,18 @@ def q_knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _K)
         .select("q_id", "rank", "vec_id")
     )
+
+
+@register("dynamic_ivfpq")
+def q_dynamic_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 on the IVF-PQ index with INCREMENTAL maintenance: deletes are
+    one semi-join over the code lists, inserts are encoded with the
+    frozen centroids/codebooks and appended to their lists — cost
+    O(|delta|), never a retrain (FAISS remove_ids/add discipline). The
+    exclusive settled-snapshot protocol at 50%; rows-only (codebook-
+    dependent); recall recovery pinned in tests/test_updates_metrics.py."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.dynamic_protocol(
+        spark, emb, q, backend="ivfpq", update_percents=[50], exclusive=True,
+        run_id="dyn_ivfpq",
+    )

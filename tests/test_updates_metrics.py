@@ -136,3 +136,18 @@ def test_multi_tenant_stream_graph2_summary(spark, sf_dir):
         assert r.backend == "stream_graph2"
         assert r.avg_recall >= 0.8, r
         assert r.total_qps > 0
+
+
+def test_dynamic_ivfpq_recovers_recall(spark, sf_dir):
+    """IVF-PQ incremental maintenance (semi-join delete, frozen-codec
+    encode-and-append insert) must recover recall EXACTLY after a
+    delete+insert cycle of the same rows: identical vectors re-encode to
+    identical codes, so post_insert == baseline bit-for-bit."""
+    import __spark_entry__ as em
+
+    m = em.queries()["dynamic_ivfpq"](spark, sf_dir).collect()
+    by_phase = {}
+    for r in m:
+        by_phase.setdefault(r.phase, []).append(r.recall)
+    assert min(by_phase["post_delete"]) < min(by_phase["baseline"])
+    assert by_phase["post_insert"] == by_phase["baseline"], by_phase
