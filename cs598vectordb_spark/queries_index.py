@@ -1070,3 +1070,54 @@ def q_dynamic_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, q, backend="ivfpq", update_percents=[50], exclusive=True,
         run_id="dyn_ivfpq",
     )
+
+
+@register("ivfpq_autotune")
+def q_ivfpq_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/IVF-PQ: nprobe sweep for the quantized probe, raw and exact-
+    re-ranked — recall vs fraction of lists scanned. The chosen serving
+    config is the cheapest refined point clearing the reference's 0.9
+    target where one exists (MRPT build_autotune_sample(0.9, 10),
+    dynamic_script_mrpt.py:46); the trace records the full frontier so
+    the codec's recall ceiling is measured, not asserted."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.functions.distance import squared_l2
+    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+
+    emb, q_full = _setup(spark, sf_dir)
+    q = q_full.limit(20)
+    truth = knn_exact(emb, q, _K)
+    idx = ivfpq_index_for(spark, sf_dir)
+    qv = q.select(F.col("q_id"), F.col("embedding").alias("_q_emb"))
+    rows = []
+    for nprobe in (2, 4, 8, 16):
+        raw = knn_ivfpq(idx, q, k=_K, nprobe=nprobe)
+        shortlist = knn_ivfpq(idx, q, k=5 * _K, nprobe=nprobe).select("q_id", "vec_id")
+        scored = (
+            shortlist.join(
+                emb.select(F.col("vec_id"), F.col("embedding").alias("_b_emb")),
+                "vec_id",
+            )
+            .join(F.broadcast(qv), "q_id")
+            .select("q_id", "vec_id", squared_l2("_q_emb", "_b_emb").alias("dist"))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        refined = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _K)
+        )
+        rows.append(
+            (
+                nprobe,
+                round(nprobe / idx.nlist, 4),
+                recall_at_k(raw, truth, _K).collect()[0][0],
+                recall_at_k(refined, truth, _K).collect()[0][0],
+            )
+        )
+    return spark.createDataFrame(
+        rows, "nprobe int, selectivity double, raw_recall double, refined_recall double"
+    )

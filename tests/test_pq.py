@@ -80,3 +80,22 @@ def test_ivfpq_recall_floors(spark, sf_dir):
     assert raw >= 0.70, raw
     assert ref >= raw
     assert ref >= 0.80, (raw, ref)
+
+
+def test_ivfpq_materialized_probe_matches_inmemory(spark, emb_q, tmp_path):
+    """Materializing the code table (partitionBy centroid_id, reopen from
+    parquet) must not change a single probe row vs the in-memory build —
+    same seed, same codebooks, same codes, byte-identical top-k."""
+    from cs598vectordb_spark.operators.ivfpq import build_ivfpq, knn_ivfpq
+
+    emb, q = emb_q
+    mem = build_ivfpq(emb, nlist=8, m=16, ksub=16)
+    disk = build_ivfpq(emb, nlist=8, m=16, ksub=16, path=str(tmp_path / "pq"))
+    a = sorted(
+        (r.q_id, r.rank, r.vec_id) for r in knn_ivfpq(mem, q, 10, nprobe=4).collect()
+    )
+    b = sorted(
+        (r.q_id, r.rank, r.vec_id) for r in knn_ivfpq(disk, q, 10, nprobe=4).collect()
+    )
+    assert a == b
+    mem.close()
