@@ -356,3 +356,16 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs598vectordb_spark.streaming.jobs import stream_static_enrich
 
     return stream_static_enrich(spark, sf_dir)
+
+
+@register("stream_drop_duplicates")
+def q_stream_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative streaming dedup: the event file replayed as two
+    micro-batches (an exact at-least-once replay) deduped by
+    dropDuplicatesWithinWatermark — must equal the aggregate over the
+    original unique events (pinned in tests/test_streaming.py;
+    rows-only here, the oracle slot budget is at its cap)."""
+    from cs598vectordb_spark.streaming.jobs import stream_drop_duplicates
+
+    work = os.path.join(_io_dir(sf_dir, "stream_dropdup"), "splits")
+    return stream_drop_duplicates(spark, sf_dir, work)

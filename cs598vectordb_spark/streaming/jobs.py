@@ -1048,3 +1048,50 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, mode="complete")
     return out.select("user_id", "event_type", "n", "user_events", "user_value")
+
+
+def stream_drop_duplicates(
+    spark: SparkSession, sf_dir: str, work_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Built-in streaming dedup (dropDuplicatesWithinWatermark) — the
+    DECLARATIVE sibling of the applyInPandasWithState dedup jobs: the
+    same event file replayed as TWO micro-batches must come out exactly
+    once per event_id. State is Spark-managed and watermark-bounded
+    (ids older than the watermark age out — the property that lets an
+    at-least-once upstream, e.g. a Kafka replay or a crawler retry, be
+    deduped forever at 100 TB/day without unbounded state). Returns the
+    per-type count + value checksum of the deduped stream; closed form =
+    the same aggregate over the ORIGINAL (already unique) events."""
+    s = _stream_session(spark)
+    batch = s.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    os.makedirs(work_dir)
+    now = time.time()
+    # the same full file twice: an exact at-least-once replay
+    for i in range(2):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        batch.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(work_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    stream = normalize_ts(
+        s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work_dir),
+        "ts",
+    )
+    deduped = (
+        stream.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(deduped, mode="complete")
+    return out.select("event_type", "n", "sum_value")

@@ -277,3 +277,29 @@ def test_cow_dynamic_protocol_recovers_recall(spark, sf_dir, tmp_path):
         rows["post_insert"].recall,
         base_rec,
     )
+
+
+def test_stream_drop_duplicates_exactly_once(spark, sf_dir):
+    """A doubled replay through dropDuplicatesWithinWatermark must
+    reproduce the single-copy aggregate exactly — count AND checksum."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.streaming.jobs import stream_drop_duplicates
+
+    got = {
+        r.event_type: (r.n, r.sum_value)
+        for r in stream_drop_duplicates(
+            spark, sf_dir, "/tmp/cs598_spark_io/test_dropdup"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.event_type: (r.n, r.sum_value)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    assert got == want
