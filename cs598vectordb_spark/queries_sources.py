@@ -192,3 +192,44 @@ def q_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id").alias("sum_vec_id"),
         F.sum(F.size("embedding")).alias("total_vals"),
     )
+
+
+@register("scan_formats")
+def q_scan_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar + text format round-trips beyond parquet: the embeddings
+    table sunk to ORC (native columnar, predicate-pushdown-capable) and
+    the scalar columns to CSV (header, explicit schema on re-read — the
+    interchange format every pipeline still meets at its edges), both
+    re-scanned and checksummed per format. A format whose round-trip
+    drops rows or mangles values breaks the checksum equality pinned in
+    tests/test_sources.py. Rows-only by oracle-slot budget (registry
+    note); the pytest pin is the correctness evidence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    orc_path = _io_dir(sf_dir, "orc_roundtrip")
+    csv_path = _io_dir(sf_dir, "csv_roundtrip")
+    emb.write.mode("overwrite").orc(orc_path)
+    emb.select("vec_id", "label").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(csv_path)
+    back_orc = spark.read.orc(orc_path)
+    back_csv = spark.read.schema("vec_id long, label int").option(
+        "header", "true"
+    ).csv(csv_path)
+
+    def summary(df: DataFrame, fmt: str, with_norm: bool) -> DataFrame:
+        agg = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.sum("label").alias("sum_label"),
+        ]
+        if with_norm:
+            sq = (
+                "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            )
+            agg.append(F.round(F.sum(F.expr(sq)), 2).alias("sum_sq_norm"))
+        else:
+            agg.append(F.lit(None).cast("double").alias("sum_sq_norm"))
+        return df.agg(*agg).select(F.lit(fmt).alias("fmt"), "n", "sum_vec_id", "sum_label", "sum_sq_norm")
+
+    return summary(back_orc, "orc", True).unionByName(summary(back_csv, "csv", False))

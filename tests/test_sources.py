@@ -232,3 +232,26 @@ def test_fixture_schema_contract(spark, sf):
         # subset check: new columns may appear, the pinned ones must hold
         broken = {c: (t, got.get(c)) for c, t in want.items() if got.get(c) != t}
         assert not broken, (sf, name, broken)
+
+
+def test_scan_formats_roundtrips_losslessly(spark, sf_dir):
+    """ORC and CSV round-trips must preserve every row and value: the
+    per-format checksums equal the ones computed on the parquet
+    original."""
+    import __spark_entry__ as em
+
+    got = {r.fmt: r for r in em.queries()["scan_formats"](spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    want = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("s"),
+        F.sum("label").alias("l"),
+        F.round(F.sum(F.expr(sq)), 2).alias("nn"),
+    ).collect()[0]
+    assert (got["orc"].n, got["orc"].sum_vec_id, got["orc"].sum_label) == (want.n, want.s, want.l)
+    assert got["orc"].sum_sq_norm == want.nn  # float32 exact through ORC
+    assert (got["csv"].n, got["csv"].sum_vec_id, got["csv"].sum_label) == (want.n, want.s, want.l)
