@@ -1121,3 +1121,18 @@ def q_ivfpq_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "nprobe int, selectivity double, raw_recall double, refined_recall double"
     )
+
+
+@register("dynamic_overlap_ivfpq")
+def q_dynamic_overlap_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/exclusive=false on IVF-PQ: the search loop keeps probing the
+    serving code table while the background thread applies the semi-join
+    delete / frozen-codec encode-and-append insert — the reference's
+    -52%-QPS-during-rebuild measurement (BASELINE.md FAISS row) on the
+    quantized index, where the background work is O(delta) maintenance
+    rather than a retrain."""
+    emb, q = _setup(spark, sf_dir)
+    return workloads.dynamic_protocol(
+        spark, emb, q, backend="ivfpq", update_percents=[50],
+        intervals_per_phase=2, exclusive=False, run_id="overlap_ivfpq",
+    )
