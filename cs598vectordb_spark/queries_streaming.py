@@ -369,3 +369,14 @@ def q_stream_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = os.path.join(_io_dir(sf_dir, "stream_dropdup"), "splits")
     return stream_drop_duplicates(spark, sf_dir, work)
+
+
+@register("stream_hourly_unique_users")
+def q_stream_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly distinct users via the HLL++ sketch — the
+    mergeable constant-memory approximate aggregate (rows-only: the
+    sketch is implementation-defined; its error vs exact distinct is
+    bounded by test)."""
+    from cs598vectordb_spark.streaming.jobs import hourly_unique_users
+
+    return hourly_unique_users(spark, sf_dir)

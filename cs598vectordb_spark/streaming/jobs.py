@@ -1095,3 +1095,26 @@ def stream_drop_duplicates(
     )
     out = _run_to_memory(deduped, mode="complete")
     return out.select("event_type", "n", "sum_value")
+
+
+def hourly_unique_users(
+    spark: SparkSession, sf_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Watermarked hourly DISTINCT-USER counts with the HLL++ sketch
+    (approx_count_distinct) next to the exact count — the approximate
+    aggregate class (sketch, mergeable, constant memory per window) that
+    replaces exact distinct at 100 TB, where per-window exact distinct
+    means a users-per-window-sized state. The sketch is deterministic
+    for fixed input, so the row set is stable; its error vs exact is
+    bounded in tests/test_streaming.py (rsd 5% default)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out = _run_to_memory(agg)
+    return out.select(F.col("w.start").alias("hour"), "approx_users", "n_events")

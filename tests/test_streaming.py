@@ -303,3 +303,28 @@ def test_stream_drop_duplicates_exactly_once(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_hourly_unique_users_sketch_accuracy(spark, sf_dir):
+    """The HLL++ per-window distinct-user estimate must stay within 10%
+    of the exact batch distinct for every emitted window (default rsd is
+    5%; 10% gives headroom for small windows), on exactly the windows
+    the watermark closed."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.streaming.jobs import hourly_unique_users
+
+    got = {r.hour: r.approx_users for r in hourly_unique_users(spark, sf_dir).collect()}
+    assert got, "no windows emitted"
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.hour: r.u
+        for r in ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for hour, approx in got.items():
+        assert abs(approx - exact[hour]) <= max(0.10 * exact[hour], 2), (
+            hour, approx, exact[hour],
+        )
