@@ -204,8 +204,15 @@ def knn_ivfpq(
                     lut = bT[qi, pi]  # (m, ksub)
                     scores = lut[np.arange(m)[:, None], Cd.T].sum(axis=0)
                     part = np.argpartition(scores, k_eff - 1)[:k_eff]
-                    order = np.lexsort((ids[part], scores[part]))
-                    sel = part[order]
+                    # widen the cut to EVERY row tied with the k-boundary
+                    # score (identical code vectors are plausible at small
+                    # ksub / duplicate inputs), then order the candidates
+                    # by (score, vec_id) — the same total order the final
+                    # window uses — so the emitted top-k is deterministic
+                    # across partitionings, not argpartition-arbitrary.
+                    cand = np.flatnonzero(scores <= scores[part].max())
+                    order = np.lexsort((ids[cand], scores[cand]))[:k_eff]
+                    sel = cand[order]
                     out_q.append(np.full(k_eff, bq_ids[qi], dtype=np.int64))
                     out_id.append(ids[sel])
                     out_d.append(scores[sel])

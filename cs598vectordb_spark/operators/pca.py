@@ -123,8 +123,26 @@ def pca_project(
     )
 
 
+def fixture_fingerprint(base: DataFrame, vec_col: str = "embedding") -> tuple[int, int]:
+    """(n_rows, checksum) of the fixture the model was fitted on. The
+    checksum — SUM(FLOOR(first_element * 1000) AS BIGINT) — is exact
+    integer arithmetic over bit-identical float32→double values, so DuckDB
+    recomputes the SAME number from the same parquet (no fp-ordering
+    noise), unlike a float sum or an engine-specific hash."""
+    row = base.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.element_at(vec_col, 1).cast("double") * 1000).cast("long")
+        ).alias("fp"),
+    ).collect()[0]
+    return int(row["n"]), int(row["fp"])
+
+
 def save_pca_model(
-    fitted: tuple[np.ndarray, np.ndarray, np.ndarray], out_dim: int, path: str
+    fitted: tuple[np.ndarray, np.ndarray, np.ndarray],
+    out_dim: int,
+    path: str,
+    fingerprint: tuple[int, int] = (0, 0),
 ) -> None:
     """Persist the fitted (components, mean) as a flat parquet of
     (i, j, mean, w) rows — i = 1-based input dim, j = 1-based output dim,
@@ -134,7 +152,15 @@ def save_pca_model(
     fit itself; the artifact is what makes compression→search correctness
     ORACLE-checkable: DuckDB re-projects with the exact same matrix the
     engine broadcast (VERDICT r7 item 3; analog: the persisted graph
-    index, queries_index.py)."""
+    index, queries_index.py).
+
+    `fingerprint` = fixture_fingerprint(base) at fit time, stored as
+    constant (n_base, fp_base) columns. The oracle FILTERS its model read
+    on the fingerprint it recomputes from the live fixture, so a STALE
+    artifact (prior-round fixture drift, or a check_oracle run at a
+    different SF) yields zero model rows → an obviously-empty oracle
+    result, never a silent comparison against the wrong matrix (ADVICE
+    r8)."""
     import os
 
     import pyarrow as pa
@@ -143,6 +169,7 @@ def save_pca_model(
     comps, _, mean = fitted
     W = comps[:, :out_dim]
     d = W.shape[0]
+    n_base, fp_base = fingerprint
     ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, out_dim + 1), indexing="ij")
     table = pa.table(
         {
@@ -150,6 +177,8 @@ def save_pca_model(
             "j": pa.array(jj.ravel(), type=pa.int32()),
             "mean": pa.array(np.repeat(mean, out_dim), type=pa.float64()),
             "w": pa.array(W.ravel(), type=pa.float64()),
+            "n_base": pa.array(np.full(ii.size, n_base), type=pa.int64()),
+            "fp_base": pa.array(np.full(ii.size, fp_base), type=pa.int64()),
         }
     )
     os.makedirs(os.path.dirname(path), exist_ok=True)

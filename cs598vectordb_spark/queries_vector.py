@@ -315,13 +315,24 @@ def q_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (save_pca_model). Path is pinned to the sf0.01 gate fixture — the
 # driver's correctness gate always runs there; check_oracle.py runs at
 # other SFs will mismatch on this entry (documented limitation, same
-# class as oracles that bake sf0.01 constants).
+# class as oracles that bake sf0.01 constants). The model read is
+# FILTERED on the fixture fingerprint (row count + exact integer
+# checksum) stamped into the artifact at fit time: a stale model —
+# DuckDB running before Spark after a fixture drift, or a non-sf0.01
+# run — selects ZERO model rows and fails the gate on an empty result,
+# never by silently comparing against the wrong matrix (ADVICE r8).
 _PCA_MODEL_GATE_PATH = "/tmp/cs598_spark_io/sf0.01/pca_model/model.parquet"
 _PCA_OUT_DIM = 16
 
 _PCA_ORACLE = f"""
-WITH model AS (
-  SELECT i, j, mean, w FROM read_parquet('{_PCA_MODEL_GATE_PATH}')
+WITH live AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS fp
+  FROM embeddings
+),
+model AS (
+  SELECT i, j, mean, w FROM read_parquet('{_PCA_MODEL_GATE_PATH}'), live
+  WHERE n_base = live.n AND fp_base = live.fp
 ),
 proj AS (
   SELECT e.vec_id, m.j,
@@ -361,7 +372,12 @@ def q_knn_exact_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 — six orders of headroom, so ranks cannot flip)."""
     import os
 
-    from cs598vectordb_spark.operators.pca import fit_pca, pca_project, save_pca_model
+    from cs598vectordb_spark.operators.pca import (
+        fit_pca,
+        fixture_fingerprint,
+        pca_project,
+        save_pca_model,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     fitted = fit_pca(emb)
@@ -371,7 +387,7 @@ def q_knn_exact_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pca_model",
         "model.parquet",
     )
-    save_pca_model(fitted, _PCA_OUT_DIM, model_path)
+    save_pca_model(fitted, _PCA_OUT_DIM, model_path, fixture_fingerprint(emb))
     proj = pca_project(
         emb, _PCA_OUT_DIM, fitted=fitted, out_dtype="float64"
     ).withColumnRenamed("pca", "embedding")

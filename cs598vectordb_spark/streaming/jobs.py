@@ -219,7 +219,15 @@ def stream_dedup(
 
     Batch order is doc_id % n_splits (ordered files), so the winner of a
     fingerprint is the doc minimizing (doc_id % n_splits, doc_id) — a
-    closed form the DuckDB oracle reproduces."""
+    closed form the DuckDB oracle reproduces.
+
+    Chosen closed form for re-arrivals (exactly-once input assumed; the
+    file source delivers each doc once): is_dup = (doc_id != winner). A
+    REPLAYED winner row would therefore be emitted non-dup again — if an
+    at-least-once upstream is ever routed through this job, add a per-key
+    `emitted` flag to the state so the winner emits non-dup exactly once
+    (the stream_drop_duplicates job is the declarative way to get that
+    semantics today)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     spark = _stream_session(spark)
@@ -921,10 +929,32 @@ def cow_dynamic_protocol(
         merged.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("pid").parquet(snap_dir)
+        # dynamic overwrite rewrites only partitions PRESENT in `merged`:
+        # a batch that deletes every surviving row of a touched pid (e.g.
+        # pct=100, or a tail slice emptying a small partition) leaves that
+        # pid absent from `merged`, its old files intact, and the deleted
+        # rows would silently resurrect (ADVICE r8). Drop those partition
+        # dirs explicitly — `touched` minus merged-pids is ≤ n_parts ints.
+        merged_pids = {r[0] for r in merged.select("pid").distinct().collect()}
+        for p in set(touched) - merged_pids:
+            emptied = os.path.join(snap_dir, f"pid={p}")
+            if os.path.isdir(emptied):
+                shutil.rmtree(emptied)
 
         # ---- incremental index maintenance on the SAME micro-batch
         if not dels.isEmpty():
-            keep = bs.read.parquet(snap_dir).select("vec_id")
+            # a batch that emptied EVERY partition leaves no part files,
+            # and schema inference would throw on the bare read
+            has_files = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(snap_dir)
+                for f in fs
+            )
+            keep = (
+                bs.read.parquet(snap_dir).select("vec_id")
+                if has_files
+                else bs.createDataFrame([], "vec_id long")
+            )
             nxt = delete_from_layered2(state["idx"], keep)
             state["idx"] = nxt
             stale.append(nxt)
