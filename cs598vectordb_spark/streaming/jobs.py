@@ -911,6 +911,18 @@ def cow_dynamic_protocol(
         shutil.rmtree(tmp)
         os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
 
+    def read_snapshot(bs: SparkSession) -> DataFrame:
+        # a prior batch may have emptied EVERY partition (pct=100), and
+        # schema inference throws on a parquet dir with no part files
+        has_files = any(
+            f.endswith(".parquet") for _, _, fs in os.walk(snap_dir) for f in fs
+        )
+        if has_files:
+            return bs.read.parquet(snap_dir)
+        return bs.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int, pid int"
+        )
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         bs = batch_df.sparkSession
         dels = batch_df.filter(F.col("op") == "delete").select("vec_id")
@@ -920,7 +932,7 @@ def cow_dynamic_protocol(
         keys = batch_df.select("vec_id", (F.col("vec_id") % n_parts).cast("int").alias("pid"))
         # bounded collect: at most n_parts ints, never data rows
         touched = [r[0] for r in keys.select("pid").distinct().collect()]
-        pruned = bs.read.parquet(snap_dir).filter(F.col("pid").isin(touched))
+        pruned = read_snapshot(bs).filter(F.col("pid").isin(touched))
         merged = (
             pruned.join(F.broadcast(keys.select("vec_id")), "vec_id", "left_anti")
             .unionByName(ins.select("vec_id", "embedding", "label", pid))
@@ -943,18 +955,7 @@ def cow_dynamic_protocol(
 
         # ---- incremental index maintenance on the SAME micro-batch
         if not dels.isEmpty():
-            # a batch that emptied EVERY partition leaves no part files,
-            # and schema inference would throw on the bare read
-            has_files = any(
-                f.endswith(".parquet")
-                for _, _, fs in os.walk(snap_dir)
-                for f in fs
-            )
-            keep = (
-                bs.read.parquet(snap_dir).select("vec_id")
-                if has_files
-                else bs.createDataFrame([], "vec_id long")
-            )
+            keep = read_snapshot(bs).select("vec_id")
             nxt = delete_from_layered2(state["idx"], keep)
             state["idx"] = nxt
             stale.append(nxt)
@@ -983,13 +984,15 @@ def cow_dynamic_protocol(
 
 
 def interval_join_stream(
-    spark: SparkSession, sf_dir: str, window: str = "6 hours", delay: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "6 hours",
+    delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """STREAM-STREAM inner interval join — the last core Structured
-    Streaming operator class the surface was missing (file/memory
-    sources, windows, watermarks, arbitrary state, foreachBatch MERGE
-    all exist): every `click` within `window` AFTER a `view` by the same
-    user, the attribution join a clickstream pipeline runs online.
+    """STREAM-STREAM interval join — every `click` within `window` AFTER
+    a `view` by the same user, the attribution join a clickstream
+    pipeline runs online.
 
     Both sides carry watermarks and the join has a bounded time range,
     so each side's buffered state is bounded by (watermark delay +
@@ -998,7 +1001,18 @@ def interval_join_stream(
     Inner-join matches emit as they are found (the watermark only ages
     buffered state out), so with availableNow draining the fixture the
     result is the COMPLETE matched set — a plain relational self-join
-    the DuckDB oracle reproduces exactly."""
+    the DuckDB oracle reproduces exactly.
+
+    how="left_outer" adds the attribution shape real pipelines need
+    ("views that never converted"): a view with NO click in its window
+    emits exactly once with NULL click_id when the watermark expires its
+    buffered state, i.e. when view_ts + window < final watermark
+    (max(ts) - delay; availableNow's terminal no-data batch performs the
+    eviction). Views younger than that horizon stay unreported — the
+    stream cannot yet know they won't convert — so the left-outer oracle
+    is the same relational LEFT JOIN restricted to expired views
+    (boundary STRICT: a view whose window closes exactly AT the
+    watermark is retained, verified empirically at sf0.001/0.01)."""
     s = _stream_session(spark)
     batch = s.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -1036,6 +1050,7 @@ def interval_join_stream(
             f"v_user = c_user AND click_ts >= view_ts "
             f"AND click_ts <= view_ts + INTERVAL {window}"
         ),
+        how,
     )
     out = _run_to_memory(joined)
     return out.select(

@@ -279,6 +279,87 @@ def test_cow_dynamic_protocol_recovers_recall(spark, sf_dir, tmp_path):
     )
 
 
+def test_stream_interval_join_outer_exactly_once(spark, sf_dir):
+    """Left-outer stream-stream interval join: (a) the matched subset
+    equals the batch inner join exactly, (b) every unmatched view whose
+    6h window expired before the final watermark emits exactly ONE NULL
+    row, (c) no NULL row exists for a matched or still-buffered view."""
+    import datetime as dt
+
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.streaming.jobs import interval_join_stream
+
+    out = interval_join_stream(spark, sf_dir, how="left_outer").cache()
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    inner = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 6 HOURS")),
+    ).select("user_id", "view_id", "click_id")
+    got_matched = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in out.filter(F.col("click_id").isNotNull()).collect()
+    }
+    want_matched = {(r.user_id, r.view_id, r.click_id) for r in inner.collect()}
+    assert got_matched == want_matched and got_matched
+
+    # final watermark = min over both sides' per-side max ts, minus delay
+    max_view, max_click = ev.agg(
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+    ).first()
+    wm = min(max_view, max_click) - dt.timedelta(hours=1)
+    expired_unmatched = {
+        (r.user_id, r.view_id)
+        for r in v.join(
+            inner.select("view_id"), "view_id", "left_anti"
+        )
+        .filter(F.col("view_ts") + F.expr("INTERVAL 6 HOURS") < F.lit(wm))
+        .collect()
+    }
+    null_rows = [
+        (r.user_id, r.view_id)
+        for r in out.filter(F.col("click_id").isNull()).collect()
+    ]
+    assert len(null_rows) == len(set(null_rows)), "late-expiry row emitted twice"
+    assert set(null_rows) == expired_unmatched
+    out.unpersist()
+
+
+def test_cow_dynamic_protocol_pct100_no_resurrection(spark, sf_dir, tmp_path):
+    """pct=100 empties EVERY snapshot partition in the delete batch —
+    the case where dynamic partition overwrite rewrites nothing and the
+    deleted rows would silently resurrect (ADVICE r8). After the fix the
+    post_delete probe must see an empty keep set (recall 0), and the
+    re-insert batch must restore the full table exactly."""
+    import os
+
+    from cs598vectordb_spark.streaming.jobs import cow_dynamic_protocol
+
+    work = str(tmp_path / "cow100")
+    m = cow_dynamic_protocol(spark, sf_dir, work, pct=100)
+    rows = {r.phase: r for r in m.collect()}
+    assert set(rows) == {"baseline", "post_delete", "post_insert"}
+    # empty index after delete-all: the probe can find nothing
+    assert rows["post_delete"].recall == 0.0, rows["post_delete"].recall
+    assert rows["post_insert"].recall >= rows["baseline"].recall - 0.02
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    snap = spark.read.parquet(os.path.join(work, "snapshot"))
+    assert snap.count() == emb.count()
+    assert snap.select("vec_id").exceptAll(emb.select("vec_id")).count() == 0
+
+
 def test_stream_drop_duplicates_exactly_once(spark, sf_dir):
     """A doubled replay through dropDuplicatesWithinWatermark must
     reproduce the single-copy aggregate exactly — count AND checksum."""
