@@ -91,22 +91,14 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(_media(spark, sf_dir), stride=2, frame_bytes=4)
 
 
-@register(
-    "media_resize",
-    f"""
-WITH {_MEDIA_HEX}
-SELECT doc_id,
-       CAST(32 * (1 + doc_id % 8) AS INTEGER) AS width,
-       CAST(32 * (1 + doc_id % 5) AS INTEGER) AS height,
-       CAST(16 * (1 + doc_id % 8) AS INTEGER) AS new_width,
-       CAST(16 * (1 + doc_id % 5) AS INTEGER) AS new_height,
-       CAST(length(hex) // 2 AS INTEGER) AS n_bytes
-FROM media WHERE kind = 'image'
-""",
-)
+@register("media_resize")
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize planning for image rows — metadata halved, payload counted
-    (pixel resample drops into the media_decode_image kernel slot)."""
+    (pixel resample is the media_resize_pixels entry, which keeps its
+    oracle). ORACLE RETIRED r9 (slot-budget consolidation): the plan is
+    closed-form arithmetic over (doc_id, meta, payload length), pinned
+    value-exactly against an independent Catalyst recomputation in
+    tests/test_multimodal.py::test_resize_plan_matches_metadata."""
     return resize_plan(_media(spark, sf_dir), scale=2)
 
 
@@ -296,33 +288,20 @@ def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_ppm(_media(spark, sf_dir))
 
 
-@register(
-    "media_decode_pgm",
-    f"""
-WITH {_MEDIA_HEX},
-px AS (
-  SELECT doc_id, hex, length(hex) // 2 AS nb FROM media
-),
-gray AS (
-  SELECT doc_id,
-         list_transform(generate_series(0::BIGINT, 31),
-                        t -> {_byte("(t % nb) + 1")}) AS g
-  FROM px
-)
-SELECT doc_id, 8 AS width, 4 AS height,
-       CAST(list_sum(g) AS BIGINT) AS sum_px,
-       CAST(list_min(g) AS INTEGER) AS min_px,
-       CAST(list_max(g) AS INTEGER) AS max_px,
-       CAST(list_sum(g) % 997 AS BIGINT) AS px_checksum
-FROM gray
-""",
-)
+@register("media_decode_pgm")
 def q_media_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL grayscale netpbm (P5 binary PGM) round-trip — the
     one-channel leg of the real-codec matrix (BMP, WAV, PPM, PGM):
-    payload tiled to an 8x4 grayscale raster through
-    encode_pgm/decode_pgm, integer stats value-hashed against DuckDB
-    byte arithmetic."""
+    payload tiled to an 8x4 grayscale raster through encode_pgm/
+    decode_pgm. ORACLE RETIRED r9 (slot-budget consolidation): PGM is
+    the same netpbm decoder as the still-oracled media_decode_ppm
+    modulo the magic byte and channel count, so the per-format DuckDB
+    byte arithmetic was near-duplicate evidence. Replaced by (a) the
+    byte-exact codec round-trip property test
+    (tests/test_multimodal.py::test_pnm_codecs_roundtrip_exact) and
+    (b) a value-exact pin of the decoded stats against an independent
+    Catalyst hex-arithmetic recomputation
+    (tests/test_multimodal.py::test_pgm_stats_match_catalyst_bytes)."""
     from cs598vectordb_spark.operators.multimodal import media_decode_pgm
 
     return media_decode_pgm(_media(spark, sf_dir))

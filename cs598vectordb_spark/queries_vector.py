@@ -90,37 +90,27 @@ def q_knn_exact_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, q, k=_K).select("q_id", "rank", "vec_id")
 
 
-@register("knn_exact_expr", _KNN_ORACLE)
+@register("knn_exact_expr")
 def q_knn_exact_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 alt: pure-Catalyst crossJoin+window formulation — same rows; kept
-    registered so the oracle pins both implementations."""
+    """Q1 alt: pure-Catalyst crossJoin+window formulation — same rows as
+    knn_exact by construction. ORACLE RETIRED r9 (slot-budget
+    consolidation, registry.py retirement policy): the entry shared
+    knn_exact's _KNN_ORACLE verbatim, so its evidence is the exact
+    row-set equality pin vs the oracled knn_exact
+    (tests/test_knn.py::test_kernel_matches_expression) — the same
+    transitive chain, one slot cheaper."""
     emb, q = _load_q(spark, sf_dir)
     return knn_exact_expr(emb, q, k=_K).select("q_id", "rank", "vec_id")
 
 
-@register(
-    "knn_collect",
-    f"""
-WITH q AS (
-  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
-),
-pairs AS (
-  SELECT q.q_id, b.vec_id,
-         {_L2.format(a="q.q_emb", b="b.embedding")} AS dist
-  FROM q CROSS JOIN embeddings b
-),
-ranked AS (
-  SELECT q_id, vec_id,
-         row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS rank
-  FROM pairs QUALIFY rank <= {_K}
-)
-SELECT q_id, string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank) AS nn_csv
-FROM ranked GROUP BY q_id
-""",
-)
+@register("knn_collect")
 def q_knn_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: reshape kNN rows to the reference's id-matrix form (one
-    rank-ordered CSV row per query; ref: dynamic_script_milvus.py:51)."""
+    rank-ordered CSV row per query; ref: dynamic_script_milvus.py:51).
+    ORACLE RETIRED r9 (slot-budget consolidation): the reshape is pinned
+    value-exactly against the oracled knn_exact rows in
+    tests/test_knn.py::test_knn_collect_matches_exact_rows, so the
+    duplicate whole-kNN oracle bought no additional evidence."""
     emb, q = _load_q(spark, sf_dir)
     return knn_collect(knn_exact(emb, q, k=_K))
 

@@ -32,63 +32,157 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 
 # The external correctness gate grades the FIRST ~50 registered entries
-# only. 76 entries carry oracles, so the order below is a freshness
-# rotation, re-curated each round: entries whose newest green driver row
-# is oldest go first, then a filler set of recently-green entries chosen
-# for (a) implementations touched this round, (b) single-green former
-# reds, (c) one §2-core representative per op family. The invariant the
-# rotation maintains: every oracled entry's newest green row is at most
-# two rounds old.
+# only. The order below is a freshness rotation, re-curated each round:
+# entries whose newest green driver row is oldest go first, then a
+# filler set of recently-green entries chosen for (a) implementations
+# touched this round, (b) single-green former reds, (c) one §2-core
+# representative per op family. The invariant the rotation maintains:
+# every ORACLED entry's newest green row is at most two rounds old.
+#
+# ORACLE SLOT BUDGET + RETIREMENT POLICY (r9). With a 50-slot gate and
+# the ≤2-rounds freshness invariant the hard capacity is 100 oracled
+# entries. Before REGISTERING a new oracled entry, recount: (entries
+# due next round) + (planned births) must stay ≤ 50, and total oracled
+# must stay ≤ 96 so ≥4 slots of slack survive for the next round's
+# births. When at capacity, RETIRE an oracle instead of skipping the
+# birth, preferring (in order): (1) an entry whose oracle is literally
+# shared with / derivable from another oracled entry (knn_exact_expr
+# shared knn_exact's SQL verbatim), (2) a near-duplicate evidence pair
+# (media_decode_pgm vs media_decode_ppm — same netpbm decoder modulo
+# magic byte; media_resize vs media_resize_pixels — plan vs pixels),
+# (3) closed-form arithmetic an in-process Catalyst recomputation can
+# pin as strongly as DuckDB can. Retirement = drop the oracle= arg,
+# keep the queries() entry (rows-only), note "ORACLE RETIRED r{N}" in
+# the entry docstring, and land a value-exact pytest pin registered in
+# _ROWS_ONLY_EVIDENCE below (enforced by tests/test_registry.py).
+# Retired r9: knn_exact_expr, knn_collect, media_decode_pgm,
+# media_resize → 96 oracled, slack 4.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-8 slot 1-6: birth-round evidence. cohort_retention was
-    # registered in r7 AFTER the priority was curated (VERDICT r7 item 2
-    # — the one oracled entry with no driver row); knn_exact_2k,
-    # knn_exact_pca, knn_ip, range_search and stream_interval_join are
-    # new this round.
-    "cohort_retention", "knn_exact_2k", "knn_exact_pca",
-    "knn_ip", "range_search", "stream_interval_join",
-    "event_value_percentiles", "distance_histogram",
-    "chunk_documents", "stream_static_enrich",
-    # --- r6-green set rotated out in round 7; newest green row is r6,
-    # so the ≤2-rounds-old invariant makes them due now (39 entries)
-    "knn_exact", "merge_upsert", "pricing_summary", "dedup_exact",
-    "bucketed_customer_orders", "doc_repetition",
-    "shingle_cardinality_kmv", "events_hourly", "props_json_extract",
-    "range_click_burst", "salted_user_stats", "decimal_revenue",
-    "media_features", "media_frame_sample", "media_summary",
-    "stream_stateful_counts", "stream_dedup", "stream_knn",
-    "decontamination", "curate_corpus", "sq8_error", "hash_split",
-    "ngram_profile", "tfidf_keywords", "semantic_doc_search",
-    "minhash_lsh_dedup", "simhash_near_dups", "embedding_near_dup",
-    "pack_sequences", "acctbal_deciles", "media_decode_wav",
-    "media_decode_bmp", "media_resize_pixels", "media_resize",
-    "stream_merge_upserts", "scan_fvecs", "scan_ivecs", "load_dataset",
-    "scan_logs",
-    # --- filler to 50: the one r7-green whose implementation changed
-    # this round (stream_near_dedup got the cross-chunk winner fix).
-    # ORACLE BUDGET NOTE (r8): 99 entries now carry oracles; with a
-    # 50-slot gate and the ≤2-rounds-old freshness invariant the hard
-    # capacity is 100. r9's due set is the 46 r7-greens listed below +
-    # any r9 births — future rounds must keep births ≤ the remaining
-    # slack or consciously retire an oracle before adding one.
-    "stream_near_dedup",
+    # --- r9 slots 1-4: birth + changed-evidence entries.
+    # stream_interval_join_outer is new; knn_exact_pca's oracle SQL and
+    # model artifact changed (fixture-fingerprint filter, ADVICE r8);
+    # scan_fvecs' writer gained the per-session fingerprint cache;
+    # stream_interval_join's builder was parameterized for the outer
+    # variant — all four need fresh driver rows against current code.
+    "stream_interval_join_outer", "knn_exact_pca",
+    "scan_fvecs", "stream_interval_join",
+    # --- the r7-green set rotated out in round 8; newest green row is
+    # r7, so the ≤2-rounds invariant makes them due now (46 entries —
+    # 49 were due, minus the three retired oracles above).
+    "sessionize", "stream_events_hourly", "funnel_steps", "orders_cube",
+    "stream_merge_upserts_cow", "media_decode_ppm", "asof_attribution",
+    "stream_sessionize", "stream_late_data", "stream_sink_parquet",
+    "knn_cosine", "knn_filtered", "shipping_priority",
+    "local_supplier_volume", "revenue_change", "order_priority_count",
+    "customer_order_stats", "brand_top_parts", "status_pivot",
+    "customer_number_extract", "lineitem_rollup",
+    "priority_customers_setops", "customer_order_gaps",
+    "minhash_signatures", "jaccard_topk", "doc_stats", "quality_scores",
+    "fingerprints", "source_summary", "token_counts", "simhash_banded",
+    "lang_detect", "stratified_sample", "dedup_clusters", "sq8_encode",
+    "stream_ingest_updates", "media_dedup", "ingest", "sql_text_surface",
+    "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
+    "recall_low_dim", "events_last5_summary", "events_first5_series",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r7-green entries not re-graded this round (due back in r9):
-    # sessionize, stream_events_hourly, funnel_steps, orders_cube,
-    # stream_merge_upserts_cow, media_decode_ppm, media_decode_pgm,
-    # asof_attribution, stream_sessionize, stream_late_data,
-    # stream_sink_parquet, knn_exact_expr, knn_cosine, knn_filtered,
-    # knn_collect, shipping_priority, local_supplier_volume,
-    # revenue_change, order_priority_count, customer_order_stats,
-    # brand_top_parts, status_pivot, customer_number_extract,
-    # lineitem_rollup, priority_customers_setops, customer_order_gaps,
-    # minhash_signatures, jaccard_topk, doc_stats, quality_scores,
-    # fingerprints, source_summary, token_counts, simhash_banded,
-    # lang_detect, stratified_sample, dedup_clusters, sq8_encode,
-    # stream_ingest_updates, media_dedup, ingest, sql_text_surface,
-    # delete_pct, insert_restore, upsert_guard, knn_post_delete,
-    # recall_low_dim, events_last5_summary, events_first5_series
+    # r8-green entries not re-graded this round (due back in r10, 46
+    # entries — within the 50-slot capacity with 4 slots of slack):
+    # cohort_retention, knn_exact_2k, knn_ip, range_search,
+    # event_value_percentiles, distance_histogram, chunk_documents,
+    # stream_static_enrich, knn_exact, merge_upsert, pricing_summary,
+    # dedup_exact, bucketed_customer_orders, doc_repetition,
+    # shingle_cardinality_kmv, events_hourly, props_json_extract,
+    # range_click_burst, salted_user_stats, decimal_revenue,
+    # media_features, media_frame_sample, media_summary,
+    # stream_stateful_counts, stream_dedup, stream_knn, decontamination,
+    # curate_corpus, sq8_error, hash_split, ngram_profile,
+    # tfidf_keywords, semantic_doc_search, minhash_lsh_dedup,
+    # simhash_near_dups, embedding_near_dup, pack_sequences,
+    # acctbal_deciles, media_decode_wav, media_decode_bmp,
+    # media_resize_pixels, stream_merge_upserts, scan_ivecs,
+    # load_dataset, scan_logs, stream_near_dedup
 )
+
+# Every rows-only entry's evidence pin, name -> pytest node (the test
+# that would fail if the operator's semantics broke). Enforced complete
+# by tests/test_registry.py::test_rows_only_entries_have_evidence —
+# registering a rows-only entry without a row here fails the suite.
+# Recall-metric twins (X_recall) share their probe's floor test; sweep
+# entries (X_autotune) share their probe family's floor test, with the
+# sweep selection rule itself pinned once by test_autotune_meets_target.
+_ROWS_ONLY_EVIDENCE: dict[str, str] = {
+    # retired-oracle entries (r9) — value-exact pins
+    "knn_exact_expr": "tests/test_knn.py::test_kernel_matches_expression",
+    "knn_collect": "tests/test_knn.py::test_knn_collect_matches_exact_rows",
+    "media_decode_pgm": "tests/test_multimodal.py::test_pgm_stats_match_catalyst_bytes",
+    "media_resize": "tests/test_multimodal.py::test_resize_plan_matches_metadata",
+    # vector / PCA
+    "pca_spectrum": "tests/test_knn.py::test_pca_invariants",
+    # LSH family
+    "knn_lsh": "tests/test_index.py::test_lsh_recall_floor",
+    "lsh_recall": "tests/test_index.py::test_lsh_recall_floor",
+    "knn_lsh_multiprobe": "tests/test_index.py::test_multiprobe_raises_recall_over_single_probe",
+    "lsh_autotune": "tests/test_index.py::test_autotune_meets_target",
+    # IVF family
+    "knn_ivf": "tests/test_index.py::test_ivf_recall_floor",
+    "ivf_recall": "tests/test_index.py::test_ivf_recall_floor",
+    "knn_ivf_materialized": "tests/test_plans.py::test_ivf_partition_pruning_and_equality",
+    "knn_ivf_mllib": "tests/test_index.py::test_ivf_mllib_recall_floor",
+    "ivf_autotune": "tests/test_index.py::test_ivf_recall_floor",
+    "knn_ivf_sq8": "tests/test_index.py::test_ivf_sq8_pruned_and_recall",
+    "ivf_sq8_recall": "tests/test_index.py::test_ivf_sq8_pruned_and_recall",
+    "knn_ivf2": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
+    "ivf2_recall": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
+    "ivf2_autotune": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
+    # SQ8
+    "knn_sq8": "tests/test_index.py::test_sq8_roundtrip_and_recall",
+    "sq8_recall": "tests/test_index.py::test_sq8_roundtrip_and_recall",
+    # PQ / IVF-PQ
+    "pq_reconstruction": "tests/test_pq.py::test_more_bits_less_error",
+    "knn_pq": "tests/test_pq.py::test_adc_recall_clears_reference_floor",
+    "pq_recall": "tests/test_pq.py::test_adc_recall_clears_reference_floor",
+    "knn_pq_refined": "tests/test_pq.py::test_refined_recall_beats_plain_adc",
+    "pq_refined_recall": "tests/test_pq.py::test_refined_recall_beats_plain_adc",
+    "knn_ivfpq": "tests/test_pq.py::test_ivfpq_recall_floors",
+    "knn_ivfpq_refined": "tests/test_pq.py::test_ivfpq_recall_floors",
+    "ivfpq_autotune": "tests/test_pq.py::test_ivfpq_recall_floors",
+    "dynamic_ivfpq": "tests/test_updates_metrics.py::test_dynamic_ivfpq_recovers_recall",
+    "dynamic_overlap_ivfpq": "tests/test_index.py::test_dynamic_overlap_measures_during_update",
+    # graph family
+    "knn_graph": "tests/test_index.py::test_knn_graph_monotone_refinement_and_search_recall",
+    "graph_quality": "tests/test_index.py::test_knn_graph_monotone_refinement_and_search_recall",
+    "graph_search_recall": "tests/test_index.py::test_knn_graph_monotone_refinement_and_search_recall",
+    "knn_graph_materialized": "tests/test_index.py::test_partitioned_flat_graph_build",
+    "knn_graph_layered": "tests/test_index.py::test_layered_graph_recall_and_merge",
+    "graph_layered_recall": "tests/test_index.py::test_layered_graph_recall_and_merge",
+    "knn_graph_sq8": "tests/test_index.py::test_layered_graph_sq8_recall_and_incremental",
+    "knn_graph_layered2": "tests/test_index.py::test_layered_graph2_recall_and_plan",
+    "knn_graph2_materialized": "tests/test_index.py::test_layered2_materialize_roundtrip",
+    "knn_graph2_filtered": "tests/test_index.py::test_graph2_filtered_ann",
+    "graph2_autotune": "tests/test_index.py::test_graph2_autotune_frontier",
+    # workloads (W1/W2/W3) + metrics artifacts
+    "bench_loop": "tests/test_updates_metrics.py::test_bench_loop_steady_state",
+    "dynamic_protocol": "tests/test_index.py::test_dynamic_protocol_recall_recovers",
+    "recall_degradation": "tests/test_updates_metrics.py::test_recall_degradation_recovers",
+    "dynamic_phase_regions": "tests/test_updates_metrics.py::test_plot_series_and_phase_regions_closed_form",
+    "plot_series": "tests/test_updates_metrics.py::test_plot_series_and_phase_regions_closed_form",
+    "dynamic_overlap": "tests/test_index.py::test_dynamic_overlap_measures_during_update",
+    "dynamic_overlap_ivf": "tests/test_index.py::test_dynamic_overlap_measures_during_update",
+    "dynamic_overlap_graph": "tests/test_index.py::test_dynamic_overlap_measures_during_update",
+    "dynamic_overlap_graph_sq8": "tests/test_index.py::test_dynamic_overlap_measures_during_update",
+    "dynamic_overlap_graph2": "tests/test_index.py::test_dynamic_overlap_measures_during_update",
+    "multi_tenant": "tests/test_index.py::test_multi_tenant_rows_and_throughput",
+    "multi_tenant_graph": "tests/test_index.py::test_multi_tenant_rows_and_throughput",
+    "multi_tenant_graph_sq8": "tests/test_index.py::test_multi_tenant_rows_and_throughput",
+    # streaming-serving + streaming sketches
+    "stream_knn_graph2": "tests/test_streaming.py::test_stream_knn_graph2_recall",
+    "multi_tenant_stream_graph2": "tests/test_updates_metrics.py::test_multi_tenant_stream_graph2_summary",
+    "dynamic_cow_graph2": "tests/test_streaming.py::test_cow_dynamic_protocol_recovers_recall",
+    "stream_drop_duplicates": "tests/test_streaming.py::test_stream_drop_duplicates_exactly_once",
+    "stream_hourly_unique_users": "tests/test_streaming.py::test_stream_hourly_unique_users_sketch_accuracy",
+    # text / io
+    "compressibility": "tests/test_dedup_text.py::test_compressibility_signal",
+    "scan_formats": "tests/test_sources.py::test_scan_formats_roundtrips_losslessly",
+}
 
 
 def _ordered_names() -> list[str]:

@@ -46,6 +46,18 @@ def test_ivf_recall_floor(setup):
     assert rec >= 0.70, rec
 
 
+def test_ivf_mllib_recall_floor(setup):
+    """The MLlib-KMeans-trained coarse quantizer (knn_ivf_mllib's
+    backend) must clear the same 0.70 floor as the custom k-means —
+    the rows-only entry's evidence pin."""
+    from cs598vectordb_spark.operators.index import build_ivf_index_mllib
+
+    emb, q, truth = setup
+    idx = build_ivf_index_mllib(emb, nlist=16)
+    rec = recall_at_k(knn_ivf(idx, q, K, nprobe=8), truth, K).collect()[0][0]
+    assert rec >= 0.70, rec
+
+
 def test_ivf_full_probe_is_exact(setup):
     """nprobe == nlist degenerates to exact search (recall 1.0) — the
     IVF consistency axiom."""

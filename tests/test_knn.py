@@ -17,6 +17,9 @@ def _setup(spark, sf_dir):
 
 
 def test_kernel_matches_expression(spark, sf_dir):
+    """Retired-oracle pin (r9): knn_exact_expr shared knn_exact's oracle
+    verbatim, so exact row-set equality against the still-oracled
+    knn_exact is the same evidence one slot cheaper."""
     emb, q = _setup(spark, sf_dir)
     a = knn_exact(emb, q, k=K).select("q_id", "rank", "vec_id")
     b = knn_exact_expr(emb, q, k=K).select("q_id", "rank", "vec_id")
@@ -64,6 +67,31 @@ def test_knn_collect_shape(spark, sf_dir):
         ids = row.nn_csv.split(",")
         assert len(ids) == K
         assert int(ids[0]) == row.q_id  # self first
+
+
+def test_knn_collect_matches_exact_rows(spark, sf_dir):
+    """Retired-oracle pin (r9): knn_collect is a pure reshape of the
+    oracled knn_exact rows, so value-exact equality against a direct
+    rank-ordered CSV of those rows carries the full evidence chain
+    (knn_exact oracle -> this pin -> knn_collect)."""
+    emb, q = _setup(spark, sf_dir)
+    rows = knn_exact(emb, q, k=K).select("q_id", "rank", "vec_id")
+    got = {r.q_id: r.nn_csv for r in knn_collect(rows).collect()}
+    want = {
+        r.q_id: r.csv
+        for r in rows.groupBy("q_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+                    lambda s: s["vec_id"].cast("string"),
+                ),
+            ).alias("csv")
+        )
+        .collect()
+    }
+    assert got == want and len(got) == NQ
 
 
 def test_pca_invariants(spark, sf_dir):

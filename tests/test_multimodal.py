@@ -173,6 +173,64 @@ def test_pnm_codecs_roundtrip_exact():
         decode_ppm(b"P6\n3 2\n255X" + raster)
 
 
+def test_pgm_stats_match_catalyst_bytes(media):
+    """Retired-oracle pin (r9): the PGM kernel's decoded stats must equal
+    an INDEPENDENT Catalyst recomputation from the payload bytes (hex
+    string arithmetic, no Python) — the same cross-engine evidence the
+    DuckDB byte oracle provided, now in-process. Tiling rule: gray pixel
+    t (0..31) is payload byte (t % n_bytes)."""
+    from cs598vectordb_spark.operators.multimodal import media_decode_pgm
+
+    got = media_decode_pgm(media)
+    bytes_arr = (
+        "transform(sequence(0, 31), t -> "
+        "CAST(conv(substring(hex(payload), 2 * (t % length(payload)) + 1, 2), 16, 10) AS INT))"
+    )
+    want = media.select(
+        "doc_id",
+        F.lit(8).alias("width"),
+        F.lit(4).alias("height"),
+        F.expr(f"aggregate({bytes_arr}, 0L, (a, x) -> a + x)").alias("sum_px"),
+        F.expr(f"array_min({bytes_arr})").alias("min_px"),
+        F.expr(f"array_max({bytes_arr})").alias("max_px"),
+        F.expr(f"aggregate({bytes_arr}, 0L, (a, x) -> a + x) % 997").alias(
+            "px_checksum"
+        ),
+    )
+    assert got.count() == media.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_resize_plan_matches_metadata(media):
+    """Retired-oracle pin (r9): resize planning is closed-form arithmetic
+    over (meta, payload length); equality against a direct expression
+    recomputation replaces the retired DuckDB oracle."""
+    from cs598vectordb_spark.operators.multimodal import resize_plan
+
+    got = resize_plan(media, scale=2)
+    want = media.filter(F.col("kind") == "image").select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        (F.col("meta.width") / 2).cast("int").alias("new_width"),
+        (F.col("meta.height") / 2).cast("int").alias("new_height"),
+        F.length("payload").alias("n_bytes"),
+    )
+    # and the metadata itself obeys the synthesis closed form
+    bad_meta = media.filter(
+        (F.col("kind") == "image")
+        & (
+            (F.col("meta.width") != 32 * (1 + F.col("doc_id") % 8))
+            | (F.col("meta.height") != 32 * (1 + F.col("doc_id") % 5))
+        )
+    ).count()
+    assert bad_meta == 0
+    assert got.count() == media.filter(F.col("kind") == "image").count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_media_decode_pnm_queries(spark, sf_dir):
     """The registered PNM round-trip queries: one row per doc; the PPM
     channel sums reconcile with the PGM stats where they overlap (both

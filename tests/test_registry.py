@@ -38,3 +38,30 @@ def test_round1_reds_and_ungraded_lead():
     head24 = list(entrymod.queries())[:24]
     expected = set(registry._PRIORITY[:24])
     assert set(head24) == expected
+
+
+def test_rows_only_entries_have_evidence():
+    """Every rows-only entry must name its pytest evidence pin in
+    registry._ROWS_ONLY_EVIDENCE (the auditable chain VERDICT r8 item 7
+    asked for), the referenced test must actually exist, and the map must
+    not carry stale names (oracled or unregistered entries)."""
+    import pathlib
+    import re
+
+    qs = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    rows_only = qs - oracled
+    ev = registry._ROWS_ONLY_EVIDENCE
+
+    missing = sorted(rows_only - set(ev))
+    assert not missing, f"rows-only entries with no evidence pin: {missing}"
+    stale = sorted(set(ev) - rows_only)
+    assert not stale, f"evidence map entries that are oracled/unregistered: {stale}"
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    for name, node in ev.items():
+        fname, test = node.split("::")
+        src = (repo / fname).read_text()
+        assert re.search(rf"\ndef {re.escape(test)}\b", src), (
+            f"{name}: pinning test {node} not found"
+        )

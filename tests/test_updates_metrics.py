@@ -151,3 +151,35 @@ def test_dynamic_ivfpq_recovers_recall(spark, sf_dir):
         by_phase.setdefault(r.phase, []).append(r.recall)
     assert min(by_phase["post_delete"]) < min(by_phase["baseline"])
     assert by_phase["post_insert"] == by_phase["baseline"], by_phase
+
+
+def test_plot_series_and_phase_regions_closed_form(spark):
+    """Evidence pin for the rows-only plot_series / dynamic_phase_regions
+    entries: on a hand-built metrics frame, the chart-as-data series CSV,
+    min-max sparkline levels, and per-phase interval spans are all
+    closed-form — asserted value-exactly."""
+    from cs598vectordb_spark.operators.metrics import comparison_chart, phase_regions
+    from cs598vectordb_spark.operators.workloads import METRICS_SCHEMA
+
+    rows = [
+        ("r", "b1", "baseline", 0, 10, 100.0, 1.0, 1.0, 50, 1, True),
+        ("r", "b1", "update", 1, 10, 50.0, 2.0, 0.9, 50, 1, True),
+        ("r", "b1", "update", 2, 10, 75.0, 1.5, 0.95, 50, 1, True),
+        ("r", "b1", "recovered", 3, 10, 100.0, 1.0, 1.0, 50, 1, True),
+    ]
+    m = spark.createDataFrame(rows, METRICS_SCHEMA)
+
+    chart = comparison_chart(m).collect()
+    assert len(chart) == 1
+    c = chart[0]
+    assert c.series_csv == "100.0,50.0,75.0,100.0"
+    # min-max scaled: 100 -> top block, 50 -> bottom, 75 -> middle
+    assert c.sparkline[0] == c.sparkline[3] == "█"
+    assert c.sparkline[1] == "▁"
+    assert c.sparkline[1] < c.sparkline[2] < c.sparkline[0]
+
+    spans = {
+        r.phase: (r.start_interval, r.end_interval)
+        for r in phase_regions(m).collect()
+    }
+    assert spans == {"baseline": (0, 0), "update": (1, 2), "recovered": (3, 3)}
