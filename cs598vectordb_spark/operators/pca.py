@@ -23,6 +23,19 @@ can jitter the last bits across partition schedules, so the registered
 query faces the rows-only check while the mathematical invariants
 (orthonormality, non-increasing spectrum, exact isometry at full rank)
 are pinned in tests/test_knn.py.
+
+RECALL IS DATA-DEPENDENT, not an operator property. On the isotropic
+synthetic fixtures the compress-then-search curve reads ~0.15/0.20/0.37
+recall@10 at out_dim 8/16/32 — PCA's worst case (all eigenvalues
+comparable, nothing to drop), far below a usable ANN backend, and the
+bench detail labels each point with the variance actually captured so
+the curve cannot be misread as serving quality. On data with genuine
+low-rank structure the same operator at the same out_dim reaches
+recall ≥ 0.9 (pinned: tests/test_knn.py::
+test_pca_recall_high_on_low_rank_data, intrinsic dim 8 + 2% noise).
+Deploy rule: check pca_spectrum's cum_ratio at the target out_dim
+FIRST; below ~0.9 captured variance, use the IVF/graph/PQ families
+instead.
 """
 
 from __future__ import annotations

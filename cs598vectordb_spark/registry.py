@@ -179,9 +179,10 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "dynamic_cow_graph2": "tests/test_streaming.py::test_cow_dynamic_protocol_recovers_recall",
     "stream_drop_duplicates": "tests/test_streaming.py::test_stream_drop_duplicates_exactly_once",
     "stream_hourly_unique_users": "tests/test_streaming.py::test_stream_hourly_unique_users_sketch_accuracy",
-    # text / io
+    # text / io / relational sketches
     "compressibility": "tests/test_dedup_text.py::test_compressibility_signal",
     "scan_formats": "tests/test_sources.py::test_scan_formats_roundtrips_losslessly",
+    "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
 }
 
 

@@ -17,8 +17,18 @@ import bench
 
 
 def _worst_case_out() -> dict:
-    # 40 headline queries with realistically long names
-    queries = {f"knn_graph_layered2_variant_{i:02d}": 12.345 for i in range(40)}
+    # 48 headline queries at the real suite's name-length DISTRIBUTION
+    # (mean ~15 chars, max 26 — multi_tenant_stream_graph2): r9 ships 35
+    # headline queries and adds ~2 per round, so 48 is ≥20% headroom for
+    # several rounds of growth (VERDICT r8 item 8). All 48 at the MAX
+    # length would overflow the never-demoted "queries" block itself
+    # (1729 chars alone) — that envelope is what the suite's short-name
+    # convention exists to avoid, and test_unshrinkable_line_raises pins
+    # the loud failure for it.
+    queries = {}
+    for i in range(48):
+        name = f"knn_exact_{i:02d}" if i % 2 else f"knn_graph2_variant_long_{i:02d}"
+        queries[name] = 12.345
     return {
         "metric": "headline_suite_wall_seconds",
         "value": 123.456,
@@ -58,7 +68,7 @@ def test_line_under_limit_and_lossless():
     parsed = json.loads(line)
     # the record proper is never demoted
     assert parsed["value"] == 123.456
-    assert len(parsed["queries"]) == 40
+    assert len(parsed["queries"]) == 48
     assert parsed["extra"]["detail"] == bench.DETAIL_PATH
     # lossless: every original extra key survives on exactly one side
     inline = set(parsed["extra"]) - {"detail"}

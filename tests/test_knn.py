@@ -181,3 +181,48 @@ def test_knn_range_exact_membership(spark, sf_dir):
     want = {(r.q_id, r.vec_id) for r in full if r.dist <= r2}
     assert got == want
     assert len(got) > 20  # at least the self-matches plus real neighbors
+
+
+def test_pca_recall_high_on_low_rank_data(spark):
+    """PCA-compressed search is a DATA-DEPENDENT backend: on the
+    isotropic synthetic fixtures it scores 0.15-0.37 recall (bench
+    detail) because there are no low-variance directions to drop — that
+    is a property of the data, not the operator. This test demonstrates
+    the converse: on data with genuine low-rank structure (intrinsic
+    dim 8 + 2% noise in d=64), out_dim=16 captures >=95% of the variance
+    and exact kNN in the compressed space reaches recall >= 0.9."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.metrics import recall_at_k
+    from cs598vectordb_spark.operators.pca import fit_pca, pca_project
+
+    rng = np.random.default_rng(42)
+    n, d, intrinsic = 2000, 64, 8
+    basis = np.linalg.qr(rng.standard_normal((d, intrinsic)))[0]
+    X = rng.standard_normal((n, intrinsic)) @ basis.T
+    X += 0.02 * rng.standard_normal((n, d))  # 2% isotropic noise
+    emb = spark.createDataFrame(
+        [(i, X[i].astype("float32").tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+
+    fitted = fit_pca(emb)
+    _, evals, _ = fitted
+    out_dim = 16
+    captured = float(evals[:out_dim].sum() / evals.sum())
+    assert captured >= 0.95, captured
+
+    proj = pca_project(emb, out_dim, fitted=fitted).withColumnRenamed(
+        "pca", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    pq = proj.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    truth = knn_exact(emb, q, k=10)
+    pred = knn_exact(proj, pq, k=10)
+    rec = recall_at_k(pred, truth, 10).collect()[0][0]
+    assert rec >= 0.9, (rec, captured)

@@ -41,3 +41,40 @@ def test_sessionize_monotone(spark, sf_dir):
         F.min("session_seq").alias("lo"), F.max("session_seq").alias("hi"), F.count("*").alias("n")
     )
     assert per_user.filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)).count() == 0
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
+    """event_value_percentiles_approx evidence pin: for every group and
+    every p, the sketch's returned value must be an order statistic whose
+    rank is within n/accuracy of ceil(p*n) — Spark's documented
+    Greenwald-Khanna guarantee, checked against the exact sorted values
+    (bracketing order statistics at rank ± n/acc)."""
+    import math
+
+    import __spark_entry__ as em
+
+    from cs598vectordb_spark.queries_relational import PERCENTILE_ACCURACY
+    from cs598vectordb_spark.sources.tables import load_table
+
+    got = {
+        r.event_type: r
+        for r in em.queries()["event_value_percentiles_approx"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    by_type = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    assert set(got) == set(by_type)
+
+    for etype, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        err = n / PERCENTILE_ACCURACY
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            target = math.ceil(p * n)
+            lo = vals[max(0, math.floor(target - err) - 1)]
+            hi = vals[min(n - 1, math.ceil(target + err) - 1)]
+            approx = getattr(got[etype], col)
+            # the query rounds to 4 decimals; widen the bracket accordingly
+            assert lo - 5e-5 <= approx <= hi + 5e-5, (etype, col, lo, approx, hi)
+        assert got[etype].n == n
