@@ -79,6 +79,54 @@ def render_bench_line(
     return line
 
 
+def _x10_corpus(spark, sf_dir: str) -> str:
+    """Materialize (once, cached by a source-stamp marker) a 10× replica
+    of the documents table under /tmp for the dedup scaling measurement.
+
+    Construction: replica k suffixes EVERY word with "rk", so each
+    replica is an exact similarity-isomorphic copy of the source corpus
+    — within-replica word-shingle overlap is preserved bijectively and
+    cross-replica overlap is zero (suffixed vocabularies are disjoint).
+    The near-dup workload (buckets, candidate pairs, clusters) therefore
+    grows EXACTLY linearly with the 10× row count, which is what makes
+    the fitted wall-time exponent an honest O(n) check: a superlinear
+    exponent can only come from the ENGINE's plan, not from a
+    quadratically-enriched corpus."""
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = "/tmp/cs598_spark_io/docs_x10"
+    marker = os.path.join(out, "_X10_OK")
+    stamp = f"{os.path.getmtime(src)}:{os.path.getsize(src)}"
+    try:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+    except OSError:
+        pass
+    docs = spark.read.parquet(src)
+    reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+    x10 = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep").cast("long") * 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda w: F.concat(w, F.lit("r"), F.col("rep").cast("string")),
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    x10.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -206,12 +254,19 @@ def main() -> int:
     # Embedding-compression trade-off: recall@10 of exact kNN in
     # PCA-projected space vs full-dim truth, by out_dim — the
     # compress-then-search curve (ref analog: PQ trade-off,
-    # multi_tenant_script.py:94-99). Recorded every run in bench detail
-    # alongside the oracle-graded knn_exact_pca entry.
+    # multi_tenant_script.py:94-99). Each point is labeled with the
+    # variance the projection actually captures: the fixtures are
+    # ISOTROPIC (PCA's worst case), so the low recalls are a data
+    # property, not serving quality — see operators/pca.py docstring
+    # and the low-rank counterexample test (recall >= 0.9 when
+    # structure exists). Recorded every run in bench detail alongside
+    # the oracle-graded knn_exact_pca entry.
     from cs598vectordb_spark.operators.metrics import recall_at_k
     from cs598vectordb_spark.operators.pca import fit_pca, pca_project
 
     fitted = fit_pca(emb)
+    evals = fitted[1]
+    total_var = float(evals.sum()) or 1.0
     truth = knn_exact(emb, q20, 10)
     pca_recall = {}
     for out_dim in (8, 16, 32):
@@ -220,7 +275,11 @@ def main() -> int:
         )
         pq20 = queries_from_embeddings(proj, 20)
         pred = knn_exact(proj, pq20, 10)
-        pca_recall[str(out_dim)] = recall_at_k(pred, truth).collect()[0]["recall"]
+        pca_recall[str(out_dim)] = {
+            "recall": recall_at_k(pred, truth).collect()[0]["recall"],
+            "variance_captured": round(float(evals[:out_dim].sum()) / total_var, 4),
+        }
+    pca_recall["note"] = "isotropic fixtures: recall is data-limited, see operators/pca.py"
 
     # Multi-tenant STREAMING serving scaling: per-client-count summed
     # end-to-end serving throughput over the shared layered2 index
@@ -264,6 +323,59 @@ def main() -> int:
     def qps(name: str) -> float:
         return round(DEFAULT_N_QUERIES / timings[name], 1) if timings.get(name) else 0.0
 
+    # ---- post-timed-region measurements. These two blocks run heavy
+    # auxiliary workloads (two dynamic-update protocols; the dedup suite
+    # at three scales incl. a 10× corpus) whose cache/shuffle pressure
+    # measurably slowed the timed passes when they ran BEFORE them —
+    # after the timed region they cost the same wall-clock but cannot
+    # contaminate the headline numbers.
+
+    # Dynamic-update recall curves at bench scale: per-phase recall of
+    # the two incrementally-maintained serving indexes of record (IVF-PQ
+    # and the COW-storage layered2 graph) under the delete/insert
+    # protocol — the reference's delete+reinsert consistency check
+    # (logs/dynamic_updates_hnswlib.txt, interval 1 vs final). The
+    # recovery invariant (post_insert >= baseline - 0.02) is pinned in
+    # pytest; recording it here makes drift visible round over round.
+    dyn_curves = {}
+    for name in ("dynamic_ivfpq", "dynamic_cow_graph2"):
+        rows = sorted(qs[name](spark, sf_dir).collect(), key=lambda r: r["interval"])
+        base_rec = max(r["recall"] for r in rows if r["phase"] == "baseline")
+        final_rec = max(r["recall"] for r in rows if r["phase"] == "post_insert")
+        dyn_curves[name] = {
+            "recall_by_interval": [
+                {"phase": r["phase"], "i": r["interval"], "recall": round(r["recall"], 4)}
+                for r in rows
+            ],
+            "baseline_recall": round(base_rec, 4),
+            "final_recall": round(final_rec, 4),
+            "recovered_within_002": bool(final_rec >= base_rec - 0.02),
+        }
+
+    # Measured scaling exponents for the heavy dedup paths (the three
+    # most expensive suite queries): one timed run each at sf0.01, the
+    # bench SF, and a 10× similarity-isomorphic corpus (see _x10_corpus
+    # — linear workload growth by construction). The exponent is fitted
+    # between the two LARGEST points (the sf0.01 point is fixed-job-
+    # overhead-dominated); ~1.0 means the banded/bucketed plans really
+    # are O(n), converting the 100 TB plan-shape argument into data the
+    # way knn_exact_qps_scaling does for the exact kernel.
+    import math
+
+    dedup_scaling = {}
+    x10_dir = _x10_corpus(spark, sf_dir)
+    small_dir = "/root/testdata/sf0.01"
+    for name in ("dedup_clusters", "minhash_lsh_dedup", "decontamination"):
+        pts = {}
+        for label, d in (("small", small_dir), ("sf", sf_dir), ("x10", x10_dir)):
+            t0 = time.time()
+            qs[name](spark, d).count()
+            pts[label] = round(time.time() - t0, 3)
+        dedup_scaling[name] = {
+            "seconds": pts,
+            "exponent": round(math.log(pts["x10"] / pts["sf"]) / math.log(10), 3),
+        }
+
     # The printed line keeps value/queries plus a COMPACT extra; bulky
     # sweeps (autotune frontier, scaling, build times, per-pass detail)
     # go to the detail file from the start so the line stays far below
@@ -272,6 +384,8 @@ def main() -> int:
         "graph2_autotune_frontier": g2_trace,
         "knn_exact_qps_scaling": qps_scaling,
         "pca_recall_by_out_dim": pca_recall,
+        "dynamic_recall_curves": dyn_curves,
+        "dedup_scaling": dedup_scaling,
         "multi_tenant_stream_graph2": mt_stream,
         "index_build_seconds": build_seconds,
         "probe_qps": {
