@@ -408,6 +408,25 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enrich(spark, sf_dir)
 
 
+@register("stream_interval_join_full")
+def q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-outer watermarked stream-stream interval join — the
+    orphan-event audit stream completing the streaming join class
+    (inner / left-outer / full-outer): matched pairs emit as found,
+    unconverted views emit once with NULL click_id at window expiry
+    (view_ts + 6h < watermark), and orphan clicks — clicks preceded by
+    no view in their 6h look-back — emit once with NULL view_id when
+    the watermark passes their own event time (a click can only match
+    views at or before it, so click_ts < watermark closes its state).
+    Rows-only: r9's 50 graded slots are committed (registry.py budget),
+    so the closed form is pinned value-exactly in
+    tests/test_streaming.py::test_stream_interval_join_full_closed_form
+    instead; promote to an oracle slot in r10."""
+    from cs598vectordb_spark.streaming.jobs import interval_join_stream
+
+    return interval_join_stream(spark, sf_dir, how="full_outer")
+
+
 @register("stream_drop_duplicates")
 def q_stream_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative streaming dedup: the event file replayed as two

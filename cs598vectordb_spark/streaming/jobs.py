@@ -1006,13 +1006,21 @@ def interval_join_stream(
     how="left_outer" adds the attribution shape real pipelines need
     ("views that never converted"): a view with NO click in its window
     emits exactly once with NULL click_id when the watermark expires its
-    buffered state, i.e. when view_ts + window < final watermark
-    (max(ts) - delay; availableNow's terminal no-data batch performs the
-    eviction). Views younger than that horizon stay unreported — the
-    stream cannot yet know they won't convert — so the left-outer oracle
-    is the same relational LEFT JOIN restricted to expired views
-    (boundary STRICT: a view whose window closes exactly AT the
-    watermark is retained, verified empirically at sf0.001/0.01)."""
+    buffered state, i.e. when view_ts + window < final watermark. The
+    GLOBAL watermark is min over both sides' per-side max event time
+    (each side filters before its withWatermark) minus the delay;
+    availableNow's terminal no-data batch performs the eviction. Views
+    younger than that horizon stay unreported — the stream cannot yet
+    know they won't convert — so the left-outer oracle is the same
+    relational LEFT JOIN restricted to expired views (boundary STRICT:
+    a view whose window closes exactly AT the watermark is retained —
+    pinned on an exact-tie synthetic fixture in tests/test_streaming.py).
+
+    how="full_outer" additionally emits unmatched CLICKS (NULL view_id)
+    once the watermark passes the click's own event time (a click at
+    click_ts can only match views with view_ts <= click_ts, so its
+    state expires when click_ts < watermark) — the orphan-event audit
+    stream. Rows-only entry; closed form pinned in pytest."""
     s = _stream_session(spark)
     batch = s.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -1053,8 +1061,12 @@ def interval_join_stream(
         how,
     )
     out = _run_to_memory(joined)
+    # full_outer rows for an unmatched click carry NULL view columns —
+    # coalesce so user_id is always populated (no-op for inner/left)
     return out.select(
-        F.col("v_user").alias("user_id"), "view_id", "click_id"
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        "view_id",
+        "click_id",
     )
 
 

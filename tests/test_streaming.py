@@ -336,6 +336,102 @@ def test_stream_interval_join_outer_exactly_once(spark, sf_dir):
     out.unpersist()
 
 
+def test_stream_interval_join_full_closed_form(spark, sf_dir):
+    """Evidence pin for the rows-only stream_interval_join_full entry:
+    the drained full-outer result must equal the relational closed form
+    exactly — matches, plus expired unconverted views (NULL click_id),
+    plus expired orphan clicks (NULL view_id), all against the
+    min-of-per-side-max watermark."""
+    import datetime as dt
+
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.streaming.jobs import interval_join_stream
+
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in interval_join_stream(spark, sf_dir, how="full_outer").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_id", "ts", "event_type"
+    ).collect()
+    views = [(r.user_id, r.event_id, r.ts) for r in rows if r.event_type == "view"]
+    clicks = [(r.user_id, r.event_id, r.ts) for r in rows if r.event_type == "click"]
+    wm = min(max(t for _, _, t in views), max(t for _, _, t in clicks)) - dt.timedelta(
+        hours=1
+    )
+    win = dt.timedelta(hours=6)
+    want = set()
+    matched_v, matched_c = set(), set()
+    for vu, vid, vts in views:
+        for cu, cid, cts in clicks:
+            if vu == cu and vts <= cts <= vts + win:
+                want.add((vu, vid, cid))
+                matched_v.add(vid)
+                matched_c.add(cid)
+    for vu, vid, vts in views:
+        if vid not in matched_v and vts + win < wm:
+            want.add((vu, vid, None))
+    for cu, cid, cts in clicks:
+        if cid not in matched_c and cts < wm:
+            want.add((cu, None, cid))
+    assert got == want
+    assert any(v is None for _, v, _ in got)  # orphan clicks present
+    assert any(c is None for _, _, c in got)  # unconverted views present
+
+
+def test_interval_join_outer_boundary_is_strict(spark, tmp_path):
+    """Pins the EXACT eviction boundary on a synthetic fixture with a
+    deliberate tie: a view whose window closes exactly AT the final
+    watermark must be RETAINED (no NULL row — strict <), while a view
+    1µs older emits. This is the strictness the left/full-outer oracles
+    encode; if a Spark upgrade flips the boundary, this fails loudly
+    instead of the driver gate mismatching."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from cs598vectordb_spark.streaming.jobs import interval_join_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    # final watermark = min(max_view, max_click) - 1h = t0+12h
+    # (max_view = t0+20h, max_click = t0+13h)
+    rows = [
+        # expires: window closes at t0+6h-1µs < wm  -> NULL row
+        (1, 100, t0 - us, "view"),
+        # exact tie: window closes at t0+6h+6h == t0+12h == wm
+        (2, 101, t0 + 6 * h, "view"),
+        # young: closes at t0+17h > wm -> retained
+        (3, 102, t0 + 11 * h, "view"),
+        # watermark anchors (distinct users, no matches anywhere)
+        (8, 900, t0 + 20 * h, "view"),
+        (9, 901, t0 + 13 * h, "click"),
+    ]
+    src = str(tmp_path / "boundary")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    tmp = str(tmp_path / "_b")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, part), os.path.join(src, "events.parquet"))
+    shutil.rmtree(tmp)
+
+    out = interval_join_stream(spark, src, how="left_outer")
+    nulls = {r.view_id for r in out.collect() if r.click_id is None}
+    assert 100 in nulls, nulls          # clearly-expired view emits
+    assert 102 not in nulls, nulls      # young view retained
+    assert 101 not in nulls, (          # the tie: strict < (retained)
+        "boundary semantics changed: a view expiring exactly AT the "
+        "watermark emitted a NULL row — update the stream_interval_join_"
+        "outer/full oracles' strictness to match"
+    )
+
+
 def test_cow_dynamic_protocol_pct100_no_resurrection(spark, sf_dir, tmp_path):
     """pct=100 empties EVERY snapshot partition in the delete batch —
     the case where dynamic partition overwrite rewrites nothing and the
