@@ -99,3 +99,47 @@ def test_ivfpq_materialized_probe_matches_inmemory(spark, emb_q, tmp_path):
     )
     assert a == b
     mem.close()
+
+
+def test_ivfpq_topk_deterministic_under_ties(spark):
+    """ADVICE r8: identical code vectors (here guaranteed — every vector
+    appears 4x) create ADC score ties at the k boundary; the emitted
+    top-k must be identical across different physical partitionings of
+    the code lists, with tied groups ordered by vec_id."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.ivfpq import (
+        IvfPqIndex,
+        build_ivfpq,
+        knn_ivfpq,
+    )
+
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((50, 16)).astype("float32")
+    X = np.repeat(V, 4, axis=0)  # 200 rows, every vector 4x
+    base = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    idx = build_ivfpq(base, nlist=4, m=4, ksub=4, train_sample=200)
+    q = base.filter("vec_id < 8").selectExpr("vec_id as q_id", "embedding")
+
+    outs = []
+    for parts in (1, 7):
+        codes = idx.codes.repartition(parts).persist()
+        codes.count()
+        shuffled = IvfPqIndex(codes, idx.centroids, idx.cb, idx.nlist, None)
+        outs.append(
+            sorted(
+                (r.q_id, r.rank, r.vec_id)
+                for r in knn_ivfpq(shuffled, q, k=6, nprobe=2).collect()
+            )
+        )
+        codes.unpersist()
+    idx.close()
+    assert outs[0] == outs[1]
+    # within each query, every rank 1..6 exactly once
+    per_q = {}
+    for qid, rank, _ in outs[0]:
+        per_q.setdefault(qid, []).append(rank)
+    assert all(sorted(v) == list(range(1, 7)) for v in per_q.values())
