@@ -505,3 +505,67 @@ def test_stream_hourly_unique_users_sketch_accuracy(spark, sf_dir):
         assert abs(approx - exact[hour]) <= max(0.10 * exact[hour], 2), (
             hour, approx, exact[hour],
         )
+
+
+def test_parquet_sink_incremental_restart(spark, tmp_path):
+    """The cron-style production pattern: a checkpointed availableNow
+    stream is run, MORE data arrives, and a second run against the SAME
+    checkpoint must process only the delta — no reprocessing, no
+    duplicates, and the advancing watermark closes (and emits) exactly
+    the windows the union of both runs closes. This is the restartable
+    exactly-once contract a 100 TB daily pipeline relies on."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from cs598vectordb_spark.config import STREAM_STATE_PARTITIONS
+
+    src = str(tmp_path / "src")
+    data_dir = str(tmp_path / "data")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_file(hours, name):
+        rows = [(t0 + dt.timedelta(hours=h, minutes=7), "ev", 1.0) for h in hours]
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        tmp = str(tmp_path / ("_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(src, name + ".parquet"))
+        shutil.rmtree(tmp)
+
+    def run_once():
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+        stream = s.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("hour"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", data_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.hour.hour: r.n for r in spark.read.parquet(data_dir).collect()}
+
+    # run 1: hours 0..9 -> watermark 9-1=8 -> windows 0..7 close
+    write_file(range(10), "b0")
+    got1 = run_once()
+    assert got1 == {h: 1 for h in range(8)}, got1
+
+    # run 2, same checkpoint: hours 10..20 arrive -> watermark 19 ->
+    # windows 8..18 close NOW (8 and 9 carried in state across the
+    # restart); 0..7 must NOT be re-emitted
+    write_file(range(10, 21), "b1")
+    got2 = run_once()
+    assert got2 == {h: 1 for h in range(19)}, got2
