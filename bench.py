@@ -84,14 +84,18 @@ def _x10_corpus(spark, sf_dir: str) -> str:
     of the documents table under /tmp for the dedup scaling measurement.
 
     Construction: replica k suffixes EVERY word with "rk", so each
-    replica is an exact similarity-isomorphic copy of the source corpus
-    — within-replica word-shingle overlap is preserved bijectively and
-    cross-replica overlap is zero (suffixed vocabularies are disjoint).
-    The near-dup workload (buckets, candidate pairs, clusters) therefore
-    grows EXACTLY linearly with the 10× row count, which is what makes
-    the fitted wall-time exponent an honest O(n) check: a superlinear
-    exponent can only come from the ENGINE's plan, not from a
-    quadratically-enriched corpus."""
+    replica is a similarity-isomorphic copy of the source corpus —
+    within-replica word-shingle overlap is preserved bijectively (true
+    Jaccard of any pair is unchanged) and cross-replica overlap is zero
+    (suffixed vocabularies are disjoint). The near-dup workload
+    therefore has NO cross-replica term — every bucket, candidate pair,
+    and cluster lives inside one replica (pinned:
+    tests/test_dedup_text.py::test_replica_corpus_has_no_cross_terms) —
+    so it grows linearly with the 10× row count (per-replica MinHash
+    draws vary, but each is bounded by its replica's own structure).
+    That is what makes the fitted wall-time exponent an honest O(n)
+    check: a superlinear exponent can only come from the ENGINE's plan,
+    not from a quadratically-enriched corpus."""
     from pyspark.sql import functions as F
 
     src = os.path.join(sf_dir, "documents.parquet")

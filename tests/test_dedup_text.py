@@ -306,3 +306,49 @@ def test_compressibility_signal(spark, sf_dir):
     a = sorted(compressibility(probe).collect())
     b = sorted(compressibility(probe).collect())
     assert a == b  # bit-deterministic for a fixed zlib level
+
+
+def test_replica_corpus_has_no_cross_terms(spark, sf_dir):
+    """Pins the linearity property the bench dedup-scaling corpus rests
+    on (bench._x10_corpus): suffixing every word with a replica tag
+    makes replica vocabularies disjoint, so EVERY LSH candidate pair and
+    every verified near-dup pair stays within one replica — the 10×
+    corpus adds no cross-replica (quadratic) workload term."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_lsh_dedup,
+        minhash_signatures,
+    )
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = spark.range(2).select(F.col("id").cast("int").alias("rep"))
+    shift = 10_000_000
+    x2 = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep").cast("long") * shift).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda w: F.concat(w, F.lit("r"), F.col("rep").cast("string")),
+            ),
+        ).alias("text"),
+    )
+
+    pairs = lsh_candidate_pairs(minhash_signatures(x2, 16), 8, 2).collect()
+    assert pairs
+    cross = [
+        (r.doc_a, r.doc_b) for r in pairs if (r.doc_a // shift) != (r.doc_b // shift)
+    ]
+    assert not cross, cross[:5]
+
+    verified = minhash_lsh_dedup(x2, k=16, bands=8, rows=2).collect()
+    assert verified
+    bad = [
+        (r.doc_a, r.doc_b)
+        for r in verified
+        if (r.doc_a // shift) != (r.doc_b // shift)
+    ]
+    assert not bad, bad[:5]
