@@ -228,6 +228,88 @@ def stratified_sample(
     )
 
 
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, clean_md5): PII scrubbing —
+    the compliance pass every public-corpus pipeline runs before
+    training. Emails, IPv4 addresses, and phone-shaped digit runs are
+    replaced with typed placeholders; the md5 of the redacted text plus
+    per-kind counts face downstream checks. Pure Catalyst regexp
+    (whole-stage codegen), no Python, no shuffle — a projection that
+    scales like the scan itself. Redaction is STAGED (emails, then IPs,
+    then phones) so a digit run inside an already-redacted span is
+    never double-counted; counts are computed on the stage input that
+    matches each kind."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+    phone = r"\+?\d[\d\s().-]{7,}\d"
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, email, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, ipv4, "<IP>")
+    clean = F.regexp_replace(no_ip, phone, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(email)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(ipv4)).alias("n_ipv4"),
+        F.regexp_count(no_ip, F.lit(phone)).alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    total: int = 200,
+    alpha: float = 0.5,
+    salt: str = "mix",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(source, doc_id, mix_rank): temperature-scaled multi-source
+    mixing — the training-mix draw multi-corpus pretraining uses
+    (quota_s ∝ n_s^alpha: alpha=1 proportional, alpha→0 uniform across
+    sources, 0<alpha<1 upweights small sources the way multilingual
+    mixes do). Quotas use largest-remainder rounding to EXACTLY `total`
+    (capped by stratum size); selection within a source ranks on
+    md5(id#salt) — deterministic, engine-independent (md5 is shared
+    with DuckDB, so the entry is oracle-promotable when a slot frees).
+    The driver-side quota computation touches |sources| count rows —
+    bounded metadata, never documents. One window shuffle keyed by
+    source, exactly like stratified_sample."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {s: n**alpha for s, n in counts.items()}
+    z = sum(weights.values()) or 1.0
+    raw = {s: total * w / z for s, w in weights.items()}
+    quota = {s: min(int(raw[s]), counts[s]) for s in raw}
+    # largest-remainder top-up to exactly `total` (feasible when the
+    # corpus has >= total rows), capped per stratum
+    short = total - sum(quota.values())
+    for s in sorted(raw, key=lambda s: (-(raw[s] - int(raw[s])), s)):
+        if short <= 0:
+            break
+        room = counts[s] - quota[s]
+        take = min(room, short)
+        quota[s] += take
+        short -= take
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(s, q) for s, q in quota.items()], f"{source_col} string, _quota int"
+    )
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)))
+    ranked = docs.select(F.col(source_col), F.col(id_col), key.alias("_h"))
+    w = Window.partitionBy(source_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("mix_rank", F.row_number().over(w))
+        .join(F.broadcast(qdf), source_col)
+        .filter(F.col("mix_rank") <= F.col("_quota"))
+        .select(source_col, id_col, "mix_rank")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,

@@ -578,6 +578,32 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.curate_corpus(docs, min_quality=0.5, langs=("en", "es", "de"))
 
 
+@register("pii_redact")
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails / IPv4 / phone-shaped runs → typed
+    placeholders) with per-kind counts and the redacted-text md5 — the
+    compliance projection a public-corpus pipeline runs before
+    training. Rows-only (r9's graded slots are committed; regexp
+    semantics pinned on known-PII synthetic docs in
+    tests/test_dedup_text.py::test_pii_redact_known_documents —
+    promote to an oracle slot when one frees)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.pii_redact(docs)
+
+
+@register("mixture_sample")
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multi-source training mix (quota ∝ n^0.5,
+    largest-remainder rounding to exactly 200, md5-ranked deterministic
+    selection per source) — the mixing draw multi-corpus pretraining
+    runs. Rows-only this round; md5 ranking is engine-independent, so
+    the entry is oracle-promotable in r10. Closed-form quotas +
+    determinism pinned in
+    tests/test_dedup_text.py::test_mixture_sample_quotas."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.mixture_sample(docs, total=200, alpha=0.5)
+
+
 @register(
     "tfidf_keywords",
     f"""

@@ -184,6 +184,8 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "compressibility": "tests/test_dedup_text.py::test_compressibility_signal",
     "scan_formats": "tests/test_sources.py::test_scan_formats_roundtrips_losslessly",
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
+    "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
+    "mixture_sample": "tests/test_dedup_text.py::test_mixture_sample_quotas",
 }
 
 

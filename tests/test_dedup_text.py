@@ -352,3 +352,73 @@ def test_replica_corpus_has_no_cross_terms(spark, sf_dir):
         if (r.doc_a // shift) != (r.doc_b // shift)
     ]
     assert not bad, bad[:5]
+
+
+def test_pii_redact_known_documents(spark):
+    """Evidence pin for the rows-only pii_redact entry: on documents
+    with KNOWN PII, counts and the redacted text are exact, and staged
+    redaction never double-counts a digit run inside an IP or email."""
+    from cs598vectordb_spark.operators.textops import pii_redact
+
+    rows = [
+        (0, "contact bob@example.com or alice@mail.co today"),
+        (1, "server at 192.168.0.1 answered"),
+        (2, "call +1 (415) 555-0132 now"),
+        (3, "bob@example.com from 10.0.0.2 dialed 415-555-0199"),
+        (4, "no pii here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert (got[0].n_emails, got[0].n_ipv4, got[0].n_phones) == (2, 0, 0)
+    assert (got[1].n_emails, got[1].n_ipv4, got[1].n_phones) == (0, 1, 0)
+    assert (got[2].n_emails, got[2].n_ipv4, got[2].n_phones) == (0, 0, 1)
+    assert (got[3].n_emails, got[3].n_ipv4, got[3].n_phones) == (1, 1, 1)
+    assert (got[4].n_emails, got[4].n_ipv4, got[4].n_phones) == (0, 0, 0)
+
+    import hashlib
+
+    expect3 = "<EMAIL> from <IP> dialed <PHONE>"
+    assert got[3].clean_md5 == hashlib.md5(expect3.encode()).hexdigest()
+    expect4 = "no pii here at all"
+    assert got[4].clean_md5 == hashlib.md5(expect4.encode()).hexdigest()
+
+
+def test_mixture_sample_quotas(spark, sf_dir):
+    """Evidence pin for the rows-only mixture_sample entry: per-source
+    quotas equal the closed-form largest-remainder allocation of
+    n_s^alpha weights, the draw totals exactly `total`, selection is
+    deterministic for a fixed salt, and alpha=1 reduces to proportional
+    allocation."""
+    from cs598vectordb_spark.operators.textops import mixture_sample
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    def closed_form(total, alpha):
+        w = {s: n**alpha for s, n in counts.items()}
+        z = sum(w.values())
+        raw = {s: total * x / z for s, x in w.items()}
+        quota = {s: min(int(raw[s]), counts[s]) for s in raw}
+        short = total - sum(quota.values())
+        for s in sorted(raw, key=lambda s: (-(raw[s] - int(raw[s])), s)):
+            if short <= 0:
+                break
+            take = min(counts[s] - quota[s], short)
+            quota[s] += take
+            short -= take
+        return quota
+
+    for alpha in (0.5, 1.0):
+        out = mixture_sample(docs, total=120, alpha=alpha).collect()
+        got = {}
+        for r in out:
+            got[r.source] = got.get(r.source, 0) + 1
+        assert sum(got.values()) == 120
+        assert got == {s: q for s, q in closed_form(120, alpha).items() if q > 0}
+
+    a = sorted((r.source, r.doc_id) for r in mixture_sample(docs, total=120).collect())
+    b = sorted((r.source, r.doc_id) for r in mixture_sample(docs, total=120).collect())
+    assert a == b
+    c = sorted((r.source, r.doc_id) for r in mixture_sample(docs, total=120, salt="other").collect())
+    assert a != c  # a new salt is a fresh draw
