@@ -279,3 +279,31 @@ def test_ivfpq_partition_pruning(spark, sf_dir, emb_q, tmp_path):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "centroid_id" in pf, pf
     assert "embedding" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_pii_redact_is_projection_only(spark, sf_dir):
+    """PII scrubbing at 100 TB must be a pure per-row codegen projection
+    — no Exchange, no Python in the plan."""
+    from cs598vectordb_spark.operators.textops import pii_redact
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(pii_redact(docs))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "codegen id" in plan, plan  # the projection runs inside WSCG
+
+
+def test_mixture_sample_partitions_by_source_and_broadcasts_quota(spark, sf_dir):
+    """The mixing draw shuffles ONCE (window keyed by source) and joins
+    the |sources|-sized quota table by broadcast — never a shuffle join
+    against the corpus."""
+    from cs598vectordb_spark.operators.textops import mixture_sample
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(mixture_sample(docs, total=120))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("hashpartitioning(source") == 1, plan
+    assert "SinglePartition" not in plan, plan
