@@ -248,7 +248,7 @@ def main() -> int:
     # hnswlib 5,718 QPS in-process). Recorded every run so the
     # batch-amortization story is measured, not asserted.
     qps_scaling = {}
-    for nq in (100, 1000, 2000):
+    for nq in (100, 1000, 2000, 5000):
         qn = queries_from_embeddings(emb, nq)
         knn_exact(emb, qn, 10).count()  # warm this batch size
         t0 = time.time()

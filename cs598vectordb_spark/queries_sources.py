@@ -57,6 +57,31 @@ def q_scan_fvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scan_fvecs_v2")
+def q_scan_fvecs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 through Spark 4's Python Data Source API: the SAME fvecs
+    shards read via the registered `spark.read.format("fvecs")` source
+    (sources/fvecs_datasource.py — one InputPartition per shard file,
+    Arrow RecordBatch emission), projected to the same norm dashboard
+    as scan_fvecs. Rows-only this round; frame-level equality with the
+    binaryFile+mapInPandas reader is pinned in
+    tests/test_sources.py::test_fvecs_datasource_matches_reader, which
+    chains to scan_fvecs' oracle."""
+    from cs598vectordb_spark.sources.fvecs_datasource import register as reg_ds
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _io_dir(sf_dir, "fvecs")
+    write_vecs(emb, path, "float32", rows_per_shard=200)
+    reg_ds(spark)
+    back = spark.read.format("fvecs").load(path)
+    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.expr(sq)), 4).alias("norm"),
+    )
+
+
 @register(
     "scan_ivecs",
     """

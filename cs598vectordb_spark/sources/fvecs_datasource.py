@@ -1,0 +1,103 @@
+"""Registered Python Data Source for fvecs/ivecs — `spark.read
+.format("fvecs")` (SURVEY.md §2.1 S1/S2 as a first-class source).
+
+The functional reader lives in sources/vecfiles.py (binaryFile +
+mapInPandas); this module re-expresses it through Spark 4's Python Data
+Source API so the format participates in the normal reader surface —
+options, schema, and one InputPartition PER SHARD FILE, which is the
+same parallelism contract the mapInPandas path has (fvecs corpora shard
+one file per unit; at 100 TB every executor decodes its own shards, no
+shuffle, no driver involvement). read() yields Arrow RecordBatches, so
+rows move JVM-ward in columnar batches, not tuple-at-a-time.
+
+Usage:
+    from cs598vectordb_spark.sources.fvecs_datasource import register
+    register(spark)
+    df = spark.read.format("fvecs").load("/path/to/shards")          # float32
+    df = spark.read.format("fvecs").option("value_dtype", "int32") \
+             .load("/path/to/shards")                                # ivecs
+
+Provenance: the file layout is the reference's SIFT loader
+(/root/reference/dynamic_script_faiss.py:9-22, implicit-position ids
+:57); shard-name id recovery matches sources/vecfiles.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from cs598vectordb_spark.sources.vecfiles import _SHARD_RE, _decode_blob
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str, start_id: int):
+        self.path = path
+        self.start_id = start_id
+
+
+class FvecsDataSource(DataSource):
+    """`fvecs` format: (vec_id long, embedding array<float|int>) from a
+    directory of part-<start>.fvecs / .ivecs shard files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fvecs"
+
+    def schema(self) -> str:
+        vt = "int" if self.options.get("value_dtype") == "int32" else "float"
+        vec_col = self.options.get("vec_col", "embedding")
+        return f"vec_id long, {vec_col} array<{vt}>"
+
+    def reader(self, schema) -> "FvecsReader":
+        return FvecsReader(self.options)
+
+
+class FvecsReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fvecs source requires a path: .load('<dir>')")
+        self.value_dtype = options.get("value_dtype", "float32")
+        self.vec_col = options.get("vec_col", "embedding")
+        self.ext = "ivecs" if self.value_dtype == "int32" else "fvecs"
+
+    def partitions(self):
+        # one partition per shard file — the format's natural parallel
+        # unit; a 100 TB corpus is thousands of shards => thousands of
+        # independent decode tasks. Driver cost: one directory listing.
+        files = sorted(glob.glob(os.path.join(self.path, f"*.{self.ext}")))
+        if not files:
+            raise FileNotFoundError(f"no *.{self.ext} files under {self.path}")
+        parts = []
+        for f in files:
+            m = _SHARD_RE.search(f)
+            parts.append(_ShardPartition(f, int(m.group(1)) if m else 0))
+        return parts
+
+    def read(self, partition: _ShardPartition):
+        # executor-side: decode ONE shard into Arrow batches. Ids are
+        # start_id + row position (the reference's implicit-id contract).
+        import numpy as np
+        import pyarrow as pa
+
+        with open(partition.path, "rb") as fh:
+            content = fh.read()
+        rows = _decode_blob(content, self.value_dtype)
+        if not rows:
+            return
+        ids = np.arange(
+            partition.start_id, partition.start_id + len(rows), dtype=np.int64
+        )
+        pa_vt = pa.int32() if self.value_dtype == "int32" else pa.float32()
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, type=pa.int64()), pa.array(list(rows), type=pa.list_(pa_vt))],
+            names=["vec_id", self.vec_col],
+        )
+
+
+def register(spark) -> None:
+    """Idempotently register the `fvecs` format on this session."""
+    spark.dataSource.register(FvecsDataSource)

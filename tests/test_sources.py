@@ -255,3 +255,47 @@ def test_scan_formats_roundtrips_losslessly(spark, sf_dir):
     assert (got["orc"].n, got["orc"].sum_vec_id, got["orc"].sum_label) == (want.n, want.s, want.l)
     assert got["orc"].sum_sq_norm == want.nn  # float32 exact through ORC
     assert (got["csv"].n, got["csv"].sum_vec_id, got["csv"].sum_label) == (want.n, want.s, want.l)
+
+
+def test_fvecs_datasource_matches_reader(spark, sf_dir):
+    """Evidence pin for the rows-only scan_fvecs_v2 entry: the
+    registered Python Data Source must return the SAME frame as the
+    binaryFile+mapInPandas reader (which faces scan_fvecs' DuckDB
+    oracle) — both dtypes, with per-shard partitioning."""
+    from cs598vectordb_spark.sources.fvecs_datasource import register
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.sources.vecfiles import (
+        read_fvecs,
+        read_ivecs,
+        write_vecs,
+    )
+
+    register(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    fpath = "/tmp/cs598_spark_io/test_dsv2_fvecs"
+    write_vecs(emb, fpath, "float32", rows_per_shard=300)
+    via_ds = spark.read.format("fvecs").load(fpath)
+    via_fn = read_fvecs(spark, fpath)
+    assert via_ds.schema == via_fn.schema
+    assert via_ds.exceptAll(via_fn).count() == 0
+    assert via_fn.exceptAll(via_ds).count() == 0
+    # one partition per shard file — the format's parallel contract
+    import glob
+
+    assert via_ds.rdd.getNumPartitions() == len(glob.glob(fpath + "/*.fvecs"))
+
+    ipath = "/tmp/cs598_spark_io/test_dsv2_ivecs"
+    ints = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x * 100 AS INT)) AS ints"
+    )
+    write_vecs(ints, ipath, "int32", vec_col="ints", rows_per_shard=300)
+    via_ds_i = (
+        spark.read.format("fvecs")
+        .option("value_dtype", "int32")
+        .option("vec_col", "ints")
+        .load(ipath)
+    )
+    via_fn_i = read_ivecs(spark, ipath, vec_col="ints")
+    assert via_ds_i.exceptAll(via_fn_i).count() == 0
+    assert via_fn_i.exceptAll(via_ds_i).count() == 0
