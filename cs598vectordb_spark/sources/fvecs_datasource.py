@@ -27,7 +27,16 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 from cs598vectordb_spark.sources.vecfiles import _SHARD_RE, _decode_blob
 
@@ -63,6 +72,40 @@ class FvecsReader(DataSourceReader):
         self.value_dtype = options.get("value_dtype", "float32")
         self.vec_col = options.get("vec_col", "embedding")
         self.ext = "ivecs" if self.value_dtype == "int32" else "fvecs"
+        self.id_lo: int | None = None  # inclusive pushed vec_id bounds
+        self.id_hi: int | None = None  # inclusive
+
+    def pushFilters(self, filters):
+        """SHARD PRUNING on vec_id: shard names encode their starting id
+        and shards are contiguous, so a vec_id range predicate prunes
+        whole files at planning time — the binary format's analog of
+        parquet partition pruning, and what keeps a point/range lookup
+        sublinear over a thousand-shard corpus. Every filter is returned
+        to Spark (it re-evaluates them post-scan), so the pruning is a
+        pure skip, never a correctness dependency."""
+        def lo(v: int) -> None:
+            self.id_lo = v if self.id_lo is None else max(self.id_lo, v)
+
+        def hi(v: int) -> None:
+            self.id_hi = v if self.id_hi is None else min(self.id_hi, v)
+
+        for f in filters:
+            if getattr(f, "attribute", None) != ("vec_id",):
+                continue
+            v = getattr(f, "value", None)  # e.g. IsNotNull carries none
+            if v is None:
+                continue
+            if isinstance(f, EqualTo):
+                lo(v), hi(v)
+            elif isinstance(f, GreaterThan):
+                lo(v + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                lo(v)
+            elif isinstance(f, LessThan):
+                hi(v - 1)
+            elif isinstance(f, LessThanOrEqual):
+                hi(v)
+        return filters
 
     def partitions(self):
         # one partition per shard file — the format's natural parallel
@@ -71,10 +114,19 @@ class FvecsReader(DataSourceReader):
         files = sorted(glob.glob(os.path.join(self.path, f"*.{self.ext}")))
         if not files:
             raise FileNotFoundError(f"no *.{self.ext} files under {self.path}")
-        parts = []
+        starts = []
         for f in files:
             m = _SHARD_RE.search(f)
-            parts.append(_ShardPartition(f, int(m.group(1)) if m else 0))
+            starts.append(int(m.group(1)) if m else 0)
+        parts = []
+        for i, (f, start) in enumerate(zip(files, starts)):
+            # shard i covers [start_i, start_{i+1}); the last is unbounded
+            nxt = starts[i + 1] if i + 1 < len(files) else None
+            if self.id_hi is not None and start > self.id_hi:
+                continue
+            if self.id_lo is not None and nxt is not None and nxt <= self.id_lo:
+                continue
+            parts.append(_ShardPartition(f, start))
         return parts
 
     def read(self, partition: _ShardPartition):
@@ -99,5 +151,11 @@ class FvecsReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotently register the `fvecs` format on this session."""
+    """Idempotently register the `fvecs` format on this session.
+
+    Also enables Python-source filter pushdown: a reader that implements
+    pushFilters() FAILS HARD when the conf is off (worker-side
+    assertion), and the driver's gate runs a bare session — so the
+    format's entry point owns the conf it needs."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FvecsDataSource)

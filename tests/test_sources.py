@@ -299,3 +299,39 @@ def test_fvecs_datasource_matches_reader(spark, sf_dir):
     via_fn_i = read_ivecs(spark, ipath, vec_col="ints")
     assert via_ds_i.exceptAll(via_fn_i).count() == 0
     assert via_fn_i.exceptAll(via_ds_i).count() == 0
+
+
+def test_fvecs_datasource_prunes_shards_on_vec_id(spark, sf_dir):
+    """Shard pruning: a vec_id range predicate must cut the partition
+    list at PLANNING time (shard names encode contiguous id ranges —
+    the binary format's parquet-partition-pruning analog), while Spark
+    re-evaluates the filter post-scan so results stay exact."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.sources.fvecs_datasource import register
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.sources.vecfiles import write_vecs
+
+    register(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = "/tmp/cs598_spark_io/test_dsv2_prune"
+    write_vecs(emb, path, "float32", rows_per_shard=100)  # 5 shards
+    n = emb.count()
+
+    full = spark.read.format("fvecs").load(path)
+    assert full.rdd.getNumPartitions() == 5
+
+    lt = spark.read.format("fvecs").load(path).filter(F.col("vec_id") < 150)
+    assert lt.rdd.getNumPartitions() == 2
+    assert lt.count() == 150
+
+    rng = spark.read.format("fvecs").load(path).filter(
+        (F.col("vec_id") >= 320) & (F.col("vec_id") <= 410)
+    )
+    assert rng.rdd.getNumPartitions() == 2
+    assert rng.count() == 91
+
+    pt = spark.read.format("fvecs").load(path).filter(F.col("vec_id") == 42)
+    assert pt.rdd.getNumPartitions() == 1
+    assert pt.count() == 1
+    assert n == 500  # the shard math above assumes the sf0.001 fixture
