@@ -57,6 +57,45 @@ def q_scan_fvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SEQ = __import__("itertools").count()
+
+
+@register("scan_fvecs_stream")
+def q_scan_fvecs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as a STREAM: vector shards arrive through the registered
+    fvecs streaming source (partition-based DataSourceStreamReader —
+    executors decode each new shard, offsets = consumed sorted-file
+    prefix) and drain via availableNow into the same norm dashboard as
+    scan_fvecs. Rows-only; offset tracking across a checkpointed
+    restart is pinned in
+    tests/test_sources.py::test_fvecs_stream_source_incremental."""
+    import os
+
+    from cs598vectordb_spark.sources.fvecs_datasource import register as reg_ds
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _io_dir(sf_dir, "fvecs")
+    write_vecs(emb, path, "float32", rows_per_shard=200)
+    reg_ds(spark)
+    stream = spark.readStream.format("fvecs").load(path)
+    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    dashboard = stream.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.expr(sq)), 4).alias("norm"),
+    )
+    name = f"scan_fvecs_stream_{os.getpid()}_{next(_STREAM_SEQ)}"
+    q = (
+        dashboard.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 @register("scan_fvecs_v2")
 def q_scan_fvecs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 through Spark 4's Python Data Source API: the SAME fvecs

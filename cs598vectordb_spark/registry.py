@@ -186,6 +186,7 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
     "scan_fvecs_v2": "tests/test_sources.py::test_fvecs_datasource_matches_reader",
+    "scan_fvecs_stream": "tests/test_sources.py::test_fvecs_stream_source_incremental",
     "mixture_sample": "tests/test_dedup_text.py::test_mixture_sample_quotas",
 }
 

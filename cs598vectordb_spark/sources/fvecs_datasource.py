@@ -30,6 +30,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -148,6 +149,58 @@ class FvecsReader(DataSourceReader):
             [pa.array(ids, type=pa.int64()), pa.array(list(rows), type=pa.list_(pa_vt))],
             names=["vec_id", self.vec_col],
         )
+
+
+class FvecsStreamReader(DataSourceStreamReader):
+    """Streaming shard arrivals: `spark.readStream.format("fvecs")` —
+    the online-ingest shape where new vector shards land in a directory
+    and each micro-batch picks up the files that appeared since the
+    last offset. Partition-based (NOT the driver-reading Simple API):
+    each micro-batch plans one InputPartition per new shard file and
+    EXECUTORS decode them — the same per-shard parallel contract as the
+    batch reader, so the stream survives 100 TB arrival rates. The
+    offset is the count of the lexicographically-sorted file prefix
+    already consumed ({"files_seen": n}; shard naming makes that order
+    id-ordered), so a recovered batch re-plans the identical file slice
+    — the replayability contract the parquet file source gives the
+    event streams."""
+
+    def __init__(self, options):
+        self.inner = FvecsReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"files_seen": 0}
+
+    def _files(self) -> list:
+        return sorted(glob.glob(os.path.join(self.inner.path, f"*.{self.inner.ext}")))
+
+    def latestOffset(self) -> dict:
+        return {"files_seen": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start.get("files_seen", 0) : end.get("files_seen", 0)]
+        parts = []
+        for f in files:
+            m = _SHARD_RE.search(f)
+            parts.append(_ShardPartition(f, int(m.group(1)) if m else 0))
+        # an empty micro-batch still needs a partition list
+        return parts
+
+    def read(self, partition: _ShardPartition):
+        # executor-side, identical decode to the batch reader
+        return FvecsReader.read(self.inner, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # shards are immutable; nothing to clean up
+
+
+def _stream_reader(self, schema):
+    """Streaming entry point of the `fvecs` format (see
+    FvecsStreamReader); bound onto FvecsDataSource below."""
+    return FvecsStreamReader(self.options)
+
+
+FvecsDataSource.streamReader = _stream_reader
 
 
 def register(spark) -> None:

@@ -37,12 +37,15 @@ from pyspark.sql import functions as F
 
 _SHARD_RE = re.compile(r"part-(\d+)\.[fi]vecs$")
 
-# (applicationId, path) -> content stamp computed this session. The
-# fingerprint scan is one codegen'd pass over the table — cheap next to a
-# rewrite, but pure waste when the SAME session re-exports the SAME source
-# repeatedly (bench steady passes, ADVICE r8). Keyed by applicationId so a
-# new session (possibly seeing drifted fixtures) never trusts a stale entry.
-_FP_CACHE: dict[tuple[str, str], str] = {}
+# (applicationId, path, plan-semantic-hash) -> content stamp computed
+# this session. The fingerprint scan is one codegen'd pass over the
+# table — cheap next to a rewrite, but pure waste when the SAME session
+# re-exports the SAME source repeatedly (bench steady passes, ADVICE
+# r8). Keyed by applicationId so a new session (possibly seeing drifted
+# fixtures) never trusts a stale entry, and by the DataFrame's
+# semanticHash so a DIFFERENT frame writing to the same path (e.g. a
+# filtered subset, then the full table) never reuses the wrong stamp.
+_FP_CACHE: dict[tuple[str, str, int], str] = {}
 
 
 # ------------------------------------------------------------------ write
@@ -84,7 +87,11 @@ def write_vecs(
     """
     ext = "fvecs" if value_dtype == "float32" else "ivecs"
     os.makedirs(path, exist_ok=True)
-    cache_key = (df.sparkSession.sparkContext.applicationId, os.path.abspath(path))
+    cache_key = (
+        df.sparkSession.sparkContext.applicationId,
+        os.path.abspath(path),
+        df.semanticHash(),
+    )
     stamp = _FP_CACHE.get(cache_key)
     if stamp is None:
         agg = df.select(

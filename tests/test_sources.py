@@ -335,3 +335,50 @@ def test_fvecs_datasource_prunes_shards_on_vec_id(spark, sf_dir):
     assert pt.rdd.getNumPartitions() == 1
     assert pt.count() == 1
     assert n == 500  # the shard math above assumes the sf0.001 fixture
+
+
+def test_fvecs_stream_source_incremental(spark, sf_dir, tmp_path):
+    """Evidence pin for the rows-only scan_fvecs_stream entry: the
+    streaming fvecs source must (a) drain all shards into exactly the
+    batch reader's rows, and (b) track offsets across a checkpointed
+    restart — a second availableNow run after two NEW shards land reads
+    ONLY those shards (no re-read, no duplicates)."""
+    import glob
+    import os
+
+    from cs598vectordb_spark.sources.fvecs_datasource import register
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.sources.vecfiles import write_vecs
+
+    register(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "shards")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.format("fvecs").load(src)
+        q = (
+            stream.selectExpr("vec_id", "size(embedding) AS dim")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    write_vecs(emb.filter("vec_id < 300"), src, rows_per_shard=100)
+    assert len(glob.glob(src + "/*.fvecs")) == 3
+    out1 = run_once()
+    assert out1.count() == 300
+
+    # two new shards land (the first three are rewritten byte-identical)
+    write_vecs(emb, src, rows_per_shard=100)
+    assert len(glob.glob(src + "/*.fvecs")) == 5
+    out2 = run_once()
+    assert out2.count() == 500  # +200, nothing re-read
+    assert out2.select("vec_id").distinct().count() == 500
+    assert out2.filter("dim != 64").count() == 0
