@@ -84,6 +84,14 @@ _PRIORITY: tuple[str, ...] = (
     "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
     "recall_low_dim", "events_last5_summary", "events_first5_series",
     # ---------------- 50-slot grading boundary is here ----------------
+    # r10 PROMOTION QUEUE for the 4 slack slots (newborn rows-only
+    # entries whose closed forms are already oracle-expressible):
+    #   1. stream_interval_join_full — same watermark rule as the graded
+    #      outer join, plus click_ts < wm for orphan clicks (closed form
+    #      verified vs DuckDB in-session this round, boundary pinned).
+    #   2. mixture_sample — selection ranks on md5(id#salt), which
+    #      DuckDB computes identically; quotas are closed-form.
+    #   3/4. hold in reserve for r10 births.
     # r8-green entries not re-graded this round (due back in r10, 46
     # entries — within the 50-slot capacity with 4 slots of slack):
     # cohort_retention, knn_exact_2k, knn_ip, range_search,
