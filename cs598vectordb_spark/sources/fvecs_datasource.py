@@ -115,18 +115,24 @@ class FvecsReader(DataSourceReader):
         files = sorted(glob.glob(os.path.join(self.path, f"*.{self.ext}")))
         if not files:
             raise FileNotFoundError(f"no *.{self.ext} files under {self.path}")
-        starts = []
-        for f in files:
-            m = _SHARD_RE.search(f)
-            starts.append(int(m.group(1)) if m else 0)
+        matches = [_SHARD_RE.search(f) for f in files]
+        starts = [int(m.group(1)) if m else 0 for m in matches]
+        # pruning assumes the id-range contract: EVERY file name encodes
+        # its start and starts strictly increase (write_vecs guarantees
+        # both). A foreign file breaks the assumption, so pruning turns
+        # off (scan everything) rather than risk skipping its rows.
+        contiguous = all(matches) and all(
+            a < b for a, b in zip(starts, starts[1:])
+        )
         parts = []
         for i, (f, start) in enumerate(zip(files, starts)):
-            # shard i covers [start_i, start_{i+1}); the last is unbounded
-            nxt = starts[i + 1] if i + 1 < len(files) else None
-            if self.id_hi is not None and start > self.id_hi:
-                continue
-            if self.id_lo is not None and nxt is not None and nxt <= self.id_lo:
-                continue
+            if contiguous:
+                # shard i covers [start_i, start_{i+1}); last is unbounded
+                nxt = starts[i + 1] if i + 1 < len(files) else None
+                if self.id_hi is not None and start > self.id_hi:
+                    continue
+                if self.id_lo is not None and nxt is not None and nxt <= self.id_lo:
+                    continue
             parts.append(_ShardPartition(f, start))
         return parts
 

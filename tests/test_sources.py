@@ -382,3 +382,46 @@ def test_fvecs_stream_source_incremental(spark, sf_dir, tmp_path):
     assert out2.count() == 500  # +200, nothing re-read
     assert out2.select("vec_id").distinct().count() == 500
     assert out2.filter("dim != 64").count() == 0
+
+
+def test_fvecs_pruning_disabled_for_foreign_files(spark, sf_dir, tmp_path):
+    """A directory containing a file WITHOUT the part-<start> naming
+    breaks the contiguity contract — pruning must turn itself off (scan
+    every file) rather than skip rows that might live in the foreign
+    file."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.sources.fvecs_datasource import register
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.sources.vecfiles import write_vecs
+
+    register(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "mixed")
+    write_vecs(emb.filter("vec_id < 300"), path, rows_per_shard=100)
+    # a foreign single-file export: ids 300..499 with NO encoded start
+    solo = str(tmp_path / "solo")
+    write_vecs(
+        emb.filter("vec_id >= 300").selectExpr(
+            "vec_id - 300 AS vec_id", "embedding"
+        ),
+        solo,
+        rows_per_shard=1000,
+    )
+    shutil.copy(
+        next(
+            str(p)
+            for p in __import__("pathlib").Path(solo).glob("*.fvecs")
+        ),
+        path + "/foreign.fvecs",
+    )
+
+    df = spark.read.format("fvecs").load(path).filter(F.col("vec_id") >= 250)
+    # without the guard, [250, inf) would prune the foreign file (its
+    # derived range is [0, 0)); with it, all 4 files scan
+    assert df.rdd.getNumPartitions() == 4
+    # foreign rows decode with start=0, so ids 0..199 — the filter keeps
+    # only the genuine 250..299 tail plus nothing from the foreign file
+    assert df.count() == 50
