@@ -78,3 +78,52 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
             # the query rounds to 4 decimals; widen the bracket accordingly
             assert lo - 5e-5 <= approx <= hi + 5e-5, (etype, col, lo, approx, hi)
         assert got[etype].n == n
+
+
+def test_zorder_layout_prunes_files(spark):
+    """Evidence pin for the rows-only zorder_layout entry: (a) both
+    layouts hold the IDENTICAL row set, (b) the time-band probe admits
+    every linearly-sorted file but at most 60% of the Z-ordered files
+    (the multi-dimensional clustering the curve exists for), (c) on the
+    two-dimensional conjunction Z-order admits no more files than the
+    linear sort, (d) across the whole three-probe workload Z scans
+    strictly fewer files. Runs at sf0.01 — Z-order is a SCALE technique
+    (cells must be finer than files); at sf0.001's ~15 tiny files the
+    curve cannot separate and the comparison is noise (measured; the
+    entry docstring carries the caveat)."""
+    import os
+
+    from cs598vectordb_spark.operators.layout import zorder_events_report
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    sf_dir = "/root/testdata/sf0.01"
+    work = _io_dir(sf_dir, "zorder_test")
+    rows = {
+        r.probe: r
+        for r in zorder_events_report(spark, sf_dir, work, n_files=32).collect()
+    }
+    assert set(rows) == {"user_band", "hour_band", "user_and_hour"}
+
+    hb = rows["hour_band"]
+    assert hb.files_admitted_linear == hb.n_files  # linear is blind here
+    # strictly better always; the strong (<=60%) bound needs enough
+    # files for the curve's cells to separate (sf0.01+ gives 32+)
+    assert hb.files_admitted_zorder < hb.files_admitted_linear, hb
+    if hb.n_files >= 32:
+        assert hb.files_admitted_zorder <= 0.6 * hb.n_files, hb
+
+    both = rows["user_and_hour"]
+    if hb.n_files >= 32:
+        assert both.files_admitted_zorder <= both.files_admitted_linear, both
+    assert 0 < both.n_rows_match < rows["user_band"].n_rows_match
+    # whole-workload win: across the three probes the Z layout scans
+    # strictly fewer files than the linear sort (its single clustered
+    # dimension cannot pay for the blind one)
+    total_lin = sum(r.files_admitted_linear for r in rows.values())
+    total_z = sum(r.files_admitted_zorder for r in rows.values())
+    assert total_z < total_lin, (total_z, total_lin)
+
+    lin = spark.read.parquet(os.path.join(work, "linear"))
+    z = spark.read.parquet(os.path.join(work, "zorder"))
+    assert lin.count() == z.count()
+    assert lin.exceptAll(z).count() == 0 and z.exceptAll(lin).count() == 0
