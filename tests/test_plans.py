@@ -307,3 +307,21 @@ def test_mixture_sample_partitions_by_source_and_broadcasts_quota(spark, sf_dir)
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("hashpartitioning(source") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_zvalue_is_codegen_projection(spark, sf_dir):
+    """The Morton interleave must stay a pure codegen projection — a
+    layout rewrite at 100 TB cannot afford Python in the z-value path."""
+    from cs598vectordb_spark.operators.layout import grid_bucket, zvalue
+    from cs598vectordb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    z = zvalue(
+        grid_bucket(F.col("user_id"), 400, 8),
+        grid_bucket(F.col("user_id") + 7, 500, 8),
+        8,
+    )
+    plan = plan_of(ev.select(z.alias("z")))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "codegen id" in plan, plan
