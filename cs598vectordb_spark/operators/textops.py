@@ -285,15 +285,18 @@ def mixture_sample(
     raw = {s: total * w / z for s, w in weights.items()}
     quota = {s: min(int(raw[s]), counts[s]) for s in raw}
     # largest-remainder top-up to exactly `total` (feasible when the
-    # corpus has >= total rows), capped per stratum
+    # corpus has >= total rows): ONE unit per source in descending
+    # fractional-part order, cycling until the shortfall is gone —
+    # a greedy lump to the first source would skew the mix
     short = total - sum(quota.values())
-    for s in sorted(raw, key=lambda s: (-(raw[s] - int(raw[s])), s)):
-        if short <= 0:
-            break
-        room = counts[s] - quota[s]
-        take = min(room, short)
-        quota[s] += take
-        short -= take
+    order = sorted(raw, key=lambda s: (-(raw[s] - int(raw[s])), s))
+    i = 0
+    while short > 0 and any(counts[s] > quota[s] for s in quota):
+        s = order[i % len(order)]
+        if counts[s] > quota[s]:
+            quota[s] += 1
+            short -= 1
+        i += 1
 
     spark = docs.sparkSession
     qdf = spark.createDataFrame(

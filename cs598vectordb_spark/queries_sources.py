@@ -27,6 +27,23 @@ def _io_dir(sf_dir: str, kind: str) -> str:
     return os.path.join(_IO_ROOT, os.path.basename(sf_dir.rstrip("/")), kind)
 
 
+
+def _norm_dashboard(back: DataFrame) -> DataFrame:
+    """The shared (vec_id, dim, norm) projection all three fvecs scan
+    entries emit — ONE definition so the rounding/accumulation can never
+    silently diverge between the oracled scan_fvecs and the
+    frame-equality-pinned v2/stream variants."""
+    sq = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.expr(sq)), 4).alias("norm"),
+    )
+
+
 @register(
     "scan_fvecs",
     """
@@ -49,12 +66,7 @@ def q_scan_fvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _io_dir(sf_dir, "fvecs")
     write_vecs(emb, path, "float32", rows_per_shard=200)
     back = read_fvecs(spark, path)
-    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-    return back.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        F.round(F.sqrt(F.expr(sq)), 4).alias("norm"),
-    )
+    return _norm_dashboard(back)
 
 
 _STREAM_SEQ = __import__("itertools").count()
@@ -64,26 +76,25 @@ _STREAM_SEQ = __import__("itertools").count()
 def q_scan_fvecs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 as a STREAM: vector shards arrive through the registered
     fvecs streaming source (partition-based DataSourceStreamReader —
-    executors decode each new shard, offsets = consumed sorted-file
-    prefix) and drain via availableNow into the same norm dashboard as
-    scan_fvecs. Rows-only; offset tracking across a checkpointed
-    restart is pinned in
-    tests/test_sources.py::test_fvecs_stream_source_incremental."""
+    executors decode each new shard; the offset is a high-water mark on
+    the shard file NAME, robust to foreign names sorting below it) and
+    drain via availableNow into the same norm dashboard as scan_fvecs.
+    Rows-only; offset tracking across a checkpointed restart is pinned
+    in tests/test_sources.py::test_fvecs_stream_source_incremental."""
     import os
 
     from cs598vectordb_spark.sources.fvecs_datasource import register as reg_ds
+    from cs598vectordb_spark.streaming.jobs import _stream_session
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _io_dir(sf_dir, "fvecs")
     write_vecs(emb, path, "float32", rows_per_shard=200)
+    # house rule (CLAUDE.md): every stream builder rebinds onto the
+    # isolated child session before readStream
+    spark = _stream_session(spark)
     reg_ds(spark)
     stream = spark.readStream.format("fvecs").load(path)
-    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-    dashboard = stream.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        F.round(F.sqrt(F.expr(sq)), 4).alias("norm"),
-    )
+    dashboard = _norm_dashboard(stream)
     name = f"scan_fvecs_stream_{os.getpid()}_{next(_STREAM_SEQ)}"
     q = (
         dashboard.writeStream.format("memory")
@@ -113,12 +124,7 @@ def q_scan_fvecs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_vecs(emb, path, "float32", rows_per_shard=200)
     reg_ds(spark)
     back = spark.read.format("fvecs").load(path)
-    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-    return back.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        F.round(F.sqrt(F.expr(sq)), 4).alias("norm"),
-    )
+    return _norm_dashboard(back)
 
 
 @register(

@@ -164,31 +164,51 @@ class FvecsStreamReader(DataSourceStreamReader):
     last offset. Partition-based (NOT the driver-reading Simple API):
     each micro-batch plans one InputPartition per new shard file and
     EXECUTORS decode them — the same per-shard parallel contract as the
-    batch reader, so the stream survives 100 TB arrival rates. The
-    offset is the count of the lexicographically-sorted file prefix
-    already consumed ({"files_seen": n}; shard naming makes that order
-    id-ordered), so a recovered batch re-plans the identical file slice
-    — the replayability contract the parquet file source gives the
-    event streams."""
+    batch reader, so the stream survives 100 TB arrival rates.
+
+    The offset is a HIGH-WATER MARK on the file NAME ({"last_file":
+    basename}), not a count: a batch consumes exactly the files whose
+    names sort in (start.last_file, end.last_file]. A count offset
+    breaks if a file ever sorts BEFORE consumed ones (a foreign name, a
+    shrunk re-export): the slice shifts, one shard re-reads and another
+    is skipped silently. With the name mark, replays re-plan the
+    identical slice from the directory listing alone. The contract this
+    assumes — and the writer guarantees — is that new shards sort AFTER
+    consumed ones (append-only, id-ordered part-<start> names); a file
+    landing below the mark is NOT picked up (same rule as the parquet
+    file source's aged-out listing window) rather than corrupting the
+    slice arithmetic."""
 
     def __init__(self, options):
         self.inner = FvecsReader(options)
 
     def initialOffset(self) -> dict:
-        return {"files_seen": 0}
+        return {"last_file": ""}
 
     def _files(self) -> list:
-        return sorted(glob.glob(os.path.join(self.inner.path, f"*.{self.inner.ext}")))
+        return sorted(
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(self.inner.path, f"*.{self.inner.ext}"))
+        )
 
     def latestOffset(self) -> dict:
-        return {"files_seen": len(self._files())}
+        files = self._files()
+        return {"last_file": files[-1] if files else ""}
 
     def partitions(self, start: dict, end: dict):
-        files = self._files()[start.get("files_seen", 0) : end.get("files_seen", 0)]
+        lo = start.get("last_file", "")
+        hi = end.get("last_file", "")
         parts = []
-        for f in files:
-            m = _SHARD_RE.search(f)
-            parts.append(_ShardPartition(f, int(m.group(1)) if m else 0))
+        for name in self._files():
+            if not (lo < name <= hi):
+                continue
+            m = _SHARD_RE.search(name)
+            parts.append(
+                _ShardPartition(
+                    os.path.join(self.inner.path, name),
+                    int(m.group(1)) if m else 0,
+                )
+            )
         # an empty micro-batch still needs a partition list
         return parts
 

@@ -45,7 +45,7 @@ _SHARD_RE = re.compile(r"part-(\d+)\.[fi]vecs$")
 # fixtures) never trusts a stale entry, and by the DataFrame's
 # semanticHash so a DIFFERENT frame writing to the same path (e.g. a
 # filtered subset, then the full table) never reuses the wrong stamp.
-_FP_CACHE: dict[tuple[str, str, int], str] = {}
+_FP_CACHE: dict[tuple, str] = {}
 
 
 # ------------------------------------------------------------------ write
@@ -91,6 +91,12 @@ def write_vecs(
         df.sparkSession.sparkContext.applicationId,
         os.path.abspath(path),
         df.semanticHash(),
+        # the stamp embeds these, so the key must too: a same-session
+        # call with a different dtype/shard layout is a different export
+        value_dtype,
+        rows_per_shard,
+        id_col,
+        vec_col,
     )
     stamp = _FP_CACHE.get(cache_key)
     if stamp is None:

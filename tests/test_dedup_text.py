@@ -400,13 +400,17 @@ def test_mixture_sample_quotas(spark, sf_dir):
         z = sum(w.values())
         raw = {s: total * x / z for s, x in w.items()}
         quota = {s: min(int(raw[s]), counts[s]) for s in raw}
+        # true largest-remainder: one unit per source in descending
+        # fractional order, cycling (NOT a greedy lump to the first)
         short = total - sum(quota.values())
-        for s in sorted(raw, key=lambda s: (-(raw[s] - int(raw[s])), s)):
-            if short <= 0:
-                break
-            take = min(counts[s] - quota[s], short)
-            quota[s] += take
-            short -= take
+        order = sorted(raw, key=lambda s: (-(raw[s] - int(raw[s])), s))
+        i = 0
+        while short > 0 and any(counts[s] > quota[s] for s in quota):
+            s = order[i % len(order)]
+            if counts[s] > quota[s]:
+                quota[s] += 1
+                short -= 1
+            i += 1
         return quota
 
     for alpha in (0.5, 1.0):
@@ -416,6 +420,15 @@ def test_mixture_sample_quotas(spark, sf_dir):
             got[r.source] = got.get(r.source, 0) + 1
         assert sum(got.values()) == 120
         assert got == {s: q for s, q in closed_form(120, alpha).items() if q > 0}
+        # independent largest-remainder invariant (not derived from the
+        # implementation): every uncapped source ends within one unit of
+        # its real-valued share — a greedy lump violates this
+        w = {s: n**alpha for s, n in counts.items()}
+        z = sum(w.values())
+        for s, q in got.items():
+            if q < counts[s]:  # uncapped
+                share = 120 * w[s] / z
+                assert int(share) <= q <= int(share) + 1, (s, q, share)
 
     a = sorted((r.source, r.doc_id) for r in mixture_sample(docs, total=120).collect())
     b = sorted((r.source, r.doc_id) for r in mixture_sample(docs, total=120).collect())
