@@ -261,3 +261,83 @@ def test_lsh_cap_bounds_pairs_and_reports_overflow(cap, n_boiler):
     assert len(big) >= 8
     for r in overflow:
         assert r.dropped_pairs == r.bucket_size * (r.bucket_size - 1) // 2
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["eq", "gt", "ge", "lt", "le", "notnull"]),
+            st.integers(min_value=-5, max_value=600),
+        ),
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=600),
+)
+@settings(max_examples=200, deadline=None)
+def test_fvecs_pushed_bounds_are_sound(filters, v):
+    """Pruning-bounds soundness (model-based): for ANY conjunction of
+    pushed vec_id filters, every id that satisfies the conjunction must
+    lie inside the [id_lo, id_hi] window pushFilters derives — the
+    property that guarantees shard pruning can never drop a matching
+    row. (Completeness is not required: looser bounds only scan more.)"""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    from cs598vectordb_spark.sources.fvecs_datasource import FvecsReader
+
+    mk = {
+        "eq": lambda x: EqualTo(("vec_id",), x),
+        "gt": lambda x: GreaterThan(("vec_id",), x),
+        "ge": lambda x: GreaterThanOrEqual(("vec_id",), x),
+        "lt": lambda x: LessThan(("vec_id",), x),
+        "le": lambda x: LessThanOrEqual(("vec_id",), x),
+    }
+
+    class _NotNull:  # value-less filter, like IsNotNull
+        attribute = ("vec_id",)
+
+    objs = [(_NotNull() if k == "notnull" else mk[k](x)) for k, x in filters]
+
+    def sat(val) -> bool:
+        ops = {"eq": val.__eq__, "gt": val.__gt__, "ge": val.__ge__,
+               "lt": val.__lt__, "le": val.__le__, "notnull": lambda _: True}
+        return all(ops[k](x) for k, x in filters)
+
+    r = FvecsReader({"path": "/nonexistent"})
+    r.pushFilters(objs)
+    if sat(v):
+        assert r.id_lo is None or r.id_lo <= v, (filters, v, r.id_lo)
+        assert r.id_hi is None or v <= r.id_hi, (filters, v, r.id_hi)
+
+
+def test_zvalue_matches_python_morton(spark):
+    """The codegen Morton interleave must equal a direct Python
+    reference bit-for-bit over the full 8-bit grid sample — and be
+    injective on it (distinct cells, distinct z)."""
+    import random
+
+    from cs598vectordb_spark.operators.layout import zvalue
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(256), rng.randrange(256)) for _ in range(1000)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zvalue("a", "b", 8)).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == ref(a, b), (a, b, z)
+    assert len(set(got.values())) == len(got)  # injective on the grid
