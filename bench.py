@@ -36,7 +36,9 @@ _DEMOTE_ORDER = (
     "steady_pass_seconds",
     "graph2_autotune_best",
     "cold_pass_seconds",
+    "load_avg",
     "lsh_selectivity",
+    "knn_exact_10k_qps",
     "knn_exact_5k_qps",
     "knn_exact_2k_qps",
     "knn_exact_qps",
@@ -78,6 +80,55 @@ def render_bench_line(
             "the demote list; do NOT print an overflowing line."
         )
     return line
+
+
+def qps_scaling_sweep(knn_fn, emb, query_frames: list, k: int = 10) -> dict:
+    """Exact-kNN throughput at each batch size: {str(actual_n): qps}.
+
+    The numerator AND the dict key are the batch's ACTUAL row count
+    (qn.count()), never a requested size — the r9 defect class (a
+    requested-5000 key over a 2000-row fixture inflated the recorded QPS
+    2.5×) is structurally excluded: a key can only ever be a count the
+    warm pass actually executed. One warm pass per batch (absorbs
+    broadcast build), one timed pass."""
+    out = {}
+    for qn in query_frames:
+        n_eff = int(qn.count())
+        if n_eff == 0 or str(n_eff) in out:
+            continue
+        knn_fn(emb, qn, k).count()  # warm this batch size
+        t0 = time.time()
+        knn_fn(emb, qn, k).count()
+        out[str(n_eff)] = round(n_eff / max(time.time() - t0, 1e-9), 1)
+    return out
+
+
+def _synthetic_query_frame(spark, sf_dir: str, emb, base_n: int, n: int):
+    """Materialized (once per fixture generation, marker-cached) seeded
+    synthetic query batch of exactly n rows — the fixture head plus
+    ε-jittered copies (sources.tables.synthetic_queries). Parquet-backed
+    so the timed probe reads a clean scan, not a jitter recompute."""
+    import pyspark.sql.functions as F
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    out = f"/tmp/cs598_spark_io/synthetic_q{n}"
+    marker = os.path.join(out, "_SYNQ_OK")
+    stamp = f"{os.path.getmtime(src)}:{os.path.getsize(src)}:{n}"
+    ok = False
+    try:
+        with open(marker) as fh:
+            ok = fh.read() == stamp
+    except OSError:
+        pass
+    if not ok:
+        from cs598vectordb_spark.sources.tables import synthetic_queries
+
+        synthetic_queries(emb, n, base_n).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(out)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return spark.read.parquet(out).select("q_id", F.col("embedding"))
 
 
 def _x10_corpus(spark, sf_dir: str) -> str:
@@ -139,6 +190,8 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from cs598vectordb_spark.config import DEFAULT_N_QUERIES
     from cs598vectordb_spark.session import get_spark
+
+    load_avg = {"start": [round(x, 2) for x in os.getloadavg()]}
 
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -246,15 +299,19 @@ def main() -> int:
     # job overhead (stage scheduling, broadcast), so QPS grows ~linearly
     # with batch size — the number that matters for a THROUGHPUT engine,
     # vs the reference's single-query-latency C++ loop (BASELINE.md
-    # hnswlib 5,718 QPS in-process). Recorded every run so the
-    # batch-amortization story is measured, not asserted.
-    qps_scaling = {}
-    for nq in (100, 1000, 2000, 5000):
-        qn = queries_from_embeddings(emb, nq)
-        knn_exact(emb, qn, 10).count()  # warm this batch size
-        t0 = time.time()
-        knn_exact(emb, qn, 10).count()
-        qps_scaling[str(nq)] = round(nq / max(time.time() - t0, 1e-9), 1)
+    # hnswlib 5,718 QPS in-process). Self-query batches are clamped to
+    # the fixture's row count; the reference-scale points (5K/10K — its
+    # batches are 10,000 queries, dynamic_script_faiss.py:20,60) come
+    # from a seeded synthetic query set (fixture head + ε-jittered
+    # copies). Keys and numerators are ACTUAL batch sizes — see
+    # qps_scaling_sweep.
+    emb_n = int(emb.count())
+    self_sizes = sorted({min(nq, emb_n) for nq in (100, 1000, 2000, 5000)})
+    frames = [queries_from_embeddings(emb, n) for n in self_sizes]
+    for n in (5000, 10000):
+        if n > emb_n:
+            frames.append(_synthetic_query_frame(spark, sf_dir, emb, emb_n, n))
+    qps_scaling = qps_scaling_sweep(knn_exact, emb, frames)
 
     # Embedding-compression trade-off: recall@10 of exact kNN in
     # PCA-projected space vs full-dim truth, by out_dim — the
@@ -404,6 +461,7 @@ def main() -> int:
         "cold_pass_per_query": cold,
         "steady_pass_per_query": steady,
     }
+    load_avg["end"] = [round(x, 2) for x in os.getloadavg()]
     out = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
@@ -415,11 +473,16 @@ def main() -> int:
             "knn_exact_2k_qps": round(2000 / timings["knn_exact_2k"], 1)
             if timings.get("knn_exact_2k")
             else 0.0,
-            # the full-table self-query batch (5000 at sf0.1): the batch
-            # size where amortized exact search passes the reference's
-            # published FAISS-HNSW 4,960 / hnswlib 5,718 QPS (BASELINE.md)
-            # at recall 1.0 — measured in the scaling sweep above
+            # reference-batch-scale points from the seeded synthetic
+            # query set (actual 5,000 / 10,000 queries — the reference's
+            # own batch size); keys are honest actual-n, so a capped
+            # fixture yields NO entry rather than an inflated one
             "knn_exact_5k_qps": qps_scaling.get("5000", 0.0),
+            "knn_exact_10k_qps": qps_scaling.get("10000", 0.0),
+            # host load at bench start/end (1/5/15 min): separates code
+            # regressions from box noise without archaeology — absolute
+            # times on this host swing 35-50% with external load
+            "load_avg": load_avg,
             "lsh_selectivity": lsh_sel,
             "graph2_autotune_best": g2_best,
             "cold_pass_seconds": round(sum(cold.values()), 3),

@@ -102,6 +102,55 @@ def queries_from_embeddings(
     )
 
 
+def synthetic_queries(
+    embeddings: DataFrame,
+    n: int,
+    base_n: int,
+    eps: float = 0.01,
+    salt: str = "jit",
+) -> DataFrame:
+    """Deterministic `n`-query batch larger than the base set: replica 0
+    is the fixture head itself, replicas 1.. are ε-jittered copies
+    (per-component offset derived from xxhash64(vec_id, rep, i, salt) —
+    seeded, engine-reproducible, no rand()). Exists because self-querying
+    caps the measurable exact-kNN batch at |embeddings| (the r9 QPS
+    defect class), while the reference amortizes over 10,000-query
+    batches (/root/reference/dynamic_script_faiss.py:20,60); jittered
+    copies are the standard way to scale a query workload past the
+    corpus without changing its distribution. Pure Catalyst projection
+    over a crossJoin with a |replicas|-row range — codegen, no Python,
+    no shuffle; q_id = rep * base_n + vec_id stays unique and the rep-0
+    slice equals queries_from_embeddings(embeddings, min(n, base_n))."""
+    reps = (n + base_n - 1) // base_n
+    rep = F.col("_rep")
+    jitter = (
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("vec_id"), rep, i, F.lit(salt)), F.lit(10000))
+            / 10000.0
+            - 0.5
+        )
+        * (2.0 * eps)
+    )
+    return (
+        embeddings.crossJoin(
+            embeddings.sparkSession.range(reps).select(
+                F.col("id").cast("int").alias("_rep")
+            )
+        )
+        .select(
+            (rep.cast("long") * base_n + F.col("vec_id")).alias("q_id"),
+            F.when(rep == 0, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    F.col("embedding"), lambda x, i: (x + jitter(i)).cast("float")
+                )
+            )
+            .alias("embedding"),
+        )
+        .filter(F.col("q_id") < n)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for the SQL surface."""
     for name, df in load_all(spark, sf_dir).items():

@@ -38,6 +38,9 @@ def _worst_case_out() -> dict:
         "extra": {
             "knn_exact_qps": 293.9,
             "knn_exact_2k_qps": 3218.4,
+            "knn_exact_5k_qps": 4123.4,
+            "knn_exact_10k_qps": 6123.4,
+            "load_avg": {"start": [31.25, 30.11, 29.87], "end": [33.5, 31.2, 30.0]},
             "lsh_selectivity": 0.6412,
             "graph2_autotune_best": {
                 "nprobe1": 4, "nprobe2": 12, "beam": 32,
@@ -92,6 +95,29 @@ def test_compact_payload_stays_inline():
     line = bench.render_bench_line(out, detail)
     assert detail == {}
     assert json.loads(line)["extra"]["knn_exact_qps"] == 200.0
+
+
+class _FakeDF:
+    """count()-only stand-in for a DataFrame (no Spark in this module)."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def count(self) -> int:
+        return self.n
+
+
+def test_qps_scaling_keys_are_actual_batch_sizes():
+    """Pins the r9 defect class: the sweep's keys and numerators must be
+    the ACTUAL executed batch size, never a requested size — a 5000-row
+    request over a 2000-row fixture must collapse into the 2000 key, not
+    mint a phantom '5000' with an inflated numerator."""
+    emb = _FakeDF(2000)
+    requested = (100, 1000, 2000, 5000)
+    frames = [_FakeDF(min(nq, emb.count())) for nq in requested]
+    out = bench.qps_scaling_sweep(lambda e, q, k: _FakeDF(q.count()), emb, frames)
+    assert set(out) == {"100", "1000", "2000"}
+    assert all(int(key) <= emb.count() for key in out)
 
 
 def test_unshrinkable_line_raises():

@@ -425,3 +425,36 @@ def test_fvecs_pruning_disabled_for_foreign_files(spark, sf_dir, tmp_path):
     # foreign rows decode with start=0, so ids 0..199 — the filter keeps
     # only the genuine 250..299 tail plus nothing from the foreign file
     assert df.count() == 50
+
+
+def test_synthetic_queries_scale_past_fixture(spark, sf_dir):
+    """The seeded synthetic query set (fixture head + ε-jittered copies)
+    that lets bench.py measure exact-kNN QPS at the reference's 10K
+    batch size past the fixture's row count: exact n rows, unique q_ids,
+    deterministic across builds, rep-0 slice identical to the plain
+    self-query head, and each jittered copy's nearest base neighbor is
+    still its source vector (ε ≪ inter-point distance)."""
+    from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.sources.tables import (
+        queries_from_embeddings,
+        synthetic_queries,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_n = emb.count()
+    n = 2 * base_n + 7
+    q = synthetic_queries(emb, n, base_n)
+    rows = q.collect()
+    assert len(rows) == n
+    assert len({r.q_id for r in rows}) == n
+
+    again = {r.q_id: r.embedding for r in synthetic_queries(emb, n, base_n).collect()}
+    got = {r.q_id: r.embedding for r in rows}
+    assert got == again, "synthetic queries must be deterministic"
+
+    head = {r.q_id: r.embedding for r in queries_from_embeddings(emb, base_n).collect()}
+    assert {k: v for k, v in got.items() if k < base_n} == head
+
+    # a jittered copy of vec v must keep v as its exact rank-1 neighbor
+    top1 = knn_exact(emb, q.filter(F.col("q_id") >= base_n), k=1).collect()
+    assert all(r.vec_id == r.q_id % base_n for r in top1)
