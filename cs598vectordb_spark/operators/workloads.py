@@ -92,11 +92,17 @@ def _build_probe(backend: str):
             ),
         )
     if backend == "ivfpq":
-        from cs598vectordb_spark.operators.ivfpq import build_ivfpq, knn_ivfpq
+        from cs598vectordb_spark.operators.ivfpq import build_ivfpq, knn_ivfpq_refined
 
+        # serve REFINED (shortlist + exact re-rank): raw ADC at nprobe=8
+        # sits below the engine's ≥0.70 approximate floor on this data
+        # (VERDICT r9 defect 2) — the refined probe is the configuration
+        # of record, same as the static knn_ivfpq_refined entry
         return (
             lambda base: build_ivfpq(base, nlist=16, m=16, ksub=256),
-            lambda base, idx, queries, k: knn_ivfpq(idx, queries, k, nprobe=8),
+            lambda base, idx, queries, k: knn_ivfpq_refined(
+                idx, base, queries, k, nprobe=8
+            ),
         )
     raise ValueError(f"unknown backend {backend}")
 

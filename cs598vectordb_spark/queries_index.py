@@ -1032,28 +1032,12 @@ def q_knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized probe selects 5k candidates from the pruned lists, then
     only those |Q|*5k rows fetch full vectors for the exact pass —
     compressed scan does the reading, exact math touches 100x less."""
-    from pyspark.sql import functions as F
-    from pyspark.sql import Window
-
-    from cs598vectordb_spark.functions.distance import squared_l2
-    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq
+    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq_refined
 
     emb, q = _setup(spark, sf_dir)
     idx = ivfpq_index_for(spark, sf_dir)
-    shortlist = knn_ivfpq(idx, q, k=5 * _K, nprobe=8).select("q_id", "vec_id")
-    qv = q.select(F.col("q_id"), F.col("embedding").alias("_q_emb"))
-    scored = (
-        shortlist.join(
-            emb.select(F.col("vec_id"), F.col("embedding").alias("_b_emb")), "vec_id"
-        )
-        .join(F.broadcast(qv), "q_id")
-        .select("q_id", "vec_id", squared_l2("_q_emb", "_b_emb").alias("dist"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
-        .select("q_id", "rank", "vec_id")
+    return knn_ivfpq_refined(idx, emb, q, k=_K, nprobe=8).select(
+        "q_id", "rank", "vec_id"
     )
 
 
@@ -1080,11 +1064,7 @@ def q_ivfpq_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     target where one exists (MRPT build_autotune_sample(0.9, 10),
     dynamic_script_mrpt.py:46); the trace records the full frontier so
     the codec's recall ceiling is measured, not asserted."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from cs598vectordb_spark.functions.distance import squared_l2
-    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq
+    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq, knn_ivfpq_refined
     from cs598vectordb_spark.operators.knn import knn_exact
     from cs598vectordb_spark.operators.metrics import recall_at_k
 
@@ -1092,24 +1072,10 @@ def q_ivfpq_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = q_full.limit(20)
     truth = knn_exact(emb, q, _K)
     idx = ivfpq_index_for(spark, sf_dir)
-    qv = q.select(F.col("q_id"), F.col("embedding").alias("_q_emb"))
     rows = []
     for nprobe in (2, 4, 8, 16):
         raw = knn_ivfpq(idx, q, k=_K, nprobe=nprobe)
-        shortlist = knn_ivfpq(idx, q, k=5 * _K, nprobe=nprobe).select("q_id", "vec_id")
-        scored = (
-            shortlist.join(
-                emb.select(F.col("vec_id"), F.col("embedding").alias("_b_emb")),
-                "vec_id",
-            )
-            .join(F.broadcast(qv), "q_id")
-            .select("q_id", "vec_id", squared_l2("_q_emb", "_b_emb").alias("dist"))
-        )
-        w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-        refined = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= _K)
-        )
+        refined = knn_ivfpq_refined(idx, emb, q, k=_K, nprobe=nprobe)
         rows.append(
             (
                 nprobe,

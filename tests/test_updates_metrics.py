@@ -142,13 +142,21 @@ def test_dynamic_ivfpq_recovers_recall(spark, sf_dir):
     """IVF-PQ incremental maintenance (semi-join delete, frozen-codec
     encode-and-append insert) must recover recall EXACTLY after a
     delete+insert cycle of the same rows: identical vectors re-encode to
-    identical codes, so post_insert == baseline bit-for-bit."""
+    identical codes and the exact re-rank reads identical restored
+    vectors, so post_insert == baseline bit-for-bit. The SERVED recall
+    (refined probe — the configuration of record since r10) must clear
+    the engine's advertised ≥0.70 approximate floor at baseline;
+    post_delete sits below baseline by construction (recall scores
+    against the FIXED baseline truth while half its neighbors are
+    deleted — the reference's fixed-gt scoring,
+    dynamic_script_faiss.py:21)."""
     import __spark_entry__ as em
 
     m = em.queries()["dynamic_ivfpq"](spark, sf_dir).collect()
     by_phase = {}
     for r in m:
         by_phase.setdefault(r.phase, []).append(r.recall)
+    assert min(by_phase["baseline"]) >= 0.70, by_phase
     assert min(by_phase["post_delete"]) < min(by_phase["baseline"])
     assert by_phase["post_insert"] == by_phase["baseline"], by_phase
 
