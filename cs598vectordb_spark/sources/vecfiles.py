@@ -37,15 +37,41 @@ from pyspark.sql import functions as F
 
 _SHARD_RE = re.compile(r"part-(\d+)\.[fi]vecs$")
 
-# (applicationId, path, plan-semantic-hash) -> content stamp computed
-# this session. The fingerprint scan is one codegen'd pass over the
-# table — cheap next to a rewrite, but pure waste when the SAME session
-# re-exports the SAME source repeatedly (bench steady passes, ADVICE
-# r8). Keyed by applicationId so a new session (possibly seeing drifted
-# fixtures) never trusts a stale entry, and by the DataFrame's
-# semanticHash so a DIFFERENT frame writing to the same path (e.g. a
-# filtered subset, then the full table) never reuses the wrong stamp.
+# (applicationId, path, plan-semantic-hash, source-file signal) ->
+# content stamp computed this session. The fingerprint scan is one
+# codegen'd pass over the table — cheap next to a rewrite, but pure
+# waste when the SAME session re-exports the SAME source repeatedly
+# (bench steady passes, ADVICE r8). Keyed by applicationId so a new
+# session (possibly seeing drifted fixtures) never trusts a stale
+# entry, by the DataFrame's semanticHash so a DIFFERENT frame writing
+# to the same path (e.g. a filtered subset, then the full table) never
+# reuses the wrong stamp, and by the (path, size, mtime) of the plan's
+# input files so data changing UNDER an identical plan mid-session —
+# the drift class the fingerprint exists to catch — invalidates the
+# cached stamp too (ADVICE r9). Frames with no file inputs fall back
+# to plan identity alone: within-session immutability of non-file
+# inputs is the documented assumption there.
 _FP_CACHE: dict[tuple, str] = {}
+
+
+def _source_signal(df: DataFrame) -> tuple:
+    """Cheap content signal for file-backed frames: sorted (uri, size,
+    mtime_ns) of every file feeding the plan — a driver-side stat per
+    file, no data read. () when the plan has no file inputs or the
+    listing fails (cache key then carries plan identity only)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return ()
+    sig = []
+    for uri in sorted(files):
+        local = uri[len("file:") :] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(local)
+            sig.append((uri, st.st_size, st.st_mtime_ns))
+        except OSError:
+            sig.append((uri, -1, -1))
+    return tuple(sig)
 
 
 # ------------------------------------------------------------------ write
@@ -97,6 +123,7 @@ def write_vecs(
         rows_per_shard,
         id_col,
         vec_col,
+        _source_signal(df),
     )
     stamp = _FP_CACHE.get(cache_key)
     if stamp is None:

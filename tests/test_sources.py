@@ -458,3 +458,29 @@ def test_synthetic_queries_scale_past_fixture(spark, sf_dir):
     # a jittered copy of vec v must keep v as its exact rank-1 neighbor
     top1 = knn_exact(emb, q.filter(F.col("q_id") >= base_n), k=1).collect()
     assert all(r.vec_id == r.q_id % base_n for r in top1)
+
+
+def test_fp_cache_invalidates_on_source_change(spark, tmp_path):
+    """The session-scoped fingerprint cache must NOT serve a stale
+    export when the source data changes under an identical plan
+    mid-session (ADVICE r9): the cache key carries a (path, size,
+    mtime) signal of the plan's input files, so a drifted source forces
+    a re-fingerprint and the rewrite it implies."""
+
+    def make(src_path, base):
+        spark.range(8).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.lit(float(base)).cast("float"), (F.col("id") + base).cast("float")
+            ).alias("embedding"),
+        ).coalesce(1).write.mode("overwrite").parquet(src_path)
+
+    src = str(tmp_path / "src_parquet")
+    out = str(tmp_path / "out_vecs")
+    make(src, 1)
+    write_vecs(spark.read.parquet(src), out, rows_per_shard=100)
+    assert {r.embedding[0] for r in read_fvecs(spark, out).collect()} == {1.0}
+
+    make(src, 2)  # same path, same plan shape, same row count — new bytes
+    write_vecs(spark.read.parquet(src), out, rows_per_shard=100)
+    assert {r.embedding[0] for r in read_fvecs(spark, out).collect()} == {2.0}
