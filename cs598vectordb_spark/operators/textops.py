@@ -282,7 +282,11 @@ def mixture_sample(
     }
     weights = {s: n**alpha for s, n in counts.items()}
     z = sum(weights.values()) or 1.0
-    raw = {s: total * w / z for s, w in weights.items()}
+    # round to 9 decimals BEFORE floor/frac: float summation order for z
+    # differs between engines (Python fold vs DuckDB blocked SUM), and an
+    # unrounded raw a few ulps under an integer would flip floor() — the
+    # DuckDB oracle applies the identical ROUND(, 9)
+    raw = {s: round(total * w / z, 9) for s, w in weights.items()}
     quota = {s: min(int(raw[s]), counts[s]) for s in raw}
     # largest-remainder top-up to exactly `total` (feasible when the
     # corpus has >= total rows): ONE unit per source in descending

@@ -408,7 +408,47 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enrich(spark, sf_dir)
 
 
-@register("stream_interval_join_full")
+@register(
+    "stream_interval_join_full",
+    """
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, user_id, event_type FROM events
+),
+wm AS (
+  SELECT LEAST(MAX(CASE WHEN event_type='view' THEN ts END),
+               MAX(CASE WHEN event_type='click' THEN ts END))
+         - INTERVAL 1 HOUR AS w
+  FROM ev
+),
+v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM ev WHERE event_type='view'),
+c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM ev WHERE event_type='click'),
+m AS (
+  SELECT v.user_id, v.view_id, c.click_id
+  FROM v JOIN c ON v.user_id = c.user_id
+   AND c.click_ts >= v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
+),
+u AS (
+  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id
+  FROM v, wm
+  WHERE v.view_ts + INTERVAL 6 HOUR < wm.w
+    AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
+                    AND c.click_ts >= v.view_ts
+                    AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR)
+),
+o AS (
+  -- orphan clicks: a click's buffered state closes once the watermark
+  -- passes its OWN event time (it can only ever match views at or
+  -- before it) — boundary STRICT, same rule the eviction-tie pytest pins
+  SELECT c.user_id, CAST(NULL AS BIGINT) AS view_id, c.click_id
+  FROM c, wm
+  WHERE c.click_ts < wm.w
+    AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+                    AND c.click_ts >= v.view_ts
+                    AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR)
+)
+SELECT * FROM m UNION ALL SELECT * FROM u UNION ALL SELECT * FROM o
+""",
+)
 def q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-outer watermarked stream-stream interval join — the
     orphan-event audit stream completing the streaming join class
@@ -418,10 +458,10 @@ def q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     no view in their 6h look-back — emit once with NULL view_id when
     the watermark passes their own event time (a click can only match
     views at or before it, so click_ts < watermark closes its state).
-    Rows-only: r9's 50 graded slots are committed (registry.py budget),
-    so the closed form is pinned value-exactly in
+    ORACLE PROMOTED r10 (the r9 queue); the closed form is also pinned
+    value-exactly in
     tests/test_streaming.py::test_stream_interval_join_full_closed_form
-    instead; promote to an oracle slot in r10."""
+    and the eviction boundary's strictness on an exact-tie fixture."""
     from cs598vectordb_spark.streaming.jobs import interval_join_stream
 
     return interval_join_stream(spark, sf_dir, how="full_outer")

@@ -591,14 +591,66 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.pii_redact(docs)
 
 
-@register("mixture_sample")
+@register(
+    "mixture_sample",
+    """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+z AS (SELECT SUM(SQRT(CAST(n AS DOUBLE))) AS z FROM counts),
+b AS (
+  -- ROUND(,9) mirrors the operator exactly: float summation order for z
+  -- differs between engines and an unrounded raw a few ulps under an
+  -- integer would flip FLOOR()
+  SELECT source, n,
+         ROUND(200 * SQRT(CAST(n AS DOUBLE)) / (SELECT z FROM z), 9) AS raw
+  FROM counts
+),
+b2 AS (
+  SELECT source, n, raw,
+         LEAST(CAST(FLOOR(raw) AS BIGINT), n) AS q0,
+         ROW_NUMBER() OVER (ORDER BY raw - FLOOR(raw) DESC, source ASC) - 1 AS p
+  FROM b
+),
+s AS (SELECT 200 - SUM(q0) AS short FROM b2),
+-- largest-remainder top-up as a closed form: the operator's cyclic loop
+-- gives source t one unit in cycle c iff t still has headroom (c < n-q0)
+-- and the number of units handed out strictly before t's slot in cycle c
+-- (sources u with priority p_u < p_t have had c+1 slots, the rest c,
+-- each capped by its own headroom) is still below the shortfall
+extra AS (
+  SELECT t.source, COUNT(*) AS ex
+  FROM b2 t JOIN range(0, 200) g(c) ON g.c < t.n - t.q0
+  WHERE (SELECT SUM(LEAST(u.n - u.q0,
+                          g.c + CASE WHEN u.p < t.p THEN 1 ELSE 0 END))
+         FROM b2 u) < (SELECT short FROM s)
+  GROUP BY t.source
+),
+quota AS (
+  SELECT b2.source, b2.q0 + COALESCE(extra.ex, 0) AS q
+  FROM b2 LEFT JOIN extra USING (source)
+),
+ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#mix') ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT r.source AS source, r.doc_id AS doc_id, CAST(r.rn AS INTEGER) AS mix_rank
+FROM ranked r JOIN quota USING (source)
+WHERE r.rn <= quota.q
+""",
+)
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled multi-source training mix (quota ∝ n^0.5,
     largest-remainder rounding to exactly 200, md5-ranked deterministic
     selection per source) — the mixing draw multi-corpus pretraining
-    runs. Rows-only this round; md5 ranking is engine-independent, so
-    the entry is oracle-promotable in r10. Closed-form quotas +
-    determinism pinned in
+    runs. ORACLE PROMOTED r10 (the r9 queue): md5 ranking is
+    engine-independent and the cyclic capacity-aware top-up has the
+    closed form encoded in the oracle's `extra` CTE. Quotas +
+    determinism also pinned in
     tests/test_dedup_text.py::test_mixture_sample_quotas."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.mixture_sample(docs, total=200, alpha=0.5)

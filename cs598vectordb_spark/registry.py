@@ -57,57 +57,58 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # _ROWS_ONLY_EVIDENCE below (enforced by tests/test_registry.py).
 # Retired r9: knn_exact_expr, knn_collect, media_decode_pgm,
 # media_resize → 96 oracled, slack 4.
+# Promoted r10 (from the r9 queue): stream_interval_join_full,
+# mixture_sample → 98 oracled, slack 2. Budget outlook: the r11 due set
+# is the 49 entries graded r9 and not re-graded r10 (green ≤2-rounds
+# window), leaving ONE spare r11 slot — at most one r11 oracle birth or
+# changed-evidence re-grade without a same-round retirement (policy
+# above); plan further births for r12 or retire first.
 _PRIORITY: tuple[str, ...] = (
-    # --- r9 slots 1-4: birth + changed-evidence entries.
-    # stream_interval_join_outer is new; knn_exact_pca's oracle SQL and
-    # model artifact changed (fixture-fingerprint filter, ADVICE r8);
-    # scan_fvecs' writer gained the per-session fingerprint cache;
-    # stream_interval_join's builder was parameterized for the outer
-    # variant — all four need fresh driver rows against current code.
-    "stream_interval_join_outer", "knn_exact_pca",
-    "scan_fvecs", "stream_interval_join",
-    # --- the r7-green set rotated out in round 8; newest green row is
-    # r7, so the ≤2-rounds invariant makes them due now (46 entries —
-    # 49 were due, minus the three retired oracles above).
-    "sessionize", "stream_events_hourly", "funnel_steps", "orders_cube",
-    "stream_merge_upserts_cow", "media_decode_ppm", "asof_attribution",
-    "stream_sessionize", "stream_late_data", "stream_sink_parquet",
-    "knn_cosine", "knn_filtered", "shipping_priority",
-    "local_supplier_volume", "revenue_change", "order_priority_count",
-    "customer_order_stats", "brand_top_parts", "status_pivot",
-    "customer_number_extract", "lineitem_rollup",
-    "priority_customers_setops", "customer_order_gaps",
-    "minhash_signatures", "jaccard_topk", "doc_stats", "quality_scores",
-    "fingerprints", "source_summary", "token_counts", "simhash_banded",
-    "lang_detect", "stratified_sample", "dedup_clusters", "sq8_encode",
-    "stream_ingest_updates", "media_dedup", "ingest", "sql_text_surface",
-    "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
-    "recall_low_dim", "events_last5_summary", "events_first5_series",
+    # --- r10 slots 1-3: births + changed-evidence.
+    # stream_interval_join_full and mixture_sample are the two r9-queued
+    # promotions (first driver grading of their new oracles);
+    # scan_fvecs' writer changed again this round (content signal folded
+    # into the session fingerprint cache key, ADVICE r9) so its r9 green
+    # row no longer matches current code.
+    "stream_interval_join_full", "mixture_sample", "scan_fvecs",
+    # --- the r8-green set rotated out in round 9; newest green row is
+    # r8, so the ≤2-rounds invariant makes them due now (46 entries).
+    "cohort_retention", "knn_exact_2k", "knn_ip", "range_search",
+    "event_value_percentiles", "distance_histogram", "chunk_documents",
+    "stream_static_enrich", "knn_exact", "merge_upsert",
+    "pricing_summary", "dedup_exact", "bucketed_customer_orders",
+    "doc_repetition", "shingle_cardinality_kmv", "events_hourly",
+    "props_json_extract", "range_click_burst", "salted_user_stats",
+    "decimal_revenue", "media_features", "media_frame_sample",
+    "media_summary", "stream_stateful_counts", "stream_dedup",
+    "stream_knn", "decontamination", "curate_corpus", "sq8_error",
+    "hash_split", "ngram_profile", "tfidf_keywords",
+    "semantic_doc_search", "minhash_lsh_dedup", "simhash_near_dups",
+    "embedding_near_dup", "pack_sequences", "acctbal_deciles",
+    "media_decode_wav", "media_decode_bmp", "media_resize_pixels",
+    "stream_merge_upserts", "scan_ivecs", "load_dataset", "scan_logs",
+    "stream_near_dedup",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r10 PROMOTION QUEUE for the 4 slack slots (newborn rows-only
-    # entries whose closed forms are already oracle-expressible):
-    #   1. stream_interval_join_full — same watermark rule as the graded
-    #      outer join, plus click_ts < wm for orphan clicks (closed form
-    #      verified vs DuckDB in-session this round, boundary pinned).
-    #   2. mixture_sample — selection ranks on md5(id#salt), which
-    #      DuckDB computes identically; quotas are closed-form.
-    #   3/4. hold in reserve for r10 births.
-    # r8-green entries not re-graded this round (due back in r10, 46
-    # entries — within the 50-slot capacity with 4 slots of slack):
-    # cohort_retention, knn_exact_2k, knn_ip, range_search,
-    # event_value_percentiles, distance_histogram, chunk_documents,
-    # stream_static_enrich, knn_exact, merge_upsert, pricing_summary,
-    # dedup_exact, bucketed_customer_orders, doc_repetition,
-    # shingle_cardinality_kmv, events_hourly, props_json_extract,
-    # range_click_burst, salted_user_stats, decimal_revenue,
-    # media_features, media_frame_sample, media_summary,
-    # stream_stateful_counts, stream_dedup, stream_knn, decontamination,
-    # curate_corpus, sq8_error, hash_split, ngram_profile,
-    # tfidf_keywords, semantic_doc_search, minhash_lsh_dedup,
-    # simhash_near_dups, embedding_near_dup, pack_sequences,
-    # acctbal_deciles, media_decode_wav, media_decode_bmp,
-    # media_resize_pixels, stream_merge_upserts, scan_ivecs,
-    # load_dataset, scan_logs, stream_near_dedup
+    # (49 filled this round: 2 promotions + 1 changed-evidence + 46 due;
+    # 1 grading slot spare.)
+    # r9-green entries not re-graded this round (due back in r11, 49
+    # entries — one spare r11 slot, see budget outlook above):
+    # stream_interval_join_outer, knn_exact_pca, stream_interval_join,
+    # sessionize, stream_events_hourly, funnel_steps, orders_cube,
+    # stream_merge_upserts_cow, media_decode_ppm, asof_attribution,
+    # stream_sessionize, stream_late_data, stream_sink_parquet,
+    # knn_cosine, knn_filtered, shipping_priority,
+    # local_supplier_volume, revenue_change, order_priority_count,
+    # customer_order_stats, brand_top_parts, status_pivot,
+    # customer_number_extract, lineitem_rollup,
+    # priority_customers_setops, customer_order_gaps,
+    # minhash_signatures, jaccard_topk, doc_stats, quality_scores,
+    # fingerprints, source_summary, token_counts, simhash_banded,
+    # lang_detect, stratified_sample, dedup_clusters, sq8_encode,
+    # stream_ingest_updates, media_dedup, ingest, sql_text_surface,
+    # delete_pct, insert_restore, upsert_guard, knn_post_delete,
+    # recall_low_dim, events_last5_summary, events_first5_series,
+    # (scan_fvecs re-graded above as changed-evidence)
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -186,7 +187,6 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "multi_tenant_stream_graph2": "tests/test_updates_metrics.py::test_multi_tenant_stream_graph2_summary",
     "dynamic_cow_graph2": "tests/test_streaming.py::test_cow_dynamic_protocol_recovers_recall",
     "stream_drop_duplicates": "tests/test_streaming.py::test_stream_drop_duplicates_exactly_once",
-    "stream_interval_join_full": "tests/test_streaming.py::test_stream_interval_join_full_closed_form",
     "stream_hourly_unique_users": "tests/test_streaming.py::test_stream_hourly_unique_users_sketch_accuracy",
     # text / io / relational sketches
     "compressibility": "tests/test_dedup_text.py::test_compressibility_signal",
@@ -195,7 +195,6 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
     "scan_fvecs_v2": "tests/test_sources.py::test_fvecs_datasource_matches_reader",
     "scan_fvecs_stream": "tests/test_sources.py::test_fvecs_stream_source_incremental",
-    "mixture_sample": "tests/test_dedup_text.py::test_mixture_sample_quotas",
     "zorder_layout": "tests/test_relational.py::test_zorder_layout_prunes_files",
 }
 
