@@ -438,6 +438,22 @@ def main() -> int:
             "exponent": round(math.log(pts["x10"] / pts["sf"]) / math.log(10), 3),
         }
 
+    # End-to-end Z-order read evidence at bench scale (64 files): per
+    # (probe, layout) the files the footer stats admit, the rows the
+    # executed parquet scan actually materialized after statistics
+    # skipping, and wall seconds — the query-level numbers behind the
+    # zorder_layout footer proxy (VERDICT r9 item 6).
+    zorder_scan = {
+        f"{r['probe']}:{r['layout']}": {
+            "files_admitted": r["files_admitted"],
+            "n_files": r["n_files"],
+            "scan_output_rows": r["scan_output_rows"],
+            "matched_rows": r["matched_rows"],
+            "seconds": r["seconds"],
+        }
+        for r in qs["zorder_scan"](spark, sf_dir).collect()
+    }
+
     # The printed line keeps value/queries plus a COMPACT extra; bulky
     # sweeps (autotune frontier, scaling, build times, per-pass detail)
     # go to the detail file from the start so the line stays far below
@@ -448,6 +464,7 @@ def main() -> int:
         "pca_recall_by_out_dim": pca_recall,
         "dynamic_recall_curves": dyn_curves,
         "dedup_scaling": dedup_scaling,
+        "zorder_scan": zorder_scan,
         "multi_tenant_stream_graph2": mt_stream,
         "index_build_seconds": build_seconds,
         "probe_qps": {

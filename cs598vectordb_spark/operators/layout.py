@@ -113,26 +113,24 @@ def files_admitting(path: str, preds: dict[str, tuple]) -> tuple[int, int]:
     return admitted, len(files)
 
 
-def zorder_events_report(
-    spark, sf_dir: str, work_dir: str, n_files: int = 32, bits: int = 8
-) -> DataFrame:
-    """Lay the events table out twice — linearly sorted by user_id, and
-    Z-ordered by (user_id, hour index) — and report how many files each
-    layout forces a reader to scan for three probes: a user band, a
-    time band, and their conjunction. Both layouts hold identical rows
-    (pinned in tests), so the files_admitted delta is pure layout
-    effect. The structural story the numbers tell: a linear sort
-    clusters ONE dimension (the time-band probe admits every linear
-    file), while the Morton curve serves both dimensions at once — the
-    reason a 100 TB table queried by more than one key gets OPTIMIZE
-    ZORDER BY, not a sort."""
+def _build_event_layouts(
+    spark, sf_dir: str, work_dir: str, n_files: int, bits: int
+) -> tuple[str, str, dict]:
+    """Materialize the two event layouts compared by every Z-order
+    evidence query — linear (sorted by user_id) and Z-ordered by
+    normalized (user_id, hour index) — and return (linear_path,
+    zorder_path, probes) where probes are quarter-space range bands
+    offset from 0 so neither band is a prefix."""
     from cs598vectordb_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    mn = ev.agg(F.min("ts")).first()[0]
-    hour_idx = (
-        (F.unix_timestamp("ts") - F.lit(int(mn.timestamp()))) / 3600
-    ).cast("long")
+    # epoch minimum computed IN Spark so both sides of the subtraction
+    # use the session timezone — collecting a naive datetime and calling
+    # .timestamp() would interpret it in the driver's OS timezone, and a
+    # divergence makes hour_idx negative (sign-extended garbage z-values
+    # under shiftright). ADVICE r9.
+    mn_epoch = int(ev.agg(F.min(F.unix_timestamp("ts"))).first()[0])
+    hour_idx = ((F.unix_timestamp("ts") - F.lit(mn_epoch)) / 3600).cast("long")
     base = ev.withColumn("hour_idx", hour_idx)
 
     u_hi = int(base.agg(F.max("user_id")).first()[0])
@@ -148,7 +146,6 @@ def zorder_events_report(
     )
     write_layout(base, z_path, z, n_files)
 
-    # quarter-space bands, offset from 0 so neither band is a prefix
     u_band = (u_hi // 4, u_hi // 2)
     h_band = (h_hi // 4, h_hi // 2)
     probes = {
@@ -156,6 +153,25 @@ def zorder_events_report(
         "hour_band": {"hour_idx": h_band},
         "user_and_hour": {"user_id": u_band, "hour_idx": h_band},
     }
+    return lin_path, z_path, probes
+
+
+def zorder_events_report(
+    spark, sf_dir: str, work_dir: str, n_files: int = 32, bits: int = 8
+) -> DataFrame:
+    """Lay the events table out twice — linearly sorted by user_id, and
+    Z-ordered by (user_id, hour index) — and report how many files each
+    layout forces a reader to scan for three probes: a user band, a
+    time band, and their conjunction. Both layouts hold identical rows
+    (pinned in tests), so the files_admitted delta is pure layout
+    effect. The structural story the numbers tell: a linear sort
+    clusters ONE dimension (the time-band probe admits every linear
+    file), while the Morton curve serves both dimensions at once — the
+    reason a 100 TB table queried by more than one key gets OPTIMIZE
+    ZORDER BY, not a sort."""
+    lin_path, z_path, probes = _build_event_layouts(
+        spark, sf_dir, work_dir, n_files, bits
+    )
 
     zdf = spark.read.parquet(z_path)
     rows = []
@@ -172,4 +188,95 @@ def zorder_events_report(
         rows,
         "probe string, n_files int, files_admitted_linear int, "
         "files_admitted_zorder int, n_rows_match int",
+    )
+
+
+def _band_cond(preds: dict[str, tuple]):
+    cond = F.lit(True)
+    for col, (lo, hi) in preds.items():
+        cond = cond & F.col(col).between(lo, hi)
+    return cond
+
+
+def executed_scan_metrics(df: DataFrame) -> dict:
+    """Execute `df` (one count) and return what its leaf parquet scan
+    ACTUALLY did, from the SQL status store's runtime metrics:
+    scan_output_rows — rows the reader materialized after row-group /
+    page statistics skipping (the end-to-end counterpart of the footer
+    admission proxy in files_admitting) — plus files_read, matched_rows,
+    and wall seconds. Driver-side metadata only; the listener is async,
+    so the read polls briefly until the scan metrics land."""
+    import time
+
+    spark = df.sparkSession
+    t0 = time.time()
+    matched = df.count()
+    seconds = time.time() - t0
+    out = {"matched_rows": int(matched), "seconds": round(seconds, 3)}
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    last = execs.apply(execs.size() - 1)
+    eid = last.executionId()
+    wanted = {"number of output rows": "scan_output_rows",
+              "number of files read": "files_read"}
+    for _ in range(50):
+        vmap = {}
+        it = store.executionMetrics(eid).iterator()
+        while it.hasNext():
+            kv = it.next()
+            vmap[kv._1()] = kv._2()
+        scan = {}
+        nit = store.planGraph(eid).allNodes().iterator()
+        while nit.hasNext():
+            node = nit.next()
+            if not node.name().startswith("Scan"):
+                continue
+            mit = node.metrics().iterator()
+            while mit.hasNext():
+                m = mit.next()
+                v = vmap.get(m.accumulatorId())
+                if v is not None and m.name() in wanted:
+                    scan[wanted[m.name()]] = int(str(v).replace(",", ""))
+        if len(scan) == len(wanted):
+            out.update(scan)
+            break
+        time.sleep(0.1)
+    return out
+
+
+def zorder_scan_compare(
+    spark, sf_dir: str, work_dir: str, n_files: int = 32, bits: int = 8
+) -> DataFrame:
+    """END-TO-END Z-order evidence (VERDICT r9 item 6): the same band
+    predicates run THROUGH Spark's parquet reader on both layouts, and
+    the reported numbers are what the executed scans measured — files
+    admitted by footer stats (the proxy) AND rows the reader actually
+    materialized after statistics-based skipping (the query), per
+    (probe, layout). Matched row counts must agree across layouts (same
+    data, layout-only delta — pinned in tests); the Z-ordered scan must
+    materialize FEWER rows for the time-band and conjunction probes,
+    which is the wall-clock mechanism at 100 TB: the scan you skip is
+    the one you never pay for."""
+    lin_path, z_path, probes = _build_event_layouts(
+        spark, sf_dir, work_dir, n_files, bits
+    )
+    rows = []
+    for name, preds in probes.items():
+        for layout, path in (("linear", lin_path), ("zorder", z_path)):
+            adm, n_tot = files_admitting(path, preds)
+            m = executed_scan_metrics(
+                spark.read.parquet(path).filter(_band_cond(preds))
+            )
+            rows.append(
+                (
+                    name, layout, n_tot, adm,
+                    m.get("scan_output_rows", -1), m["matched_rows"],
+                    m["seconds"],
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "probe string, layout string, n_files int, files_admitted int, "
+        "scan_output_rows long, matched_rows long, seconds double",
     )

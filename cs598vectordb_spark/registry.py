@@ -196,6 +196,7 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "scan_fvecs_v2": "tests/test_sources.py::test_fvecs_datasource_matches_reader",
     "scan_fvecs_stream": "tests/test_sources.py::test_fvecs_stream_source_incremental",
     "zorder_layout": "tests/test_relational.py::test_zorder_layout_prunes_files",
+    "zorder_scan": "tests/test_relational.py::test_zorder_scan_reads_fewer_rows",
 }
 
 

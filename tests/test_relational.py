@@ -127,3 +127,36 @@ def test_zorder_layout_prunes_files(spark):
     z = spark.read.parquet(os.path.join(work, "zorder"))
     assert lin.count() == z.count()
     assert lin.exceptAll(z).count() == 0 and z.exceptAll(lin).count() == 0
+
+
+def test_zorder_scan_reads_fewer_rows(spark):
+    """Evidence pin for the rows-only zorder_scan entry — the END-TO-END
+    companion of the footer proxy above: running the band probes through
+    Spark's parquet reader, (a) matched rows agree across layouts per
+    probe (layout-only delta), (b) the reader materializes at least the
+    matched rows and the runtime metrics were actually captured, (c) on
+    the time-band probe the Z-ordered scan materializes STRICTLY fewer
+    rows than the linear layout (whose user_id sort is blind there), and
+    (d) across the whole three-probe workload Z materializes fewer rows
+    in total. Same sf0.01/32-file scale rationale as the proxy test."""
+    from cs598vectordb_spark.operators.layout import zorder_scan_compare
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    sf_dir = "/root/testdata/sf0.01"
+    work = _io_dir(sf_dir, "zorder_scan_test")
+    rows = zorder_scan_compare(spark, sf_dir, work, n_files=32).collect()
+    by = {(r.probe, r.layout): r for r in rows}
+    assert len(by) == 6
+
+    for probe in ("user_band", "hour_band", "user_and_hour"):
+        lin, z = by[(probe, "linear")], by[(probe, "zorder")]
+        assert lin.matched_rows == z.matched_rows > 0
+        for r in (lin, z):
+            assert r.scan_output_rows >= r.matched_rows > 0, r
+
+    hb_lin, hb_z = by[("hour_band", "linear")], by[("hour_band", "zorder")]
+    assert hb_z.scan_output_rows < hb_lin.scan_output_rows, (hb_lin, hb_z)
+
+    total_lin = sum(r.scan_output_rows for r in rows if r.layout == "linear")
+    total_z = sum(r.scan_output_rows for r in rows if r.layout == "zorder")
+    assert total_z < total_lin, (total_z, total_lin)
