@@ -196,6 +196,8 @@ class FvecsStreamReader(DataSourceStreamReader):
         return {"last_file": files[-1] if files else ""}
 
     def partitions(self, start: dict, end: dict):
+        import warnings
+
         lo = start.get("last_file", "")
         hi = end.get("last_file", "")
         parts = []
@@ -203,11 +205,25 @@ class FvecsStreamReader(DataSourceStreamReader):
             if not (lo < name <= hi):
                 continue
             m = _SHARD_RE.search(name)
-            parts.append(
-                _ShardPartition(
-                    os.path.join(self.inner.path, name),
-                    int(m.group(1)) if m else 0,
+            if not m:
+                # a file matching the glob but NOT the part-<start>
+                # contract has no recoverable id offset. The batch
+                # reader's single-file fallback (ids from 0) is safe
+                # there because pruning also turns off; in a STREAM a
+                # start_id=0 fallback would misnumber every row of a
+                # mid-stream arrival and collide with shard 0's ids —
+                # skip it LOUDLY instead. The offset still advances
+                # past the name (same rule as a below-watermark file:
+                # never picked up, never corrupts slice arithmetic).
+                warnings.warn(
+                    f"fvecs stream: skipping non-contract file name "
+                    f"{name!r} (no part-<start> id offset); rename to "
+                    f"the writer's contract to ingest it",
+                    stacklevel=2,
                 )
+                continue
+            parts.append(
+                _ShardPartition(os.path.join(self.inner.path, name), int(m.group(1)))
             )
         # an empty micro-batch still needs a partition list
         return parts

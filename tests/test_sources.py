@@ -484,3 +484,33 @@ def test_fp_cache_invalidates_on_source_change(spark, tmp_path):
     make(src, 2)  # same path, same plan shape, same row count — new bytes
     write_vecs(spark.read.parquet(src), out, rows_per_shard=100)
     assert {r.embedding[0] for r in read_fvecs(spark, out).collect()} == {2.0}
+
+
+def test_fvecs_stream_skips_foreign_file_loudly(spark, sf_dir, tmp_path):
+    """A glob-matching file WITHOUT the part-<start> naming inside a
+    STREAMED shard directory must be SKIPPED (with a warning), never
+    ingested under the batch reader's start_id=0 fallback — that
+    fallback would misnumber every row of a mid-stream arrival and
+    collide with shard 0's ids (VERDICT r9 item 8). Contract-named
+    shards in the same micro-batch still ingest."""
+    import shutil
+
+    from cs598vectordb_spark.sources.fvecs_datasource import FvecsStreamReader
+    from cs598vectordb_spark.sources.vecfiles import write_vecs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "shards")
+    write_vecs(emb.filter("vec_id < 200"), src, rows_per_shard=100)
+    shutil.copy(src + "/part-000000000100.fvecs", src + "/zz_foreign.fvecs")
+
+    reader = FvecsStreamReader({"path": src})
+    with pytest.warns(UserWarning, match="zz_foreign"):
+        parts = reader.partitions(
+            reader.initialOffset(), reader.latestOffset()
+        )
+    assert [p.start_id for p in parts] == [0, 100]
+    assert not any("zz_foreign" in p.path for p in parts)
+    # the offset watermark still advances past the foreign name: the
+    # next batch is empty, not a re-plan of the foreign file
+    assert reader.latestOffset() == {"last_file": "zz_foreign.fvecs"}
+    assert reader.partitions(reader.latestOffset(), reader.latestOffset()) == []
