@@ -435,3 +435,121 @@ def test_mixture_sample_quotas(spark, sf_dir):
     assert a == b
     c = sorted((r.source, r.doc_id) for r in mixture_sample(docs, total=120, salt="other").collect())
     assert a != c  # a new salt is a fresh draw
+
+
+def _mixture_quota_loop(counts: dict, total: int, alpha: float = 0.5) -> dict:
+    """The operator's quota computation, replicated verbatim (counts →
+    quotas) so the oracle's closed form can be checked against it on
+    inputs the uniform driver fixture never produces."""
+    weights = {s: n**alpha for s, n in counts.items()}
+    z = sum(weights.values()) or 1.0
+    raw = {s: round(total * w / z, 9) for s, w in weights.items()}
+    quota = {s: min(int(raw[s]), counts[s]) for s in raw}
+    short = total - sum(quota.values())
+    order = sorted(raw, key=lambda s: (-(raw[s] - int(raw[s])), s))
+    i = 0
+    while short > 0 and any(counts[s] > quota[s] for s in quota):
+        s = order[i % len(order)]
+        if counts[s] > quota[s]:
+            quota[s] += 1
+            short -= 1
+        i += 1
+    return quota
+
+
+def _mixture_quota_closed_form(counts: dict, total: int, alpha: float = 0.5) -> dict:
+    """The oracle SQL's `extra` CTE as Python: source t receives a unit
+    in cycle c iff c < headroom(t) and the units handed out strictly
+    before t's slot in cycle c stay below the shortfall."""
+    weights = {s: n**alpha for s, n in counts.items()}
+    z = sum(weights.values()) or 1.0
+    raw = {s: round(total * w / z, 9) for s, w in weights.items()}
+    q0 = {s: min(int(raw[s]), counts[s]) for s in raw}
+    short = total - sum(q0.values())
+    order = sorted(raw, key=lambda s: (-(raw[s] - int(raw[s])), s))
+    p = {s: i for i, s in enumerate(order)}
+    h = {s: counts[s] - q0[s] for s in counts}
+    out = {}
+    for s in counts:
+        extra = 0
+        for c in range(total):
+            if c >= h[s]:
+                break
+            before = sum(
+                min(h[t], c + (1 if p[t] < p[s] else 0)) for t in counts
+            )
+            if before < short:
+                extra += 1
+        out[s] = q0[s] + extra
+    return out
+
+
+def test_mixture_topup_closed_form_matches_loop():
+    """The driver fixture's uniform source counts give short=0, so the
+    gate never exercises the largest-remainder top-up — pin the oracle's
+    closed form against the operator's cyclic capacity-aware loop on
+    skewed counts instead, property-style."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        counts=st.dictionaries(
+            st.sampled_from([f"s{i}" for i in range(12)]),
+            st.integers(min_value=1, max_value=400),
+            min_size=1,
+            max_size=12,
+        ),
+        total=st.integers(min_value=1, max_value=300),
+    )
+    def check(counts, total):
+        assert _mixture_quota_closed_form(counts, total) == _mixture_quota_loop(
+            counts, total
+        )
+
+    check()
+
+
+def test_mixture_sample_oracle_sql_on_skewed_corpus():
+    """Run the REGISTERED mixture_sample oracle SQL in DuckDB over
+    skewed synthetic corpora (top-up exercised, capacity saturation
+    exercised) and compare the full selection to a pure-Python
+    reference: loop quotas + per-source (md5(id#mix), id) ranking.
+    Catches oracle-SQL bugs the uniform sf0.01 fixture cannot."""
+    import hashlib
+
+    import duckdb
+
+    from cs598vectordb_spark.registry import oracle_sql
+
+    sql = oracle_sql()["mixture_sample"]
+    cases = [
+        # heavy skew: top-up lands unevenly across fractional parts
+        {"web": 311, "books": 57, "code": 13, "wiki": 3, "forum": 1},
+        # saturation: tiny strata hit their capacity during top-up
+        {f"s{i}": (1 if i % 3 else 97) for i in range(9)},
+        # fewer rows than the 200 target: quotas cap at stratum sizes
+        {"a": 40, "b": 20, "c": 9},
+    ]
+    for counts in cases:
+        rows, did = [], 0
+        for src in sorted(counts):
+            for _ in range(counts[src]):
+                rows.append((did, src))
+                did += 1
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        got = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+
+        quota = _mixture_quota_loop(counts, 200)
+        want = set()
+        for src in counts:
+            ids = [d for d, s in rows if s == src]
+            ids.sort(key=lambda d: (hashlib.md5(f"{d}#mix".encode()).hexdigest(), d))
+            for rank, d in enumerate(ids[: quota[src]], start=1):
+                want.add((src, d, rank))
+        assert got == want, (counts, len(got), len(want))
+        total_sel = sum(quota.values())
+        assert total_sel == min(200, sum(counts.values()))
+        assert len(got) == total_sel
