@@ -325,3 +325,19 @@ def test_zvalue_is_codegen_projection(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
     assert "codegen id" in plan, plan
+
+
+def test_synthetic_queries_is_python_free_projection(spark, sf_dir):
+    """The bench-scale synthetic query build (fixture head + ε-jittered
+    replicas) must stay a Python-free plan: a BroadcastNestedLoopJoin of
+    the base scan with a |replicas|-row range plus a codegen'd
+    hash-jitter projection — no Python workers, no shuffle exchange on
+    the data side (building 10× the corpus as queries cannot cost a
+    repartition of the corpus)."""
+    from cs598vectordb_spark.sources.tables import load_table, synthetic_queries
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(synthetic_queries(emb, 1200, 500))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
