@@ -429,18 +429,37 @@ def main() -> int:
     # way knn_exact_qps_scaling does for the exact kernel.
     import math
 
+    # Shuffle volume is measured alongside wall time (summed "shuffle
+    # bytes written" over EVERY execution the query triggers, incl.
+    # iterative rounds — functions/planmetrics.py), so the sublinearity
+    # claim covers the scarcest cluster resource directly: a
+    # shuffle-bytes exponent ~1 across a 10× corpus means the banded
+    # plans exchange O(n) data, not just finish in O(n) time.
+    from cs598vectordb_spark.functions.planmetrics import executed_plan_metrics
+
     dedup_scaling = {}
     x10_dir = _x10_corpus(spark, sf_dir)
     small_dir = "/root/testdata/sf0.01"
     for name in ("dedup_clusters", "minhash_lsh_dedup", "decontamination"):
-        pts = {}
+        pts, shuffle_mb = {}, {}
         for label, d in (("small", small_dir), ("sf", sf_dir), ("x10", x10_dir)):
-            t0 = time.time()
-            qs[name](spark, d).count()
-            pts[label] = round(time.time() - t0, 3)
+            # thunk form: query construction runs eager internal actions
+            # (persisted intermediates, iterative rounds) that belong in
+            # both the wall-time and the shuffle-volume measurement
+            m = executed_plan_metrics(
+                lambda name=name, d=d: qs[name](spark, d), spark=spark
+            )
+            pts[label] = m["seconds"]
+            shuffle_mb[label] = round(m["shuffle_bytes_written"] / 1048576, 2)
         dedup_scaling[name] = {
             "seconds": pts,
+            "shuffle_mb": shuffle_mb,
             "exponent": round(math.log(pts["x10"] / pts["sf"]) / math.log(10), 3),
+            "shuffle_exponent": round(
+                math.log(max(shuffle_mb["x10"], 0.01) / max(shuffle_mb["sf"], 0.01))
+                / math.log(10),
+                3,
+            ),
         }
 
     # End-to-end Z-order read evidence at bench scale (64 files): per

@@ -200,49 +200,18 @@ def _band_cond(preds: dict[str, tuple]):
 
 def executed_scan_metrics(df: DataFrame) -> dict:
     """Execute `df` (one count) and return what its leaf parquet scan
-    ACTUALLY did, from the SQL status store's runtime metrics:
-    scan_output_rows — rows the reader materialized after row-group /
-    page statistics skipping (the end-to-end counterpart of the footer
-    admission proxy in files_admitting) — plus files_read, matched_rows,
-    and wall seconds. Driver-side metadata only; the listener is async,
-    so the read polls briefly until the scan metrics land."""
-    import time
+    ACTUALLY did: scan_output_rows — rows the reader materialized after
+    row-group / page statistics skipping (the end-to-end counterpart of
+    the footer admission proxy in files_admitting) — plus files_read,
+    matched_rows, and wall seconds. Thin scan-focused view over
+    functions.planmetrics.executed_plan_metrics."""
+    from cs598vectordb_spark.functions.planmetrics import executed_plan_metrics
 
-    spark = df.sparkSession
-    t0 = time.time()
-    matched = df.count()
-    seconds = time.time() - t0
-    out = {"matched_rows": int(matched), "seconds": round(seconds, 3)}
-
-    store = spark._jsparkSession.sharedState().statusStore()
-    execs = store.executionsList()
-    last = execs.apply(execs.size() - 1)
-    eid = last.executionId()
-    wanted = {"number of output rows": "scan_output_rows",
-              "number of files read": "files_read"}
-    for _ in range(50):
-        vmap = {}
-        it = store.executionMetrics(eid).iterator()
-        while it.hasNext():
-            kv = it.next()
-            vmap[kv._1()] = kv._2()
-        scan = {}
-        nit = store.planGraph(eid).allNodes().iterator()
-        while nit.hasNext():
-            node = nit.next()
-            if not node.name().startswith("Scan"):
-                continue
-            mit = node.metrics().iterator()
-            while mit.hasNext():
-                m = mit.next()
-                v = vmap.get(m.accumulatorId())
-                if v is not None and m.name() in wanted:
-                    scan[wanted[m.name()]] = int(str(v).replace(",", ""))
-        if len(scan) == len(wanted):
-            out.update(scan)
-            break
-        time.sleep(0.1)
-    return out
+    m = executed_plan_metrics(df)
+    return {
+        k: m[k]
+        for k in ("matched_rows", "seconds", "scan_output_rows", "files_read")
+    }
 
 
 def zorder_scan_compare(

@@ -341,3 +341,54 @@ def test_synthetic_queries_is_python_free_projection(spark, sf_dir):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_parse_metric_display_strings():
+    """The SQL UI renders metrics as display strings; the parser must
+    recover integer totals from counts, byte sizes with the
+    total-(min,med,max) header, and plain timings."""
+    from cs598vectordb_spark.functions.planmetrics import _parse_metric
+
+    assert _parse_metric("12,489") == 12489
+    assert _parse_metric("8") == 8
+    two_line = (
+        "total (min, med, max (stageId: taskId))\n"
+        "410.1 KiB (1.0 KiB, 2.0 KiB, 3.0 KiB (stage 5.0: task 78))"
+    )
+    assert _parse_metric(two_line) == int(410.1 * 1024)
+    assert _parse_metric("2.5 MiB (1 MiB, 1 MiB, 1.5 MiB)") == int(2.5 * 1048576)
+    assert _parse_metric("garbage") == 0
+
+
+def test_executed_plan_metrics_measures_shuffles(spark, sf_dir):
+    """The executed-metrics reader behind the bench shuffle-volume
+    evidence: a projection's only exchange is the count's tiny
+    single-partition gather, while a wide groupBy writes real shuffle
+    bytes; scan rows and matched rows are consistent."""
+    from cs598vectordb_spark.functions.planmetrics import executed_plan_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    narrow = executed_plan_metrics(
+        emb.filter(F.col("vec_id") < 100).select("vec_id")
+    )
+    assert narrow["matched_rows"] == 100
+    assert narrow["scan_output_rows"] >= 100
+    assert narrow["files_read"] >= 1
+
+    ev = load_table(spark, sf_dir, "events")
+    wide = executed_plan_metrics(ev.groupBy("user_id", "event_type").count())
+    assert wide["matched_rows"] > 10
+    assert wide["shuffle_records_written"] >= wide["matched_rows"]
+    assert wide["shuffle_bytes_written"] > narrow["shuffle_bytes_written"]
+
+    # thunk form: eager actions during query CONSTRUCTION (persisted
+    # intermediates — the dedup/index pattern) are part of the measured
+    # region, summed across their separate SQL executions
+    def build():
+        inter = ev.groupBy("user_id").count().persist()
+        inter.count()  # internal eager action, its own execution
+        return inter.filter(F.col("count") > 0)
+
+    th = executed_plan_metrics(build, spark=spark)
+    assert th["matched_rows"] > 10
+    assert th["shuffle_records_written"] >= th["matched_rows"]
