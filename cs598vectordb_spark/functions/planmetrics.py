@@ -60,6 +60,25 @@ def _parse_metric(raw: str) -> int:
         return 0
 
 
+def _quiesce(store, polls: int = 20) -> None:
+    """Give the async listener a moment to drain PRIOR work's events
+    before snapshotting the execution watermark, so a heavy preceding
+    block's late-arriving executions aren't attributed to the measured
+    region: wait until the executions list size is stable across two
+    consecutive polls (bounded at ~1 s)."""
+    prev, stable = -1, 0
+    for _ in range(polls):
+        n = store.executionsList().size()
+        if n == prev:
+            stable += 1
+            if stable >= 2:
+                return
+        else:
+            stable = 0
+        prev = n
+        time.sleep(0.05)
+
+
 def _execution_metrics(store, eid: int) -> dict:
     """Aggregated wanted metrics of one execution (may be {} while the
     async listener hasn't processed its accumulator updates yet)."""
@@ -107,6 +126,7 @@ def executed_plan_metrics(df_or_thunk, spark=None) -> dict:
     else:
         spark = df_or_thunk.sparkSession
     store = spark._jsparkSession.sharedState().statusStore()
+    _quiesce(store)
     before = store.executionsList()
     last_prior = (
         before.apply(before.size() - 1).executionId() if before.size() else -1
@@ -119,24 +139,28 @@ def executed_plan_metrics(df_or_thunk, spark=None) -> dict:
     out = {"matched_rows": int(matched), "seconds": round(seconds, 3)}
     out.update(_ZERO)
 
-    final_eid = None
-    for _ in range(50):
+    # completion = two consecutive polls agree on BOTH the set of new
+    # executions and their aggregated sums (the listener is async:
+    # breaking on the first non-empty read would miss executions whose
+    # start events haven't drained and read accumulators mid-update)
+    prev: tuple | None = None
+    agg: dict[str, int] = {}
+    for _ in range(60):
         execs = store.executionsList()
         new_ids = [
             execs.apply(i).executionId()
             for i in range(execs.size())
             if execs.apply(i).executionId() > last_prior
         ]
-        if new_ids:
-            final_eid = max(new_ids)
-            # the final execution's metrics landing is the signal the
-            # listener has caught up to the action's last event
-            if _execution_metrics(store, final_eid):
-                break
+        agg = {}
+        for eid in new_ids:
+            for key, val in _execution_metrics(store, eid).items():
+                agg[key] = agg.get(key, 0) + val
+        state = (tuple(new_ids), tuple(sorted(agg.items())))
+        if agg and state == prev:
+            break
+        prev = state
         time.sleep(0.1)
-    if final_eid is None:
-        return out
-    for eid in new_ids:
-        for key, val in _execution_metrics(store, eid).items():
-            out[key] = out.get(key, 0) + val
+    for key, val in agg.items():
+        out[key] = val
     return out

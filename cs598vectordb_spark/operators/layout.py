@@ -138,13 +138,36 @@ def _build_event_layouts(
 
     lin_path = os.path.join(work_dir, "linear")
     z_path = os.path.join(work_dir, "zorder")
-    write_layout(base, lin_path, F.col("user_id").cast("long"), n_files)
-    z = zvalue(
-        grid_bucket(F.col("user_id"), u_hi, bits),
-        grid_bucket(F.col("hour_idx"), h_hi, bits),
-        bits,
-    )
-    write_layout(base, z_path, z, n_files)
+    # the two layout writes are the expensive step and deterministic in
+    # (source files, n_files, bits) — marker-cache them so the proxy
+    # report and the end-to-end scan comparison (and repeated bench
+    # passes) share one materialization instead of rewriting the table
+    # per call; the cheap aggs above always recompute
+    import hashlib
+
+    from cs598vectordb_spark.sources.vecfiles import _source_signal
+
+    marker = os.path.join(work_dir, "_LAYOUTS_OK")
+    stamp = hashlib.md5(
+        repr((_source_signal(ev), n_files, bits)).encode()
+    ).hexdigest()
+    done = False
+    try:
+        with open(marker) as fh:
+            done = fh.read() == stamp
+    except OSError:
+        pass
+    if not done:
+        write_layout(base, lin_path, F.col("user_id").cast("long"), n_files)
+        z = zvalue(
+            grid_bucket(F.col("user_id"), u_hi, bits),
+            grid_bucket(F.col("hour_idx"), h_hi, bits),
+            bits,
+        )
+        write_layout(base, z_path, z, n_files)
+        os.makedirs(work_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
 
     u_band = (u_hi // 4, u_hi // 2)
     h_band = (h_hi // 4, h_hi // 2)

@@ -844,6 +844,8 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs598vectordb_spark.operators.layout import zorder_scan_compare
     from cs598vectordb_spark.queries_sources import _io_dir
 
+    # same work_dir as zorder_layout: the layouts are deterministic and
+    # marker-cached, so both entries share one materialization
     return zorder_scan_compare(
-        spark, sf_dir, _io_dir(sf_dir, "zorder_scan"), n_files=64
+        spark, sf_dir, _io_dir(sf_dir, "zorder"), n_files=64
     )

@@ -186,42 +186,46 @@ class FvecsStreamReader(DataSourceStreamReader):
         return {"last_file": ""}
 
     def _files(self) -> list:
-        return sorted(
+        """Contract-named shard files only, sorted. A glob-matching file
+        WITHOUT the part-<start> naming is INVISIBLE to the stream —
+        excluded from the partition plan AND the offset watermark — and
+        warned about. Ingesting it would misnumber every row (the batch
+        reader's start_id=0 single-file fallback collides with shard 0
+        mid-stream); letting it into the watermark would be worse: a
+        high-sorting foreign name ('zz.fvecs' > every 'part-*') would
+        advance last_file past ALL future contract shards and silently
+        block the stream forever."""
+        import warnings
+
+        names = sorted(
             os.path.basename(f)
             for f in glob.glob(os.path.join(self.inner.path, f"*.{self.inner.ext}"))
         )
+        keep = []
+        for name in names:
+            if _SHARD_RE.search(name):
+                keep.append(name)
+            else:
+                warnings.warn(
+                    f"fvecs stream: ignoring non-contract file name {name!r} "
+                    f"(no part-<start> id offset); use write_vecs naming to "
+                    f"make it ingestable",
+                    stacklevel=2,
+                )
+        return keep
 
     def latestOffset(self) -> dict:
         files = self._files()
         return {"last_file": files[-1] if files else ""}
 
     def partitions(self, start: dict, end: dict):
-        import warnings
-
         lo = start.get("last_file", "")
         hi = end.get("last_file", "")
         parts = []
-        for name in self._files():
+        for name in self._files():  # contract-named only (see _files)
             if not (lo < name <= hi):
                 continue
             m = _SHARD_RE.search(name)
-            if not m:
-                # a file matching the glob but NOT the part-<start>
-                # contract has no recoverable id offset. The batch
-                # reader's single-file fallback (ids from 0) is safe
-                # there because pruning also turns off; in a STREAM a
-                # start_id=0 fallback would misnumber every row of a
-                # mid-stream arrival and collide with shard 0's ids —
-                # skip it LOUDLY instead. The offset still advances
-                # past the name (same rule as a below-watermark file:
-                # never picked up, never corrupts slice arithmetic).
-                warnings.warn(
-                    f"fvecs stream: skipping non-contract file name "
-                    f"{name!r} (no part-<start> id offset); rename to "
-                    f"the writer's contract to ingest it",
-                    stacklevel=2,
-                )
-                continue
             parts.append(
                 _ShardPartition(os.path.join(self.inner.path, name), int(m.group(1)))
             )

@@ -488,12 +488,15 @@ def test_fp_cache_invalidates_on_source_change(spark, tmp_path):
 
 def test_fvecs_stream_skips_foreign_file_loudly(spark, sf_dir, tmp_path):
     """A glob-matching file WITHOUT the part-<start> naming inside a
-    STREAMED shard directory must be SKIPPED (with a warning), never
-    ingested under the batch reader's start_id=0 fallback — that
-    fallback would misnumber every row of a mid-stream arrival and
-    collide with shard 0's ids (VERDICT r9 item 8). Contract-named
-    shards in the same micro-batch still ingest."""
+    STREAMED shard directory must be INVISIBLE (with a warning): never
+    ingested under the batch reader's start_id=0 fallback (it would
+    misnumber every row and collide with shard 0, VERDICT r9 item 8)
+    AND never admitted into the offset watermark — a high-sorting
+    foreign name ('zz…' > every 'part-*') in last_file would silently
+    block all future contract shards forever. Contract-named shards
+    before AND after the foreign arrival keep ingesting."""
     import shutil
+    import warnings as _w
 
     from cs598vectordb_spark.sources.fvecs_datasource import FvecsStreamReader
     from cs598vectordb_spark.sources.vecfiles import write_vecs
@@ -505,12 +508,16 @@ def test_fvecs_stream_skips_foreign_file_loudly(spark, sf_dir, tmp_path):
 
     reader = FvecsStreamReader({"path": src})
     with pytest.warns(UserWarning, match="zz_foreign"):
-        parts = reader.partitions(
-            reader.initialOffset(), reader.latestOffset()
-        )
-    assert [p.start_id for p in parts] == [0, 100]
-    assert not any("zz_foreign" in p.path for p in parts)
-    # the offset watermark still advances past the foreign name: the
-    # next batch is empty, not a re-plan of the foreign file
-    assert reader.latestOffset() == {"last_file": "zz_foreign.fvecs"}
-    assert reader.partitions(reader.latestOffset(), reader.latestOffset()) == []
+        first = reader.latestOffset()
+    # the watermark stops at the last CONTRACT name, not the foreign one
+    assert first == {"last_file": "part-000000000100.fvecs"}
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        parts = reader.partitions(reader.initialOffset(), first)
+        assert [p.start_id for p in parts] == [0, 100]
+        assert not any("zz_foreign" in p.path for p in parts)
+        # a contract shard landing AFTER the foreign file still ingests
+        shutil.copy(src + "/part-000000000000.fvecs", src + "/part-000000000200.fvecs")
+        nxt = reader.latestOffset()
+        assert nxt == {"last_file": "part-000000000200.fvecs"}
+        assert [p.start_id for p in reader.partitions(first, nxt)] == [200]
