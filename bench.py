@@ -462,16 +462,27 @@ def main() -> int:
             )
             pts[label] = m["seconds"]
             shuffle_mb[label] = round(m["shuffle_bytes_written"] / 1048576, 2)
-        dedup_scaling[name] = {
+        entry = {
             "seconds": pts,
             "shuffle_mb": shuffle_mb,
             "exponent": round(math.log(pts["x10"] / pts["sf"]) / math.log(10), 3),
-            "shuffle_exponent": round(
-                math.log(max(shuffle_mb["x10"], 0.01) / max(shuffle_mb["sf"], 0.01))
-                / math.log(10),
-                3,
-            ),
         }
+        # a bytes exponent is only meaningful when BOTH fitted points
+        # are in the shuffle regime: below ~1 MB the sf-scale plan is
+        # broadcast-joined (AQE) and shuffles almost nothing, so the
+        # two-point fit would measure the broadcast→shuffle regime
+        # crossing, not asymptotic growth — itself a scale story worth
+        # recording, hence the note
+        if shuffle_mb["sf"] >= 1.0:
+            entry["shuffle_exponent"] = round(
+                math.log(shuffle_mb["x10"] / shuffle_mb["sf"]) / math.log(10), 3
+            )
+        else:
+            entry["shuffle_note"] = (
+                "sf-scale plan broadcasts (sub-MB shuffle); bytes exponent "
+                "deferred until both points shuffle"
+            )
+        dedup_scaling[name] = entry
 
     # End-to-end Z-order read evidence at bench scale (64 files): per
     # (probe, layout) the files the footer stats admit, the rows the
