@@ -484,6 +484,43 @@ def main() -> int:
             )
         dedup_scaling[name] = entry
 
+    # Executed partition-pruning evidence at SERVING batch size: rows
+    # the probes' scans actually MATERIALIZED for a 5-query batch
+    # against the parquet-materialized indexes, vs the exact kernel's
+    # full read. tests/test_plans.py asserts the pruning plan shape;
+    # this records what the executed scan did. Small batch on purpose:
+    # at the 1000-query bench batch the UNION of probed lists covers
+    # every list, so each row is still read once (the pruning savings
+    # there is in pairwise work, not scan rows) — the scan-level story
+    # lives at serving-path batch sizes. DataFrame form: construction
+    # (broadcast builds, query collection) stays outside the measured
+    # execution.
+    from cs598vectordb_spark.operators.index import knn_ivf
+    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq
+    from cs598vectordb_spark.queries_index import (
+        ivf_materialized_for,
+        ivfpq_index_for,
+    )
+
+    q5 = queries_from_embeddings(emb, 5)
+    probe_scan_rows = {}
+    for name, df in (
+        ("knn_exact_5q", knn_exact(emb, q5, 10)),
+        (
+            "knn_ivf_materialized_5q",
+            knn_ivf(ivf_materialized_for(spark, sf_dir), q5, k=10, nprobe=2),
+        ),
+        (
+            "knn_ivfpq_5q",
+            knn_ivfpq(ivfpq_index_for(spark, sf_dir), q5, k=10, nprobe=2),
+        ),
+    ):
+        m = executed_plan_metrics(df)
+        probe_scan_rows[name] = {
+            "scan_output_rows": m["scan_output_rows"],
+            "fraction_of_table": round(m["scan_output_rows"] / max(emb_n, 1), 4),
+        }
+
     # End-to-end Z-order read evidence at bench scale (64 files): per
     # (probe, layout) the files the footer stats admit, the rows the
     # executed parquet scan actually materialized after statistics
@@ -510,6 +547,7 @@ def main() -> int:
         "pca_recall_by_out_dim": pca_recall,
         "dynamic_recall_curves": dyn_curves,
         "dedup_scaling": dedup_scaling,
+        "probe_scan_rows": probe_scan_rows,
         "zorder_scan": zorder_scan,
         "multi_tenant_stream_graph2": mt_stream,
         "index_build_seconds": build_seconds,
