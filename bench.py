@@ -473,7 +473,10 @@ def main() -> int:
         # two-point fit would measure the broadcast→shuffle regime
         # crossing, not asymptotic growth — itself a scale story worth
         # recording, hence the note
-        if shuffle_mb["sf"] >= 1.0:
+        # both points guarded: a lagging async listener can also return
+        # 0 for the x10 read, and log(0) at the END of the run would
+        # throw away every expensive measurement before it
+        if shuffle_mb["sf"] >= 1.0 and shuffle_mb["x10"] > 0:
             entry["shuffle_exponent"] = round(
                 math.log(shuffle_mb["x10"] / shuffle_mb["sf"]) / math.log(10), 3
             )

@@ -27,15 +27,17 @@ import time
 # plan-graph node name prefix -> (metric name -> output key). Exchange
 # covers both shuffle and broadcast nodes; broadcast nodes simply lack
 # the shuffle-write metrics and contribute nothing to those sums.
-# InMemoryTableScan counts toward scan_output_rows so probes over
-# persisted (cached) index tables are measurable like parquet ones;
-# cached relations have no file metric.
+# InMemoryTableScan is reported under its OWN key so probes over
+# persisted (cached) index tables are measurable — and so a cold cache
+# materialized INSIDE the measured execution (whose plan contains both
+# the feeding parquet Scan and the InMemoryTableScan over it) cannot
+# double-count into scan_output_rows and fake a 2.0 read fraction.
 _NODE_METRICS = {
     "Scan": {
         "number of output rows": "scan_output_rows",
         "number of files read": "files_read",
     },
-    "InMemoryTableScan": {"number of output rows": "scan_output_rows"},
+    "InMemoryTableScan": {"number of output rows": "cached_scan_output_rows"},
     "Exchange": {
         "shuffle bytes written": "shuffle_bytes_written",
         "shuffle records written": "shuffle_records_written",

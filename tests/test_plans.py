@@ -392,3 +392,14 @@ def test_executed_plan_metrics_measures_shuffles(spark, sf_dir):
     th = executed_plan_metrics(build, spark=spark)
     assert th["matched_rows"] > 10
     assert th["shuffle_records_written"] >= th["matched_rows"]
+
+    # a probe over an already-materialized cache reports under the
+    # SEPARATE cached key — never into scan_output_rows, where a cold
+    # cache built mid-execution would double-count with its feeding
+    # parquet scan and fake a 2x read fraction
+    cached = ev.select("user_id", "event_type").persist()
+    cached.count()
+    cm = executed_plan_metrics(cached.filter(F.col("user_id") >= 0))
+    assert cm["cached_scan_output_rows"] > 0, cm
+    assert cm["scan_output_rows"] == 0, cm
+    cached.unpersist()
