@@ -467,6 +467,27 @@ def q_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join_stream(spark, sf_dir, how="full_outer")
 
 
+@register("stream_state_bound")
+def q_stream_state_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED watermark state-boundedness: the events table replayed
+    as time-ordered micro-batches (one file per trigger) through a
+    watermarked hourly aggregate, reporting per batch the rows Spark's
+    state store actually held, evicted, and emitted
+    (stateOperators.numRowsTotal / numRowsRemoved from the progress
+    stream). The number every "bounded state" docstring in
+    streaming/jobs.py rests on, measured: resident state peaks at ONE
+    watermark horizon of windows (~1/n_splits of the hours + delay),
+    each batch evicts the horizon the advancing watermark closed, and
+    the terminal no-data batch drains to the unexpired tail — at
+    100 TB/day this curve is the difference between a stream that runs
+    forever and one that accumulates everything ever seen. Rows-only
+    (store metrics by nature); conservation + peak bound pinned in
+    tests/test_streaming.py::test_stream_state_bound_evicts_with_watermark."""
+    from cs598vectordb_spark.streaming.jobs import state_bound_report
+
+    return state_bound_report(spark, sf_dir, _io_dir(sf_dir, "state_bound"))
+
+
 @register("stream_drop_duplicates")
 def q_stream_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative streaming dedup: the event file replayed as two

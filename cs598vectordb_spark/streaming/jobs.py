@@ -1175,3 +1175,104 @@ def hourly_unique_users(
     )
     out = _run_to_memory(agg)
     return out.select(F.col("w.start").alias("hour"), "approx_users", "n_events")
+
+
+def state_bound_report(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    delay: str = "1 hour",
+    n_splits: int = 8,
+) -> DataFrame:
+    """MEASURED state boundedness of a watermarked streaming aggregate —
+    per micro-batch (batch_id, input_rows, watermark-evicted rows, rows
+    resident in the state store afterwards, emitted rows).
+
+    Every watermarked operator in this module claims "bounded state";
+    this converts the claim into numbers Spark itself reports
+    (stateOperators.numRowsTotal / numRowsRemoved in the progress
+    events). The events table is split into time-ordered parquet files
+    replayed one file per micro-batch (maxFilesPerTrigger=1), so the
+    watermark ADVANCES between batches and eviction is observable: at
+    100 TB/day the difference between "state = one watermark horizon of
+    windows" and "state = everything ever seen" is the difference
+    between a stream that runs forever and one that dies in a day.
+
+    Driver cost: |n_splits| progress dicts. Deterministic given the
+    fixture (file order pins batch order; each batch's watermark is the
+    previous batches' max event time minus the delay)."""
+    import json as _json
+
+    s = _stream_session(spark)
+    ev = normalize_ts(
+        s.read.parquet(os.path.join(sf_dir, "events.parquet")), "ts"
+    ).select("event_id", "user_id", "event_type", "value", "ts")
+
+    # time-ordered splits written SEQUENTIALLY (append): ascending file
+    # mtimes make the file source replay them oldest-first, so event
+    # time advances monotonically across micro-batches
+    data_dir = os.path.join(work_dir, "splits")
+    marker = os.path.join(work_dir, "_SPLITS_OK")
+    src = os.path.join(sf_dir, "events.parquet")
+    stamp = f"{os.path.getmtime(src)}:{os.path.getsize(src)}:{n_splits}"
+    done = False
+    try:
+        with open(marker) as fh:
+            done = fh.read() == stamp
+    except OSError:
+        pass
+    if not done:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        bounds = ev.selectExpr(
+            f"percentile(unix_timestamp(ts), array({','.join(str((i + 1) / n_splits) for i in range(n_splits - 1))})) AS cuts"
+        ).first()["cuts"]
+        lo = None
+        for i in range(n_splits):
+            hi = bounds[i] if i < n_splits - 1 else None
+            part = ev.filter(F.lit(True) if lo is None else F.unix_timestamp("ts") > lo)
+            if hi is not None:
+                part = part.filter(F.unix_timestamp("ts") <= hi)
+            part.coalesce(1).write.mode("append").parquet(data_dir)
+            lo = hi
+        os.makedirs(work_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+
+    stream = normalize_ts(
+        s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir),
+        "ts",
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"state_bound_{os.getpid()}_{next(_MEM_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else dict(p)
+        so = (d.get("stateOperators") or [{}])[0]
+        rows.append(
+            (
+                int(d["batchId"]),
+                int(d.get("numInputRows", 0)),
+                int(so.get("numRowsTotal", 0)),
+                int(so.get("numRowsRemoved", 0)),
+                int((d.get("sink") or {}).get("numOutputRows", 0)),
+            )
+        )
+    return spark.createDataFrame(
+        sorted(rows),
+        "batch_id long, input_rows long, state_rows long, "
+        "state_rows_removed long, emitted_rows long",
+    )

@@ -569,3 +569,37 @@ def test_parquet_sink_incremental_restart(spark, tmp_path):
     write_file(range(10, 21), "b1")
     got2 = run_once()
     assert got2 == {h: 1 for h in range(19)}, got2
+
+
+def test_stream_state_bound_evicts_with_watermark(spark, sf_dir):
+    """Evidence pin for the rows-only stream_state_bound entry — the
+    watermark's state bound measured, not asserted: (a) every input row
+    is ingested, (b) resident state PEAKS far below the total window
+    count (one watermark horizon, not everything ever seen), (c)
+    eviction conservation holds exactly (windows added == evicted +
+    resident at the end; every evicted window emitted exactly once in
+    append mode), (d) the terminal no-data batch drains state to the
+    unexpired tail."""
+    import __spark_entry__ as em
+
+    from cs598vectordb_spark.sources.tables import load_table
+
+    rows = sorted(
+        em.queries()["stream_state_bound"](spark, sf_dir).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert len(rows) >= 4  # multiple micro-batches, or nothing is measured
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_hours = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+
+    assert sum(r.input_rows for r in rows) == n_events
+    peak = max(r.state_rows for r in rows)
+    assert 0 < peak < 0.55 * n_hours, (peak, n_hours)
+
+    removed = sum(r.state_rows_removed for r in rows)
+    emitted = sum(r.emitted_rows for r in rows)
+    assert removed == emitted  # append mode: evicted == emitted, once
+    assert rows[-1].state_rows == n_hours - removed  # conservation
+    assert rows[-1].state_rows < peak  # terminal drain happened
