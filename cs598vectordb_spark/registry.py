@@ -188,6 +188,7 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "dynamic_cow_graph2": "tests/test_streaming.py::test_cow_dynamic_protocol_recovers_recall",
     "stream_drop_duplicates": "tests/test_streaming.py::test_stream_drop_duplicates_exactly_once",
     "stream_state_bound": "tests/test_streaming.py::test_stream_state_bound_evicts_with_watermark",
+    "stream_join_state_bound": "tests/test_streaming.py::test_stream_join_state_bound",
     "stream_hourly_unique_users": "tests/test_streaming.py::test_stream_hourly_unique_users_sketch_accuracy",
     # text / io / relational sketches
     "compressibility": "tests/test_dedup_text.py::test_compressibility_signal",

@@ -1177,6 +1177,87 @@ def hourly_unique_users(
     return out.select(F.col("w.start").alias("hour"), "approx_users", "n_events")
 
 
+def _time_split_events(s: SparkSession, sf_dir: str, work_dir: str, n_splits: int):
+    """Materialize the events table as `n_splits` time-ordered parquet
+    files (sequential appends => ascending mtimes => the file source
+    replays them oldest-first), so a maxFilesPerTrigger=1 stream sees
+    event time advance monotonically across micro-batches and the
+    watermark actually MOVES between them. Marker-cached per fixture
+    generation. Returns (data_dir, batch frame)."""
+    ev = normalize_ts(
+        s.read.parquet(os.path.join(sf_dir, "events.parquet")), "ts"
+    ).select("event_id", "user_id", "event_type", "value", "ts")
+
+    data_dir = os.path.join(work_dir, "splits")
+    marker = os.path.join(work_dir, "_SPLITS_OK")
+    src_path = os.path.join(sf_dir, "events.parquet")
+    stamp = f"{os.path.getmtime(src_path)}:{os.path.getsize(src_path)}:{n_splits}"
+    done = False
+    try:
+        with open(marker) as fh:
+            done = fh.read() == stamp
+    except OSError:
+        pass
+    if not done:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        qs = ",".join(str((i + 1) / n_splits) for i in range(n_splits - 1))
+        bounds = ev.selectExpr(
+            f"percentile(unix_timestamp(ts), array({qs})) AS cuts"
+        ).first()["cuts"]
+        lo = None
+        for i in range(n_splits):
+            hi = bounds[i] if i < n_splits - 1 else None
+            part = ev.filter(
+                F.lit(True) if lo is None else F.unix_timestamp("ts") > lo
+            )
+            if hi is not None:
+                part = part.filter(F.unix_timestamp("ts") <= hi)
+            part.coalesce(1).write.mode("append").parquet(data_dir)
+            lo = hi
+        os.makedirs(work_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    return data_dir, ev
+
+
+def _drain_with_progress(writer_df: DataFrame, label: str) -> list[tuple]:
+    """availableNow-drain into a memory sink and return per-batch
+    (batch_id, input_rows, state_rows, state_rows_removed,
+    emitted_rows) from the progress stream, state summed over ALL
+    state operators (a stream-stream join carries one per side)."""
+    import json as _json
+
+    name = f"{label}_{os.getpid()}_{next(_MEM_SEQ)}"
+    q = (
+        writer_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else dict(p)
+        ops = d.get("stateOperators") or []
+        rows.append(
+            (
+                int(d["batchId"]),
+                int(d.get("numInputRows", 0)),
+                sum(int(o.get("numRowsTotal", 0)) for o in ops),
+                sum(int(o.get("numRowsRemoved", 0)) for o in ops),
+                int((d.get("sink") or {}).get("numOutputRows", 0)),
+            )
+        )
+    return sorted(rows)
+
+
+_STATE_BOUND_SCHEMA = (
+    "batch_id long, input_rows long, state_rows long, "
+    "state_rows_removed long, emitted_rows long"
+)
+
+
 def state_bound_report(
     spark: SparkSession,
     sf_dir: str,
@@ -1201,43 +1282,8 @@ def state_bound_report(
     Driver cost: |n_splits| progress dicts. Deterministic given the
     fixture (file order pins batch order; each batch's watermark is the
     previous batches' max event time minus the delay)."""
-    import json as _json
-
     s = _stream_session(spark)
-    ev = normalize_ts(
-        s.read.parquet(os.path.join(sf_dir, "events.parquet")), "ts"
-    ).select("event_id", "user_id", "event_type", "value", "ts")
-
-    # time-ordered splits written SEQUENTIALLY (append): ascending file
-    # mtimes make the file source replay them oldest-first, so event
-    # time advances monotonically across micro-batches
-    data_dir = os.path.join(work_dir, "splits")
-    marker = os.path.join(work_dir, "_SPLITS_OK")
-    src = os.path.join(sf_dir, "events.parquet")
-    stamp = f"{os.path.getmtime(src)}:{os.path.getsize(src)}:{n_splits}"
-    done = False
-    try:
-        with open(marker) as fh:
-            done = fh.read() == stamp
-    except OSError:
-        pass
-    if not done:
-        shutil.rmtree(data_dir, ignore_errors=True)
-        bounds = ev.selectExpr(
-            f"percentile(unix_timestamp(ts), array({','.join(str((i + 1) / n_splits) for i in range(n_splits - 1))})) AS cuts"
-        ).first()["cuts"]
-        lo = None
-        for i in range(n_splits):
-            hi = bounds[i] if i < n_splits - 1 else None
-            part = ev.filter(F.lit(True) if lo is None else F.unix_timestamp("ts") > lo)
-            if hi is not None:
-                part = part.filter(F.unix_timestamp("ts") <= hi)
-            part.coalesce(1).write.mode("append").parquet(data_dir)
-            lo = hi
-        os.makedirs(work_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write(stamp)
-
+    data_dir, ev = _time_split_events(s, sf_dir, work_dir, n_splits)
     stream = normalize_ts(
         s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1249,30 +1295,68 @@ def state_bound_report(
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = f"state_bound_{os.getpid()}_{next(_MEM_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = []
-    for p in q.recentProgress:
-        d = _json.loads(p.json) if hasattr(p, "json") else dict(p)
-        so = (d.get("stateOperators") or [{}])[0]
-        rows.append(
-            (
-                int(d["batchId"]),
-                int(d.get("numInputRows", 0)),
-                int(so.get("numRowsTotal", 0)),
-                int(so.get("numRowsRemoved", 0)),
-                int((d.get("sink") or {}).get("numOutputRows", 0)),
-            )
-        )
     return spark.createDataFrame(
-        sorted(rows),
-        "batch_id long, input_rows long, state_rows long, "
-        "state_rows_removed long, emitted_rows long",
+        _drain_with_progress(agg, "state_bound"), _STATE_BOUND_SCHEMA
+    )
+
+
+def join_state_bound_report(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    window: str = "6 hours",
+    delay: str = "1 hour",
+    n_splits: int = 8,
+) -> DataFrame:
+    """The state-bound measurement for the HEAVIEST streaming state
+    class — the stream-stream interval join (two buffered sides, the
+    shape interval_join_stream serves): the same time-ordered
+    micro-batch replay driven through the view->click attribution join,
+    state summed over BOTH sides' buffers. The bound under measure:
+    each side retains only (watermark delay + join window) of rows, so
+    resident state tracks the horizon — per-batch buffered rows land
+    near (delay + window) / total-span of the table and the rest
+    evicts as the watermark passes it. Same driver cost and determinism
+    as state_bound_report."""
+    s = _stream_session(spark)
+    data_dir, ev = _time_split_events(s, sf_dir, work_dir, n_splits)
+
+    def src() -> DataFrame:
+        return normalize_ts(
+            s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(data_dir),
+            "ts",
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    clicks = (
+        src()
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"v_user = c_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + INTERVAL {window}"
+        ),
+        "inner",
+    )
+    return spark.createDataFrame(
+        _drain_with_progress(joined, "join_state_bound"), _STATE_BOUND_SCHEMA
     )

@@ -603,3 +603,50 @@ def test_stream_state_bound_evicts_with_watermark(spark, sf_dir):
     assert removed == emitted  # append mode: evicted == emitted, once
     assert rows[-1].state_rows == n_hours - removed  # conservation
     assert rows[-1].state_rows < peak  # terminal drain happened
+
+
+def test_stream_join_state_bound(spark, sf_dir):
+    """Evidence pin for the rows-only stream_join_state_bound entry:
+    (a) both source branches ingest every event row, (b) buffered rows
+    obey exact conservation (view+click rows buffered == evicted +
+    resident at the end), (c) resident state peaks far below the total
+    buffered volume (one delay+window horizon), and (d) the rows
+    emitted across batches sum EXACTLY to the batch inner interval
+    join's row count — the state machinery reproduces the oracled join
+    semantics."""
+    import __spark_entry__ as em
+
+    from cs598vectordb_spark.sources.tables import load_table
+
+    rows = sorted(
+        em.queries()["stream_join_state_bound"](spark, sf_dir).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert len(rows) >= 4
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    vc = ev.filter(F.col("event_type").isin("view", "click")).count()
+    assert sum(r.input_rows for r in rows) == 2 * n_events  # both branches
+
+    removed = sum(r.state_rows_removed for r in rows)
+    assert removed + rows[-1].state_rows == vc  # conservation over buffers
+    peak = max(r.state_rows for r in rows)
+    assert 0 < peak < 0.5 * vc, (peak, vc)
+    assert rows[-1].state_rows < peak
+
+    v = ev.filter("event_type = 'view'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("vid"),
+        F.col("ts").alias("vts"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    matched = v.join(
+        c,
+        (v.u == c.u)
+        & (F.col("cts") >= F.col("vts"))
+        & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 6 HOURS")),
+    ).count()
+    assert sum(r.emitted_rows for r in rows) == matched
