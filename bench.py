@@ -473,17 +473,20 @@ def main() -> int:
         # two-point fit would measure the broadcast→shuffle regime
         # crossing, not asymptotic growth — itself a scale story worth
         # recording, hence the note
-        # both points guarded: a lagging async listener can also return
-        # 0 for the x10 read, and log(0) at the END of the run would
-        # throw away every expensive measurement before it
-        if shuffle_mb["sf"] >= 1.0 and shuffle_mb["x10"] > 0:
+        # both points guarded SYMMETRICALLY (>= 1 MB): a lagging async
+        # listener can return a partial (small-but-nonzero) sum for the
+        # x10 read, and a sub-MB x10 point would either crash log() at
+        # the END of the run (0) or, worse, record a garbage negative
+        # exponent that looks like data
+        if shuffle_mb["sf"] >= 1.0 and shuffle_mb["x10"] >= 1.0:
             entry["shuffle_exponent"] = round(
                 math.log(shuffle_mb["x10"] / shuffle_mb["sf"]) / math.log(10), 3
             )
         else:
             entry["shuffle_note"] = (
-                "sf-scale plan broadcasts (sub-MB shuffle); bytes exponent "
-                "deferred until both points shuffle"
+                "a fitted point is sub-MB (broadcast plan or partial "
+                "listener drain); bytes exponent deferred until both "
+                "points are in the shuffle regime"
             )
         dedup_scaling[name] = entry
 

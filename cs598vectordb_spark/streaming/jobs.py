@@ -63,6 +63,24 @@ def _stream_session(spark: SparkSession, state_partitions: int | None = None) ->
     return child
 
 
+def _start_to_memory(writer_df: DataFrame, mode: str, prefix: str):
+    """Start an availableNow stream into a uniquely-named memory sink and
+    drain it. Returns (query, sink_name) — the single place the
+    start/await boilerplate lives, shared by the result path
+    (_run_to_memory) and the progress-metrics path
+    (_drain_with_progress)."""
+    name = f"{prefix}_{os.getpid()}_{next(_MEM_SEQ)}"
+    q = (
+        writer_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q, name
+
+
 def _run_to_memory(writer_df: DataFrame, mode: str = "append") -> DataFrame:
     """Start an availableNow stream into a uniquely-named memory sink, wait
     for it to drain, and return the sink contents as a batch DataFrame.
@@ -72,15 +90,7 @@ def _run_to_memory(writer_df: DataFrame, mode: str = "append") -> DataFrame:
     shuffle width travels with the DataFrame's own session — no
     session-global conf mutation."""
     spark = writer_df.sparkSession
-    name = f"stream_sink_{os.getpid()}_{next(_MEM_SEQ)}"
-    q = (
-        writer_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _, name = _start_to_memory(writer_df, mode, "stream_sink")
     return spark.table(name)
 
 
@@ -1179,11 +1189,15 @@ def hourly_unique_users(
 
 def _time_split_events(s: SparkSession, sf_dir: str, work_dir: str, n_splits: int):
     """Materialize the events table as `n_splits` time-ordered parquet
-    files (sequential appends => ascending mtimes => the file source
-    replays them oldest-first), so a maxFilesPerTrigger=1 stream sees
-    event time advance monotonically across micro-batches and the
-    watermark actually MOVES between them. Marker-cached per fixture
-    generation. Returns (data_dir, batch frame)."""
+    files with explicitly STAGGERED mtimes (os.utime, one minute apart —
+    same pattern as split_events_files) so the file source replays them
+    oldest-first even on filesystems with coarse mtime granularity,
+    where two sequential writes can land in the same tick and the
+    source's modificationTime sort would fall back to arbitrary
+    UUID-name order. A maxFilesPerTrigger=1 stream then sees event time
+    advance monotonically across micro-batches and the watermark
+    actually MOVES between them. Marker-cached per fixture generation.
+    Returns (data_dir, batch frame)."""
     ev = normalize_ts(
         s.read.parquet(os.path.join(sf_dir, "events.parquet")), "ts"
     ).select("event_id", "user_id", "event_type", "value", "ts")
@@ -1191,7 +1205,11 @@ def _time_split_events(s: SparkSession, sf_dir: str, work_dir: str, n_splits: in
     data_dir = os.path.join(work_dir, "splits")
     marker = os.path.join(work_dir, "_SPLITS_OK")
     src_path = os.path.join(sf_dir, "events.parquet")
-    stamp = f"{os.path.getmtime(src_path)}:{os.path.getsize(src_path)}:{n_splits}"
+    # v2: staggered-mtime batch{i}.parquet layout (the version token
+    # invalidates pre-v2 cached splits that carried natural mtimes)
+    stamp = (
+        f"v2:{os.path.getmtime(src_path)}:{os.path.getsize(src_path)}:{n_splits}"
+    )
     done = False
     try:
         with open(marker) as fh:
@@ -1204,6 +1222,8 @@ def _time_split_events(s: SparkSession, sf_dir: str, work_dir: str, n_splits: in
         bounds = ev.selectExpr(
             f"percentile(unix_timestamp(ts), array({qs})) AS cuts"
         ).first()["cuts"]
+        os.makedirs(data_dir, exist_ok=True)
+        now = time.time()
         lo = None
         for i in range(n_splits):
             hi = bounds[i] if i < n_splits - 1 else None
@@ -1212,7 +1232,14 @@ def _time_split_events(s: SparkSession, sf_dir: str, work_dir: str, n_splits: in
             )
             if hi is not None:
                 part = part.filter(F.unix_timestamp("ts") <= hi)
-            part.coalesce(1).write.mode("append").parquet(data_dir)
+            tmp = os.path.join(work_dir, f"_tmp{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            fname = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(data_dir, f"batch{i}.parquet")
+            shutil.move(os.path.join(tmp, fname), dst)
+            shutil.rmtree(tmp)
+            t = now - 600 + i * 60
+            os.utime(dst, (t, t))
             lo = hi
         os.makedirs(work_dir, exist_ok=True)
         with open(marker, "w") as fh:
@@ -1224,18 +1251,20 @@ def _drain_with_progress(writer_df: DataFrame, label: str) -> list[tuple]:
     """availableNow-drain into a memory sink and return per-batch
     (batch_id, input_rows, state_rows, state_rows_removed,
     emitted_rows) from the progress stream, state summed over ALL
-    state operators (a stream-stream join carries one per side)."""
+    state operators (Spark reports a stream-stream join as ONE
+    symmetricHashJoin entry covering both sides' stores; the sum is
+    for plans that genuinely stack several stateful ops).
+
+    Only the progress metadata is the result here, so the sink rows are
+    projected to a single literal column before the memory sink (sink
+    numOutputRows is per-row and unaffected) and the temp view is
+    dropped afterwards — otherwise each call would park a full join
+    output in driver memory for the session lifetime."""
     import json as _json
 
-    name = f"{label}_{os.getpid()}_{next(_MEM_SEQ)}"
-    q = (
-        writer_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    q, name = _start_to_memory(
+        writer_df.select(F.lit(1).alias("one")), "append", label
     )
-    q.awaitTermination()
     rows = []
     for p in q.recentProgress:
         d = _json.loads(p.json) if hasattr(p, "json") else dict(p)
@@ -1249,6 +1278,7 @@ def _drain_with_progress(writer_df: DataFrame, label: str) -> list[tuple]:
                 int((d.get("sink") or {}).get("numOutputRows", 0)),
             )
         )
+    writer_df.sparkSession.catalog.dropTempView(name)
     return sorted(rows)
 
 
@@ -1266,8 +1296,8 @@ def state_bound_report(
     n_splits: int = 8,
 ) -> DataFrame:
     """MEASURED state boundedness of a watermarked streaming aggregate —
-    per micro-batch (batch_id, input_rows, watermark-evicted rows, rows
-    resident in the state store afterwards, emitted rows).
+    per micro-batch (batch_id, input_rows, rows resident in the state
+    store afterwards, watermark-evicted rows, emitted rows).
 
     Every watermarked operator in this module claims "bounded state";
     this converts the claim into numbers Spark itself reports
