@@ -1224,23 +1224,35 @@ def _time_split_events(s: SparkSession, sf_dir: str, work_dir: str, n_splits: in
         ).first()["cuts"]
         os.makedirs(data_dir, exist_ok=True)
         now = time.time()
-        lo = None
+        # ONE scan writes every band: band id = #cuts strictly below the
+        # row's ts (same (lo, hi] boundaries as a per-band filter chain
+        # would give), shuffled by band so each band lands whole in a
+        # single task — partitionBy then emits exactly one file per
+        # band dir, which is renamed into replay order. The alternative
+        # (one filtered pass per band) re-scans the source n_splits
+        # times, which the marker cache only hides on warm runs.
+        u = F.unix_timestamp("ts")
+        band = F.lit(0)
+        for b in bounds:
+            band = band + (u > F.lit(float(b))).cast("int")
+        tmp = os.path.join(work_dir, "_tmp_bands")
+        (
+            ev.withColumn("band", band)
+            .repartition("band")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(tmp)
+        )
         for i in range(n_splits):
-            hi = bounds[i] if i < n_splits - 1 else None
-            part = ev.filter(
-                F.lit(True) if lo is None else F.unix_timestamp("ts") > lo
-            )
-            if hi is not None:
-                part = part.filter(F.unix_timestamp("ts") <= hi)
-            tmp = os.path.join(work_dir, f"_tmp{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            fname = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            bdir = os.path.join(tmp, f"band={i}")
+            if not os.path.isdir(bdir):
+                continue  # duplicate percentile cuts => empty band
+            fname = next(f for f in os.listdir(bdir) if f.endswith(".parquet"))
             dst = os.path.join(data_dir, f"batch{i}.parquet")
-            shutil.move(os.path.join(tmp, fname), dst)
-            shutil.rmtree(tmp)
+            shutil.move(os.path.join(bdir, fname), dst)
             t = now - 600 + i * 60
             os.utime(dst, (t, t))
-            lo = hi
+        shutil.rmtree(tmp)
         os.makedirs(work_dir, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write(stamp)
