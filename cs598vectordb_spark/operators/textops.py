@@ -257,6 +257,110 @@ def pii_redact(
     )
 
 
+def _max_run_len(sorted_arr: F.Column) -> F.Column:
+    """Longest identical-element run in a SORTED array == the mode's
+    multiplicity — one O(L) JVM-side aggregate pass (no explode, no
+    shuffle), vs the O(L^2) a per-element filter() count would cost on
+    a pathological many-element document."""
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, merge, lambda acc: acc.best)
+
+
+def _dup_char_count(sorted_arr: F.Column) -> F.Column:
+    """Total characters in duplicate occurrences BEYOND the first of
+    each element in a SORTED array (the RedPajama dups_char convention,
+    mirroring (n - n_distinct) for the count-based twin) — same
+    one-pass aggregate shape as _max_run_len."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("dup"))
+
+    def merge(acc, x):
+        add = F.when(x == acc.prev, F.length(x).cast("long")).otherwise(F.lit(0))
+        return F.struct(x.alias("prev"), (acc.dup + add).alias("dup"))
+
+    return F.aggregate(sorted_arr, zero, merge, lambda acc: acc.dup)
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    standard pretraining quality gate that removes boilerplate-heavy
+    documents BEFORE expensive dedup/model scoring. Per document:
+
+      - dup_sent_frac       fraction of sentence occurrences beyond
+                            each sentence's first = (n - n_distinct)/n
+                            (Gopher's duplicate-line fraction in the
+                            RedPajama counting convention; the unit
+                            here is the sentence — the single-line
+                            web-text analog, and live on the fixture,
+                            whose documents carry no newlines)
+      - dup_sent_char_frac  fraction of sentence characters inside
+                            duplicate occurrences beyond the first
+                            (the CHARACTER twin — catches one huge
+                            repeated block among many short uniques)
+      - top_word_frac       most-frequent-word share of all words,
+                            punctuation-stripped (the keyword-stuffing
+                            signal; like every whitespace-token op
+                            here, degenerate on unsegmented scripts)
+      - repetitive          any filter over its Gopher-shaped threshold
+                            (0.30 / 0.20 / 0.30)
+
+    All per-row O(L log L) array expressions (sort_array + one-pass
+    aggregate) on NORMALIZED text — JVM-side, zero shuffle, no Python:
+    a projection that scales like the scan. Plan shape pinned in
+    tests/test_plans.py; exact values pinned on known-repetition docs
+    in tests/test_dedup_text.py (rows-only entry — promote to an oracle
+    slot when one frees)."""
+    norm = normalize_ws(text_col)
+    sents = F.filter(
+        F.transform(F.split(norm, r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    words = F.filter(
+        F.split(norm, r"[^\p{L}\p{N}]+"), lambda w: F.length(w) > 0
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.sort_array(sents).alias("sents"),
+        F.sort_array(words).alias("words"),
+    )
+    n_sents = F.size("sents")
+    n_words = F.size("words")
+    sent_chars = F.aggregate(
+        "sents", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dup_sent_frac = (n_sents - F.size(F.array_distinct("sents"))) / F.greatest(
+        n_sents, F.lit(1)
+    )
+    dup_sent_char_frac = _dup_char_count(F.col("sents")) / F.greatest(
+        sent_chars, F.lit(1)
+    )
+    top_word_frac = _max_run_len(F.col("words")) / F.greatest(n_words, F.lit(1))
+    out = base.select(
+        id_col,
+        n_sents.alias("n_sents"),
+        n_words.alias("n_words"),
+        _r(dup_sent_frac).alias("dup_sent_frac"),
+        _r(dup_sent_char_frac).alias("dup_sent_char_frac"),
+        _r(top_word_frac).alias("top_word_frac"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("dup_sent_frac") > 0.30)
+        | (F.col("dup_sent_char_frac") > 0.20)
+        | (F.col("top_word_frac") > 0.30),
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     total: int = 200,

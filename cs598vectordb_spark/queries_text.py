@@ -578,6 +578,20 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.curate_corpus(docs, min_quality=0.5, langs=("en", "es", "de"))
 
 
+@register("repetition_scores")
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per-document duplicate-
+    sentence fraction, duplicate-sentence CHARACTER fraction, and
+    top-word share, plus the thresholded `repetitive` drop flag — the
+    boilerplate filter a pretraining pipeline runs before dedup.
+    Rows-only (one-pass sorted-array aggregates; exact values pinned on
+    known-repetition docs in tests/test_dedup_text.py::
+    test_repetition_scores_known_documents — promote to an oracle slot
+    when one frees)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_scores(docs)
+
+
 @register("pii_redact")
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass (emails / IPv4 / phone-shaped runs → typed

@@ -195,6 +195,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "scan_formats": "tests/test_sources.py::test_scan_formats_roundtrips_losslessly",
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
+    "repetition_scores": (
+        "tests/test_dedup_text.py::test_repetition_scores_known_documents"
+    ),
     "scan_fvecs_v2": "tests/test_sources.py::test_fvecs_datasource_matches_reader",
     "scan_fvecs_stream": "tests/test_sources.py::test_fvecs_stream_source_incremental",
     "zorder_layout": "tests/test_relational.py::test_zorder_layout_prunes_files",

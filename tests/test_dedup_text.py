@@ -383,6 +383,61 @@ def test_pii_redact_known_documents(spark):
     assert got[4].clean_md5 == hashlib.md5(expect4.encode()).hexdigest()
 
 
+def test_repetition_scores_known_documents(spark):
+    """Evidence pin for the rows-only repetition_scores entry: exact
+    fractions on documents with KNOWN repetition structure, in the
+    exclude-first-occurrence (RedPajama dups_*) counting convention."""
+    rows = [
+        (0, "Spam spam spam. Unique one here. Spam spam spam! Another line."),
+        (1, "One sentence only. And a second one."),
+        (2, "buy buy buy buy buy now"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.repetition_scores(docs).collect()}
+
+    # doc 0: sentences [spam spam spam | unique one here | spam spam
+    # spam | another line] -> 1 duplicate occurrence of 4 and 14 dup
+    # chars of 55; words: spam x6 of 11 (punctuation stripped)
+    assert (got[0].n_sents, got[0].n_words) == (4, 11)
+    assert got[0].dup_sent_frac == 0.25
+    assert got[0].dup_sent_char_frac == round(14 / 55, 4)
+    assert got[0].top_word_frac == round(6 / 11, 4)
+    assert got[0].repetitive  # char frac > 0.20 and top word > 0.30
+
+    # doc 1: no duplicate sentence; "one" twice of 7 words = 0.2857,
+    # under every threshold
+    assert (got[1].dup_sent_frac, got[1].dup_sent_char_frac) == (0.0, 0.0)
+    assert got[1].top_word_frac == round(2 / 7, 4)
+    assert not got[1].repetitive
+
+    # doc 2: a single unpunctuated sentence, "buy" 5 of 6 words ->
+    # keyword stuffing trips ONLY the top-word filter
+    assert (got[2].n_sents, got[2].dup_sent_frac) == (1, 0.0)
+    assert got[2].top_word_frac == round(5 / 6, 4)
+    assert got[2].repetitive
+
+    # doc 3: empty text -> all-zero row, never flagged (division guards)
+    assert (got[3].n_sents, got[3].n_words) == (0, 0)
+    assert not got[3].repetitive
+
+
+def test_repetition_scores_fixture_invariants(spark, sf_dir):
+    """One row per fixture document, every fraction in [0, 1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = textops.repetition_scores(docs)
+    assert out.count() == docs.count()
+    bad = out.filter(
+        (F.col("dup_sent_frac") < 0)
+        | (F.col("dup_sent_frac") > 1)
+        | (F.col("dup_sent_char_frac") < 0)
+        | (F.col("dup_sent_char_frac") > 1)
+        | (F.col("top_word_frac") < 0)
+        | (F.col("top_word_frac") > 1)
+    ).count()
+    assert bad == 0
+
+
 def test_mixture_sample_quotas(spark, sf_dir):
     """Evidence pin for the rows-only mixture_sample entry: per-source
     quotas equal the closed-form largest-remainder allocation of

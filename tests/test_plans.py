@@ -294,6 +294,21 @@ def test_pii_redact_is_projection_only(spark, sf_dir):
     assert "codegen id" in plan, plan  # the projection runs inside WSCG
 
 
+def test_repetition_scores_is_projection_only(spark, sf_dir):
+    """The repetition quality gate at 100 TB is a per-row sorted-array
+    aggregate projection — no Exchange, no Python. (No WSCG assert:
+    higher-order array functions are codegen-incompatible by design,
+    but they still evaluate JVM-side.)"""
+    from cs598vectordb_spark.operators.textops import repetition_scores
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(repetition_scores(docs))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_mixture_sample_partitions_by_source_and_broadcasts_quota(spark, sf_dir):
     """The mixing draw shuffles ONCE (window keyed by source) and joins
     the |sources|-sized quota table by broadcast — never a shuffle join
