@@ -320,7 +320,10 @@ def repetition_scores(
     tests/test_plans.py; exact values pinned on known-repetition docs
     in tests/test_dedup_text.py (rows-only entry — promote to an oracle
     slot when one frees)."""
-    norm = normalize_ws(text_col)
+    # NULL text folds to the empty-string path (all-zero row, flag
+    # false) — split(NULL) would otherwise yield size() = -1 and a NULL
+    # flag that a downstream keep-filter silently drops
+    norm = normalize_ws(F.coalesce(F.col(text_col), F.lit("")))
     sents = F.filter(
         F.transform(F.split(norm, r"[.!?]+"), lambda s: F.trim(s)),
         lambda s: F.length(s) > 0,

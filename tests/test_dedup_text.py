@@ -392,6 +392,7 @@ def test_repetition_scores_known_documents(spark):
         (1, "One sentence only. And a second one."),
         (2, "buy buy buy buy buy now"),
         (3, ""),
+        (4, None),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in textops.repetition_scores(docs).collect()}
@@ -417,9 +418,11 @@ def test_repetition_scores_known_documents(spark):
     assert got[2].top_word_frac == round(5 / 6, 4)
     assert got[2].repetitive
 
-    # doc 3: empty text -> all-zero row, never flagged (division guards)
-    assert (got[3].n_sents, got[3].n_words) == (0, 0)
-    assert not got[3].repetitive
+    # docs 3/4: empty and NULL text -> the same all-zero row, never
+    # flagged (a NULL flag would make a keep-filter drop the doc)
+    for d in (3, 4):
+        assert (got[d].n_sents, got[d].n_words) == (0, 0)
+        assert got[d].repetitive is False
 
 
 def test_repetition_scores_fixture_invariants(spark, sf_dir):
