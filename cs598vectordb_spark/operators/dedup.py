@@ -703,6 +703,91 @@ def embedding_near_dup_topk(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.03,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means cluster-then-prune. Embeddings are clustered (distributed
+    MLlib KMeans, seeded); pairwise cosine runs ONLY within a cluster —
+    the O(N^2 / k) blocking that makes web-scale semantic dedup
+    tractable, with k the knob that keeps each cluster's pair product
+    executor-sized — and within every pair above 1 - eps the member
+    MORE similar to its cluster centroid is dropped: the paper's
+    keep-the-least-typical policy (the retained copy is the semantic
+    group's "edge" example). Chains (a~b~c, a!~c) prune conservatively
+    — b's drop doesn't resurrect c — a deterministic single-pass
+    anti-join instead of a connected-components round (dedup_clusters
+    has that machinery when exact grouping matters).
+
+    Returns (vec_id, cluster_id, centroid_sim, kept) for every input
+    row; kept=false rows are the semantic duplicates a training
+    pipeline removes. Physical shape: one KMeans fit + one broadcast
+    centroid join + one self-join shuffled by cluster id — no all-pairs
+    stage anywhere. Rows-only entry (seeded KMeans assignment is
+    engine-internal): planted-duplicate semantics pinned in
+    tests/test_dedup_text.py::test_semdedup_prunes_planted_duplicates."""
+    from cs598vectordb_spark.functions.distance import cosine_similarity
+    from cs598vectordb_spark.operators.index import build_ivf_index_mllib
+
+    idx = build_ivf_index_mllib(
+        embeddings, nlist=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(idx.centroids)],
+        "cluster_id int, centroid array<double>",
+    )
+    scored = (
+        idx.assigned.withColumnRenamed("centroid_id", "cluster_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            "cluster_id",
+            id_col,
+            vec_col,
+            F.round(cosine_similarity(vec_col, "centroid"), 6).alias("centroid_sim"),
+        )
+    )
+    a = scored.select(
+        "cluster_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("centroid_sim").alias("sim_a"),
+    )
+    b = scored.select(
+        "cluster_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("centroid_sim").alias("sim_b"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("v_a", "v_b") > F.lit(1.0 - eps))
+    )
+    # within a duplicate pair, drop the more-typical member; ties on
+    # centroid_sim drop the higher id (id_a < id_b here), so the
+    # decision is total and deterministic
+    dropped = pairs.select(
+        F.when(F.col("sim_a") > F.col("sim_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    ).distinct()
+    return (
+        scored.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "centroid_sim",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def simhash_banded_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

@@ -324,6 +324,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_topk(emb, topk=5, n_bits=4)
 
 
+@register("semdedup")
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embeddings
+    table: k-means cluster-then-prune, cosine pairs only WITHIN a
+    cluster, keep the least-centroid-typical member of each duplicate
+    pair. Rows-only (the seeded MLlib KMeans assignment is
+    engine-internal); planted-duplicate semantics and the keep policy
+    pinned in tests/test_dedup_text.py::
+    test_semdedup_prunes_planted_duplicates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semdedup(emb, n_clusters=16, eps=0.03)
+
+
 # ---- text analysis -------------------------------------------------------
 
 

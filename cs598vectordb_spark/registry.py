@@ -195,6 +195,7 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "scan_formats": "tests/test_sources.py::test_scan_formats_roundtrips_losslessly",
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
+    "semdedup": "tests/test_dedup_text.py::test_semdedup_prunes_planted_duplicates",
     "repetition_scores": (
         "tests/test_dedup_text.py::test_repetition_scores_known_documents"
     ),

@@ -100,6 +100,31 @@ def test_embedding_near_dup_ranks(spark, sf_dir):
     assert out.filter(F.col("cos_sim") > 1.000001).count() == 0
 
 
+def test_semdedup_prunes_planted_duplicates(spark, sf_dir):
+    """Evidence pin for the rows-only semdedup entry: planted exact
+    copies (cosine 1) are pruned to one survivor per group, the tie on
+    centroid_sim keeps the LOWEST id, and every input row comes back
+    with a non-null verdict."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = (
+        emb.filter(F.col("vec_id") < 2)
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+        .union(
+            emb.filter(F.col("vec_id") == 0).select(
+                (F.col("vec_id") + 20000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    out = dedup.semdedup(emb.union(copies), n_clusters=8, eps=0.01)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == emb.count() + 3
+    assert all(r.kept is not None for r in rows.values())
+    # group {0, 10000, 20000}: identical vectors share a cluster and a
+    # centroid_sim, so ties drop the higher ids and 0 survives alone
+    assert [rows[i].kept for i in (0, 10000, 20000)] == [True, False, False]
+    assert [rows[i].kept for i in (1, 10001)] == [True, False]
+
+
 def test_jaccard_topk_banded_candidates_rank_near_dups_first(spark):
     """The MinHash-band candidate stage must keep the true near-dups of a
     query doc and rank the exact dup above the edit."""
