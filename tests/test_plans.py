@@ -294,6 +294,21 @@ def test_pii_redact_is_projection_only(spark, sf_dir):
     assert "codegen id" in plan, plan  # the projection runs inside WSCG
 
 
+def test_semdedup_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    """SemDeDup's physical shape at 100 TB: the |k|-sized centroid table
+    joins by BROADCAST, the pair stage is an equi-join keyed by cluster
+    id (never a cartesian product), and no Python reaches the plan."""
+    from cs598vectordb_spark.operators.dedup import semdedup
+    from cs598vectordb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = plan_of(semdedup(emb, n_clusters=8, eps=0.01))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_repetition_scores_is_projection_only(spark, sf_dir):
     """The repetition quality gate at 100 TB is a per-row sorted-array
     aggregate projection — no Exchange, no Python. (No WSCG assert:
