@@ -341,3 +341,39 @@ def test_zvalue_matches_python_morton(spark):
     for (a, b), z in got.items():
         assert z == ref(a, b), (a, b, z)
     assert len(set(got.values())) == len(got)  # injective on the grid
+
+
+# --------------------------------------------------- repetition filters
+
+_rep_word = st.text(alphabet="abc", min_size=1, max_size=3)
+_rep_sentence = st.lists(_rep_word, min_size=1, max_size=6).map(" ".join)
+
+
+@given(st.lists(_rep_sentence, min_size=1, max_size=10))
+@settings(max_examples=8, deadline=None)
+def test_repetition_scores_match_counter_reference(sents):
+    """The one-pass sorted-array aggregates in repetition_scores agree
+    with a collections.Counter reference on arbitrary sentence lists —
+    the exclude-first-occurrence dup fractions and the mode word share
+    (the known-documents pin covers fixed cases; this covers the run-
+    length bookkeeping on adversarial duplicate structures)."""
+    from collections import Counter
+
+    from cs598vectordb_spark.operators.textops import repetition_scores
+
+    spark = _spark()
+    text = ". ".join(sents) + "."
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = repetition_scores(docs).collect()[0]
+
+    sc = Counter(sents)
+    n = len(sents)
+    chars = sum(len(s) for s in sents)
+    dup_chars = sum((c - 1) * len(s) for s, c in sc.items() if c > 1)
+    words = Counter(w for s in sents for w in s.split())
+    n_w = sum(words.values())
+
+    assert (got.n_sents, got.n_words) == (n, n_w)
+    assert abs(got.dup_sent_frac - (n - len(sc)) / n) <= 5.1e-5
+    assert abs(got.dup_sent_char_frac - dup_chars / max(chars, 1)) <= 5.1e-5
+    assert abs(got.top_word_frac - max(words.values()) / n_w) <= 5.1e-5
