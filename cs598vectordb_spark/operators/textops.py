@@ -289,6 +289,81 @@ def _dup_char_count(sorted_arr: F.Column) -> F.Column:
     return F.aggregate(sorted_arr, zero, merge, lambda acc: acc.dup)
 
 
+def _top_gram_chars(sorted_grams: F.Column, n: int) -> F.Column:
+    """count(most frequent n-gram) × its word-character length (gram
+    length minus the n-1 joining spaces), over a SORTED gram array —
+    the numerator of Gopher's top-n-gram character fraction. One O(L)
+    pass; count ties keep the FIRST gram in sorted order (the
+    lexicographically smallest), the same rule the DuckDB oracle's
+    (count DESC, gram ASC) row_number encodes."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("bchars"),
+    )
+
+    def merge(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        chars = F.length(x) - F.lit(n - 1)
+        better = run > acc.best
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc.best).alias("best"),
+            F.when(better, chars).otherwise(acc.bchars).alias("bchars"),
+        )
+
+    return F.aggregate(
+        sorted_grams,
+        zero,
+        merge,
+        lambda acc: F.struct(
+            (acc.best * acc.bchars).cast("long").alias("chars"),
+            acc.best.cast("long").alias("count"),
+        ),
+    )
+
+
+def _dup_gram_positions(sorted_pairs: F.Column) -> F.Column:
+    """1-based start positions of EVERY occurrence of any gram that
+    occurs more than once, given an array of (g, p) structs sorted by
+    gram (sort_array on the struct groups identical grams into
+    contiguous runs). Same one-pass shape as _max_run_len, with the
+    current run's positions buffered and flushed into the dup list only
+    when the run ends with length > 1."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.array().cast("array<int>").alias("run"),
+        F.array().cast("array<int>").alias("dups"),
+    )
+
+    def merge(acc, x):
+        same = x.g == acc.prev
+        flushed = (
+            F.when(F.size(acc.run) > 1, F.concat(acc.dups, acc.run)).otherwise(acc.dups)
+        )
+        return F.struct(
+            x.g.alias("prev"),
+            F.when(same, F.concat(acc.run, F.array(x.p)))
+            .otherwise(F.array(x.p))
+            .alias("run"),
+            F.when(same, acc.dups).otherwise(flushed).alias("dups"),
+        )
+
+    def finish(acc):
+        return F.when(F.size(acc.run) > 1, F.concat(acc.dups, acc.run)).otherwise(
+            acc.dups
+        )
+
+    return F.aggregate(sorted_pairs, zero, merge, finish)
+
+
+# Gopher §A1.1 repetition thresholds (Rae et al. 2021, Table A1)
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
 def repetition_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -311,15 +386,40 @@ def repetition_scores(
                             punctuation-stripped (the keyword-stuffing
                             signal; like every whitespace-token op
                             here, degenerate on unsegmented scripts)
-      - repetitive          any filter over its Gopher-shaped threshold
-                            (0.30 / 0.20 / 0.30)
+      - top_{2,3,4}gram_char_frac
+                            count(most frequent n-gram) × its word-char
+                            length over total word chars (Gopher's top
+                            n-gram character fractions; overlapping
+                            occurrences can push the raw product past
+                            the denominator, so the value is clamped
+                            to 1.0 — both engines clamp identically)
+      - dup_{5..10}gram_char_frac
+                            fraction of word characters covered by at
+                            least one occurrence of an n-gram that
+                            occurs more than once (coverage is a
+                            DISTINCT position set, so overlapping
+                            duplicate grams never double-count a word)
+      - repetitive          any filter over its Gopher threshold
+                            (0.30 / 0.20 / 0.30 for the sentence/word
+                            trio; Rae et al. Table A1 values for the
+                            n-gram bank — GOPHER_*_THRESHOLDS above).
+                            Top-gram thresholds require the top gram
+                            to occur ≥ 2 times: Gopher pre-filters
+                            docs under 50 words, and without that a
+                            count-1 gram on a tiny doc trips on
+                            arithmetic, not repetition (see the flag
+                            comment below)
 
-    All per-row O(L log L) array expressions (sort_array + one-pass
-    aggregate) on NORMALIZED text — JVM-side, zero shuffle, no Python:
-    a projection that scales like the scan. Plan shape pinned in
-    tests/test_plans.py; exact values pinned on known-repetition docs
-    in tests/test_dedup_text.py (rows-only entry — promote to an oracle
-    slot when one frees)."""
+    All per-row O(L log L + D·n) array expressions (sort_array +
+    one-pass aggregate per gram size) on NORMALIZED text — JVM-side,
+    zero shuffle, no Python: a projection that scales like the scan,
+    with D the count of duplicated-gram occurrences (web boilerplate,
+    not the token stream). Plan shape pinned in tests/test_plans.py;
+    exact values pinned on known-repetition docs and property-tested
+    against a collections.Counter reference (tests/test_properties.py).
+    ORACLE PROMOTED r11: every column is closed-form over the word
+    array, so DuckDB recomputes the full bank relationally
+    (unnest → group → pivot) in queries_text.py."""
     # NULL text folds to the empty-string path (all-zero row, flag
     # false) — split(NULL) would otherwise yield size() = -1 and a NULL
     # flag that a downstream keep-filter silently drops
@@ -335,11 +435,15 @@ def repetition_scores(
         F.col(id_col),
         F.sort_array(sents).alias("sents"),
         F.sort_array(words).alias("words"),
+        words.alias("words_seq"),
     )
     n_sents = F.size("sents")
     n_words = F.size("words")
     sent_chars = F.aggregate(
         "sents", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    word_chars = F.aggregate(
+        "words", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
     dup_sent_frac = (n_sents - F.size(F.array_distinct("sents"))) / F.greatest(
         n_sents, F.lit(1)
@@ -348,6 +452,60 @@ def repetition_scores(
         sent_chars, F.lit(1)
     )
     top_word_frac = _max_run_len(F.col("words")) / F.greatest(n_words, F.lit(1))
+
+    def _grams_sorted(n: int) -> F.Column:
+        """Sorted n-gram string array (for the top-gram run pass)."""
+        return F.when(
+            F.size("words_seq") >= n,
+            F.sort_array(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words_seq") - (n - 1)),
+                    lambda i: F.array_join(F.slice("words_seq", i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _gram_pos_sorted(n: int) -> F.Column:
+        """(gram, position) struct array sorted by gram — identical
+        grams land in contiguous runs with their positions."""
+        return F.when(
+            F.size("words_seq") >= n,
+            F.sort_array(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words_seq") - (n - 1)),
+                    lambda i: F.struct(
+                        F.array_join(F.slice("words_seq", i, n), " ").alias("g"),
+                        i.cast("int").alias("p"),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<g:string,p:int>>"))
+
+    def _top_stats(n: int) -> F.Column:
+        """struct(chars, count) of the most frequent n-gram."""
+        return _top_gram_chars(_grams_sorted(n), n)
+
+    def _top_frac(stats: F.Column) -> F.Column:
+        return F.least(
+            stats.chars / F.greatest(word_chars, F.lit(1)), F.lit(1.0)
+        )
+
+    def _dup_frac(n: int) -> F.Column:
+        covered = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    _dup_gram_positions(_gram_pos_sorted(n)),
+                    lambda p: F.sequence(p, p + F.lit(n - 1)),
+                )
+            )
+        )
+        covered_chars = F.aggregate(
+            covered,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.length(F.element_at("words_seq", i)),
+        )
+        return covered_chars / F.greatest(word_chars, F.lit(1))
+
     out = base.select(
         id_col,
         n_sents.alias("n_sents"),
@@ -355,12 +513,42 @@ def repetition_scores(
         _r(dup_sent_frac).alias("dup_sent_frac"),
         _r(dup_sent_char_frac).alias("dup_sent_char_frac"),
         _r(top_word_frac).alias("top_word_frac"),
+        *[
+            c
+            for n in GOPHER_TOP_NGRAM_THRESHOLDS
+            for c in (
+                _r(_top_frac(_top_stats(n))).alias(f"top_{n}gram_char_frac"),
+                _top_stats(n).count.alias(f"_top{n}_count"),
+            )
+        ],
+        *[
+            _r(_dup_frac(n)).alias(f"dup_{n}gram_char_frac")
+            for n in GOPHER_DUP_NGRAM_THRESHOLDS
+        ],
     )
-    return out.withColumn(
-        "repetitive",
+    # The flag reads the ROUNDED columns so boundary docs decide
+    # identically in Spark and the DuckDB oracle. Top-gram thresholds
+    # additionally require the top gram to actually REPEAT (count ≥ 2):
+    # Gopher applies its n-gram bank after a ≥50-word doc-length filter,
+    # and without that precondition a count-1 gram on a tiny doc is a
+    # large char fraction by arithmetic, not by repetition. For any doc
+    # long enough for the statistic to mean anything, a count-1 gram is
+    # far below threshold, so the gate only affects the degenerate short
+    # tail. Dup-gram filters self-gate (frac > 0 requires duplication).
+    flag = (
         (F.col("dup_sent_frac") > 0.30)
         | (F.col("dup_sent_char_frac") > 0.20)
-        | (F.col("top_word_frac") > 0.30),
+        | (F.col("top_word_frac") > 0.30)
+    )
+    for n, thr in GOPHER_TOP_NGRAM_THRESHOLDS.items():
+        flag = flag | (
+            (F.col(f"top_{n}gram_char_frac") > thr)
+            & (F.col(f"_top{n}_count") >= 2)
+        )
+    for n, thr in GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        flag = flag | (F.col(f"dup_{n}gram_char_frac") > thr)
+    return out.withColumn("repetitive", flag).drop(
+        *[f"_top{n}_count" for n in GOPHER_TOP_NGRAM_THRESHOLDS]
     )
 
 

@@ -58,57 +58,60 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Retired r9: knn_exact_expr, knn_collect, media_decode_pgm,
 # media_resize → 96 oracled, slack 4.
 # Promoted r10 (from the r9 queue): stream_interval_join_full,
-# mixture_sample → 98 oracled, slack 2. Budget outlook: the r11 due set
-# is the 49 entries graded r9 and not re-graded r10 (green ≤2-rounds
-# window), leaving ONE spare r11 slot — at most one r11 oracle birth or
-# changed-evidence re-grade without a same-round retirement (policy
-# above); plan further births for r12 or retire first.
+# mixture_sample → 98 oracled, slack 2.
+# Promoted r11: repetition_scores (the verdict-r10 queue; its r11
+# evidence also CHANGED — the Gopher n-gram bank added 9 columns) →
+# 99 oracled, slack 1. Budget outlook: the r11 due set is 48 — the 49
+# entries graded r9 and not priority-re-graded r10, minus knn_cosine,
+# which the gate auto-graded in the spare r10 slot (VERDICT r10
+# missing-item 3) — so the head below is 1 birth + 48 due = 49, and
+# the gate's 50th slot auto-fills with the first non-priority oracled
+# entry in registration order — knn_exact (checked: queries()[49]), a
+# fine fill (flagship refresh). r12 outlook: the 49 r10-graded entries
+# + knn_cosine − knn_exact's r11 auto-refresh = 49 due, leaving ONE
+# spare r12 slot — at most one r12 birth without a same-round
+# retirement (policy above).
 _PRIORITY: tuple[str, ...] = (
-    # --- r10 slots 1-3: births + changed-evidence.
-    # stream_interval_join_full and mixture_sample are the two r9-queued
-    # promotions (first driver grading of their new oracles);
-    # scan_fvecs' writer changed again this round (content signal folded
-    # into the session fingerprint cache key, ADVICE r9) so its r9 green
-    # row no longer matches current code.
-    "stream_interval_join_full", "mixture_sample", "scan_fvecs",
-    # --- the r8-green set rotated out in round 9; newest green row is
-    # r8, so the ≤2-rounds invariant makes them due now (46 entries).
-    "cohort_retention", "knn_exact_2k", "knn_ip", "range_search",
-    "event_value_percentiles", "distance_histogram", "chunk_documents",
-    "stream_static_enrich", "knn_exact", "merge_upsert",
-    "pricing_summary", "dedup_exact", "bucketed_customer_orders",
-    "doc_repetition", "shingle_cardinality_kmv", "events_hourly",
-    "props_json_extract", "range_click_burst", "salted_user_stats",
-    "decimal_revenue", "media_features", "media_frame_sample",
-    "media_summary", "stream_stateful_counts", "stream_dedup",
-    "stream_knn", "decontamination", "curate_corpus", "sq8_error",
-    "hash_split", "ngram_profile", "tfidf_keywords",
-    "semantic_doc_search", "minhash_lsh_dedup", "simhash_near_dups",
-    "embedding_near_dup", "pack_sequences", "acctbal_deciles",
-    "media_decode_wav", "media_decode_bmp", "media_resize_pixels",
-    "stream_merge_upserts", "scan_ivecs", "load_dataset", "scan_logs",
-    "stream_near_dedup",
+    # --- r11 slot 1: oracle birth + changed evidence.
+    "repetition_scores",
+    # --- the r9-green set not re-graded in round 10; newest green row
+    # is r9, so the ≤2-rounds invariant makes them due now (48 entries;
+    # knn_cosine got its r10 green via the auto-filled spare slot and
+    # is NOT due).
+    "stream_interval_join_outer", "knn_exact_pca", "stream_interval_join",
+    "sessionize", "stream_events_hourly", "funnel_steps", "orders_cube",
+    "stream_merge_upserts_cow", "media_decode_ppm", "asof_attribution",
+    "stream_sessionize", "stream_late_data", "stream_sink_parquet",
+    "knn_filtered", "shipping_priority", "local_supplier_volume",
+    "revenue_change", "order_priority_count", "customer_order_stats",
+    "brand_top_parts", "status_pivot", "customer_number_extract",
+    "lineitem_rollup", "priority_customers_setops", "customer_order_gaps",
+    "minhash_signatures", "jaccard_topk", "doc_stats", "quality_scores",
+    "fingerprints", "source_summary", "token_counts", "simhash_banded",
+    "lang_detect", "stratified_sample", "dedup_clusters", "sq8_encode",
+    "stream_ingest_updates", "media_dedup", "ingest", "sql_text_surface",
+    "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
+    "recall_low_dim", "events_last5_summary", "events_first5_series",
     # ---------------- 50-slot grading boundary is here ----------------
-    # (49 filled this round: 2 promotions + 1 changed-evidence + 46 due;
-    # 1 grading slot spare.)
-    # r9-green entries not re-graded this round (due back in r11, 49
-    # entries — one spare r11 slot, see budget outlook above):
-    # stream_interval_join_outer, knn_exact_pca, stream_interval_join,
-    # sessionize, stream_events_hourly, funnel_steps, orders_cube,
-    # stream_merge_upserts_cow, media_decode_ppm, asof_attribution,
-    # stream_sessionize, stream_late_data, stream_sink_parquet,
-    # knn_cosine, knn_filtered, shipping_priority,
-    # local_supplier_volume, revenue_change, order_priority_count,
-    # customer_order_stats, brand_top_parts, status_pivot,
-    # customer_number_extract, lineitem_rollup,
-    # priority_customers_setops, customer_order_gaps,
-    # minhash_signatures, jaccard_topk, doc_stats, quality_scores,
-    # fingerprints, source_summary, token_counts, simhash_banded,
-    # lang_detect, stratified_sample, dedup_clusters, sq8_encode,
-    # stream_ingest_updates, media_dedup, ingest, sql_text_surface,
-    # delete_pct, insert_restore, upsert_guard, knn_post_delete,
-    # recall_low_dim, events_last5_summary, events_first5_series,
-    # (scan_fvecs re-graded above as changed-evidence)
+    # (49 filled this round: 1 birth + 48 due; the 50th slot auto-fills
+    # from rest_oracled registration order.)
+    # r10-green entries not re-graded this round (due back in r12, 49
+    # entries + knn_cosine − whichever auto-fills above):
+    # stream_interval_join_full, mixture_sample, scan_fvecs,
+    # cohort_retention, knn_exact_2k, knn_ip, range_search,
+    # event_value_percentiles, distance_histogram, chunk_documents,
+    # stream_static_enrich, knn_exact, merge_upsert, pricing_summary,
+    # dedup_exact, bucketed_customer_orders, doc_repetition,
+    # shingle_cardinality_kmv, events_hourly, props_json_extract,
+    # range_click_burst, salted_user_stats, decimal_revenue,
+    # media_features, media_frame_sample, media_summary,
+    # stream_stateful_counts, stream_dedup, stream_knn, decontamination,
+    # curate_corpus, sq8_error, hash_split, ngram_profile,
+    # tfidf_keywords, semantic_doc_search, minhash_lsh_dedup,
+    # simhash_near_dups, embedding_near_dup, pack_sequences,
+    # acctbal_deciles, media_decode_wav, media_decode_bmp,
+    # media_resize_pixels, stream_merge_upserts, scan_ivecs,
+    # load_dataset, scan_logs, stream_near_dedup, knn_cosine
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -196,9 +199,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
     "semdedup": "tests/test_dedup_text.py::test_semdedup_prunes_planted_duplicates",
-    "repetition_scores": (
-        "tests/test_dedup_text.py::test_repetition_scores_known_documents"
-    ),
+    # repetition_scores PROMOTED to an oracle r11 (full Gopher bank in
+    # DuckDB) — its known-documents pin and Counter property test remain
+    # as defense in depth but are no longer the primary evidence.
     "scan_fvecs_v2": "tests/test_sources.py::test_fvecs_datasource_matches_reader",
     "scan_fvecs_stream": "tests/test_sources.py::test_fvecs_stream_source_incremental",
     "zorder_layout": "tests/test_relational.py::test_zorder_layout_prunes_files",

@@ -377,3 +377,37 @@ def test_repetition_scores_match_counter_reference(sents):
     assert abs(got.dup_sent_frac - (n - len(sc)) / n) <= 5.1e-5
     assert abs(got.dup_sent_char_frac - dup_chars / max(chars, 1)) <= 5.1e-5
     assert abs(got.top_word_frac - max(words.values()) / n_w) <= 5.1e-5
+
+    # the r11 n-gram bank against the same Counter reference: top-gram
+    # char products (tie -> lexicographically smallest gram, clamped to
+    # 1.0) and distinct-position duplicate coverage
+    from cs598vectordb_spark.operators.textops import (
+        GOPHER_DUP_NGRAM_THRESHOLDS,
+        GOPHER_TOP_NGRAM_THRESHOLDS,
+    )
+
+    seq = [w for s in sents for w in s.split()]
+    wc = sum(len(w) for w in seq)
+
+    def ref_top(ng: int) -> float:
+        grams = [" ".join(seq[i : i + ng]) for i in range(len(seq) - ng + 1)]
+        if not grams:
+            return 0.0
+        gc = Counter(grams)
+        m = max(gc.values())
+        g = min(x for x, c in gc.items() if c == m)
+        return min(m * (len(g) - (ng - 1)) / max(wc, 1), 1.0)
+
+    def ref_dup(ng: int) -> float:
+        grams = [" ".join(seq[i : i + ng]) for i in range(len(seq) - ng + 1)]
+        gc = Counter(grams)
+        cov: set[int] = set()
+        for i, g in enumerate(grams):
+            if gc[g] > 1:
+                cov.update(range(i, i + ng))
+        return sum(len(seq[i]) for i in cov) / max(wc, 1)
+
+    for ng in GOPHER_TOP_NGRAM_THRESHOLDS:
+        assert abs(got[f"top_{ng}gram_char_frac"] - ref_top(ng)) <= 5.1e-5, ng
+    for ng in GOPHER_DUP_NGRAM_THRESHOLDS:
+        assert abs(got[f"dup_{ng}gram_char_frac"] - ref_dup(ng)) <= 5.1e-5, ng
