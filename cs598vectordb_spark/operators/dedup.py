@@ -703,9 +703,29 @@ def embedding_near_dup_topk(
     )
 
 
+# Expected rows per k-means cluster when n_clusters is derived from the
+# corpus. SemDeDup at web scale keeps the cluster count proportional to
+# the corpus (Abbas et al. use ~50K clusters on LAION-440M); a CONSTANT
+# k would make the within-cluster pair product O((n/k)^2) — quadratic in
+# the corpus — which is the one scale-killer the r10 audit found. With
+# k = n / target, expected per-cluster pairs stay ~target^2/2 no matter
+# how large n grows (pinned on a 10x synthetic corpus in
+# tests/test_dedup_text.py::test_semdedup_adaptive_clusters).
+SEMDEDUP_TARGET_CLUSTER_SIZE = 200
+_SEMDEDUP_MIN_CLUSTERS = 16
+
+
+def semdedup_n_clusters(n_rows: int) -> int:
+    """Corpus-derived cluster count: k ≈ n / target_cluster_size with a
+    floor so tiny fixtures still get meaningful blocking."""
+    import math
+
+    return max(_SEMDEDUP_MIN_CLUSTERS, math.ceil(n_rows / SEMDEDUP_TARGET_CLUSTER_SIZE))
+
+
 def semdedup(
     embeddings: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     eps: float = 0.03,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -716,7 +736,13 @@ def semdedup(
     MLlib KMeans, seeded); pairwise cosine runs ONLY within a cluster —
     the O(N^2 / k) blocking that makes web-scale semantic dedup
     tractable, with k the knob that keeps each cluster's pair product
-    executor-sized — and within every pair above 1 - eps the member
+    executor-sized. When n_clusters is None (the registered query's
+    path), k is DERIVED from the corpus row count
+    (semdedup_n_clusters: k ≈ n/200, floor 16 — the paper's
+    constant-cluster-size regime), so the expected per-cluster pair
+    product is bounded by a constant independent of n; the one count()
+    this costs is bounded metadata. Within every pair above 1 - eps the
+    member
     MORE similar to its cluster centroid is dropped: the paper's
     keep-the-least-typical policy (the retained copy is the semantic
     group's "edge" example). Chains (a~b~c, a!~c) prune conservatively
@@ -734,6 +760,8 @@ def semdedup(
     from cs598vectordb_spark.functions.distance import cosine_similarity
     from cs598vectordb_spark.operators.index import build_ivf_index_mllib
 
+    if n_clusters is None:
+        n_clusters = semdedup_n_clusters(embeddings.count())
     idx = build_ivf_index_mllib(
         embeddings, nlist=n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
     )

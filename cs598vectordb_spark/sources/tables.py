@@ -120,7 +120,19 @@ def synthetic_queries(
     corpus without changing its distribution. Pure Catalyst projection
     over a crossJoin with a |replicas|-row range — codegen, no Python,
     no shuffle; q_id = rep * base_n + vec_id stays unique and the rep-0
-    slice equals queries_from_embeddings(embeddings, min(n, base_n))."""
+    slice equals queries_from_embeddings(embeddings, min(n, base_n)).
+
+    PRECONDITION (ADVICE r10): vec_id must be contiguous 0..base_n-1 —
+    the fixture's id layout. Sparse or offset ids would make the
+    filter(q_id < n) under-produce rows, and any vec_id >= base_n would
+    collide q_ids across replicas; the max-id assert below turns that
+    silent under-production into a loud failure (one bounded-metadata
+    aggregate on the construction path, never per-query)."""
+    max_id = embeddings.agg(F.max("vec_id")).collect()[0][0]
+    assert max_id is not None and max_id < base_n, (
+        f"synthetic_queries requires contiguous vec_id 0..{base_n - 1}; "
+        f"got max(vec_id)={max_id}"
+    )
     reps = (n + base_n - 1) // base_n
     rep = F.col("_rep")
     jitter = (
