@@ -451,44 +451,68 @@ def main() -> int:
     dedup_scaling = {}
     x10_dir = _x10_corpus(spark, sf_dir)
     small_dir = "/root/testdata/sf0.01"
-    for name in ("dedup_clusters", "minhash_lsh_dedup", "decontamination"):
-        pts, shuffle_mb = {}, {}
-        for label, d in (("small", small_dir), ("sf", sf_dir), ("x10", x10_dir)):
-            # thunk form: query construction runs eager internal actions
-            # (persisted intermediates, iterative rounds) that belong in
-            # both the wall-time and the shuffle-volume measurement
-            m = executed_plan_metrics(
-                lambda name=name, d=d: qs[name](spark, d), spark=spark
-            )
-            pts[label] = m["seconds"]
-            shuffle_mb[label] = round(m["shuffle_bytes_written"] / 1048576, 2)
-        entry = {
-            "seconds": pts,
-            "shuffle_mb": shuffle_mb,
-            "exponent": round(math.log(pts["x10"] / pts["sf"]) / math.log(10), 3),
-        }
-        # a bytes exponent is only meaningful when BOTH fitted points
-        # are in the shuffle regime: below ~1 MB the sf-scale plan is
-        # broadcast-joined (AQE) and shuffles almost nothing, so the
-        # two-point fit would measure the broadcast→shuffle regime
-        # crossing, not asymptotic growth — itself a scale story worth
-        # recording, hence the note
-        # both points guarded SYMMETRICALLY (>= 1 MB): a lagging async
-        # listener can return a partial (small-but-nonzero) sum for the
-        # x10 read, and a sub-MB x10 point would either crash log() at
-        # the END of the run (0) or, worse, record a garbage negative
-        # exponent that looks like data
-        if shuffle_mb["sf"] >= 1.0 and shuffle_mb["x10"] >= 1.0:
-            entry["shuffle_exponent"] = round(
-                math.log(shuffle_mb["x10"] / shuffle_mb["sf"]) / math.log(10), 3
-            )
-        else:
-            entry["shuffle_note"] = (
-                "a fitted point is sub-MB (broadcast plan or partial "
-                "listener drain); bytes exponent deferred until both "
-                "points are in the shuffle regime"
-            )
-        dedup_scaling[name] = entry
+    # The bytes exponent is fitted between the sf and x10 points, and is
+    # only meaningful when BOTH are in the SHUFFLE regime — at 100 TB no
+    # side of these joins is broadcast-able, so the asymptotic regime of
+    # interest is the sort-merge/hash-exchange plan. At the sf fixture,
+    # AQE broadcast-converts the small side of the banded joins and the
+    # sub-MB point measured the broadcast→shuffle crossing instead
+    # (r10's honest shuffle_note). For the measurement pair we therefore
+    # disable broadcast conversion (static + AQE thresholds), putting
+    # both fitted points in the 100 TB plan shape; the headline suite
+    # keeps broadcasts on (that IS the right sf-scale plan).
+    _bcast_keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    _bcast_saved = {k: spark.conf.get(k, None) for k in _bcast_keys}
+    for k in _bcast_keys:
+        spark.conf.set(k, "-1")
+    try:
+        for name in ("dedup_clusters", "minhash_lsh_dedup", "decontamination"):
+            pts, shuffle_mb = {}, {}
+            for label, d in (("small", small_dir), ("sf", sf_dir), ("x10", x10_dir)):
+                # thunk form: query construction runs eager internal
+                # actions (persisted intermediates, iterative rounds)
+                # that belong in both the wall-time and the
+                # shuffle-volume measurement
+                m = executed_plan_metrics(
+                    lambda name=name, d=d: qs[name](spark, d), spark=spark
+                )
+                pts[label] = m["seconds"]
+                shuffle_mb[label] = round(m["shuffle_bytes_written"] / 1048576, 2)
+            entry = {
+                "seconds": pts,
+                "shuffle_mb": shuffle_mb,
+                "broadcast_disabled": True,
+                "exponent": round(
+                    math.log(pts["x10"] / pts["sf"]) / math.log(10), 3
+                ),
+            }
+            # even with broadcast off, both fitted points must clear the
+            # 1 MB floor before a bytes exponent is recorded: a lagging
+            # async listener can return a partial (small-but-nonzero)
+            # sum, and a sub-MB point would either crash log() (0) or,
+            # worse, record a garbage negative exponent that looks like
+            # data
+            if shuffle_mb["sf"] >= 1.0 and shuffle_mb["x10"] >= 1.0:
+                entry["shuffle_exponent"] = round(
+                    math.log(shuffle_mb["x10"] / shuffle_mb["sf"]) / math.log(10),
+                    3,
+                )
+            else:
+                entry["shuffle_note"] = (
+                    "a fitted point is sub-MB despite broadcast being "
+                    "disabled (partial listener drain?); bytes exponent "
+                    "deferred"
+                )
+            dedup_scaling[name] = entry
+    finally:
+        for k, v in _bcast_saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     # Executed partition-pruning evidence at SERVING batch size: rows
     # the probes' scans actually MATERIALIZED for a 5-query batch
