@@ -525,9 +525,11 @@ def main() -> int:
     # lives at serving-path batch sizes. DataFrame form: construction
     # (broadcast builds, query collection) stays outside the measured
     # execution.
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2
     from cs598vectordb_spark.operators.index import knn_ivf
     from cs598vectordb_spark.operators.ivfpq import knn_ivfpq
     from cs598vectordb_spark.queries_index import (
+        graph2_materialized_for,
         ivf_materialized_for,
         ivfpq_index_for,
     )
@@ -543,6 +545,32 @@ def main() -> int:
         (
             "knn_ivfpq_5q",
             knn_ivfpq(ivfpq_index_for(spark, sf_dir), q5, k=10, nprobe=2),
+        ),
+        # graph2 beam search over the ON-DISK segments in COLD-serving
+        # mode (pinned=False): the scale claim is that the base is
+        # touched only through the bounded candidate join
+        # (operators/graph.py module docstring), and with the index as
+        # a partitioned-parquet relation the probe partition-prunes the
+        # scan to the probed segment_ids — this records the rows that
+        # scan actually materialized for a serving-size batch. (The
+        # registered query serves the PINNED cache — right when the
+        # index fits memory — whose full-table persist would make this
+        # scan-level measurement read as 1.0 by construction.) Finer
+        # 8×8 segmentation + serving nprobe: at the query's own 4×4 a
+        # 5-query probed union covers all 16 partitions and there is
+        # nothing to skip.
+        (
+            "knn_graph2_cold_5q",
+            knn_graph_layered2(
+                graph2_materialized_for(
+                    spark, sf_dir, pinned=False, nlist1=8, nlist2=8
+                ),
+                q5,
+                k=10,
+                nprobe1=2,
+                nprobe2=6,
+                beam=32,
+            ),
         ),
     ):
         m = executed_plan_metrics(df)

@@ -131,6 +131,12 @@ def executed_plan_metrics(df_or_thunk, spark=None) -> dict:
         assert spark is not None, "thunk form requires the spark session"
     else:
         spark = df_or_thunk.sparkSession
+    # ATTRIBUTION ASSUMPTION (ADVICE r10): the statusStore is shared
+    # across the whole JVM (child sessions share sharedState), so any
+    # SQL execution another thread runs inside the measured window is
+    # summed into this result. Callers must not run concurrent queries
+    # on this JVM while measuring — bench.py's blocks are sequential,
+    # and streaming jobs use their own drain-based accounting.
     store = spark._jsparkSession.sharedState().statusStore()
     _quiesce(store)
     before = store.executionsList()
@@ -148,8 +154,15 @@ def executed_plan_metrics(df_or_thunk, spark=None) -> dict:
     # completion = two consecutive polls agree on BOTH the set of new
     # executions and their aggregated sums (the listener is async:
     # breaking on the first non-empty read would miss executions whose
-    # start events haven't drained and read accumulators mid-update)
+    # start events haven't drained and read accumulators mid-update).
+    # A legitimately EMPTY agg can also settle (ADVICE r10): a plan
+    # with no Scan/Exchange/InMemoryTableScan node — LocalTableScan
+    # over driver-built rows — never produces wanted metrics, so once
+    # the new-execution id set is non-empty and the (ids, sums) state
+    # has been stable for a few polls we return the zeros instead of
+    # spinning out the full 6 s budget.
     prev: tuple | None = None
+    stable = 0
     agg: dict[str, int] = {}
     for _ in range(60):
         execs = store.executionsList()
@@ -163,7 +176,10 @@ def executed_plan_metrics(df_or_thunk, spark=None) -> dict:
             for key, val in _execution_metrics(store, eid).items():
                 agg[key] = agg.get(key, 0) + val
         state = (tuple(new_ids), tuple(sorted(agg.items())))
-        if agg and state == prev:
+        stable = stable + 1 if state == prev else 0
+        if agg and stable >= 1:
+            break
+        if new_ids and stable >= 3:
             break
         prev = state
         time.sleep(0.1)

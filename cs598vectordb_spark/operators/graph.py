@@ -1457,12 +1457,26 @@ def materialize_layered2(index: LayeredGraph2Index, path: str) -> LayeredGraph2I
     return open_layered2(spark, path)
 
 
-def open_layered2(spark, path: str) -> LayeredGraph2Index:
+def open_layered2(spark, path: str, pinned: bool = True) -> LayeredGraph2Index:
     """Re-open a materialized layered2 index: L1 sidecar to the driver
-    (nlist1 rows), L2 table stays a distributed relation, and the
-    segment table gets its one-time repartition on segment_id so the
-    walk kernel's exchange-free plan holds exactly as for a freshly
-    built index."""
+    (nlist1 rows), L2 table stays a distributed relation.
+
+    Two serving modes for the segment table:
+
+    * ``pinned=True`` (default) — one-time repartition on segment_id +
+      persist, so every subsequent probe's groupBy is exchange-free.
+      The right mode when the index FITS executor storage and serves
+      many batches (the resident-index regime, like hnswlib holding
+      the graph in RAM).
+    * ``pinned=False`` — the raw partitioned-parquet relation. A probe
+      then PARTITION-PRUNES the scan to the probed segment_ids
+      (segments/segment_id=K/ directories) and shuffles only those
+      rows into the walk kernel. The 100 TB mode: an index larger than
+      cluster memory is touched only where the probe list points —
+      executed scan rows measured in bench detail (probe_scan_rows),
+      plan shape pinned in tests/test_plans.py. Results are identical
+      to pinned mode (same kernel, same rows — pinned in
+      tests/test_index.py)."""
     meta = spark.read.parquet(os.path.join(path, "l1"))
     rows = meta.orderBy("l1_id").collect()
     l1 = np.ascontiguousarray(
@@ -1474,10 +1488,8 @@ def open_layered2(spark, path: str) -> LayeredGraph2Index:
         int(rows[0]["degree"]),
     )
     l2 = spark.read.parquet(os.path.join(path, "l2"))
-    segs = (
-        spark.read.parquet(os.path.join(path, "segments"))
-        .repartition(nlist1 * nlist2, "segment_id")
-        .persist()
-    )
-    segs.count()
+    segs = spark.read.parquet(os.path.join(path, "segments"))
+    if pinned:
+        segs = segs.repartition(nlist1 * nlist2, "segment_id").persist()
+        segs.count()
     return LayeredGraph2Index(segs, l1, l2, nlist1, nlist2, degree)

@@ -1277,6 +1277,24 @@ def _drain_with_progress(writer_df: DataFrame, label: str) -> list[tuple]:
     q, name = _start_to_memory(
         writer_df.select(F.lit(1).alias("one")), "append", label
     )
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100): a run
+    # with more micro-batches than HALF the cap would silently drop its
+    # EARLIEST progress rows and the conservation math below
+    # (Σinput == Σstate-resident + Σevicted) would report truncation as
+    # measured eviction (ADVICE r10). Our callers replay ≤ ~16 file
+    # batches; fail loudly if that ever grows toward the cap.
+    cap = int(
+        writer_df.sparkSession.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100"
+        )
+    )
+    n_batches = len(q.recentProgress)
+    assert n_batches <= cap // 2, (
+        f"{n_batches} micro-batches vs recentProgress cap {cap}: early "
+        "batches may have been evicted from the ring buffer; raise "
+        "numRecentProgressUpdates or collect progress via a listener"
+    )
     rows = []
     for p in q.recentProgress:
         d = _json.loads(p.json) if hasattr(p, "json") else dict(p)

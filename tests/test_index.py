@@ -631,6 +631,45 @@ def test_layered2_materialize_roundtrip(spark, sf_dir, tmp_path):
     opened.segments.unpersist()
 
 
+def test_graph2_cold_serving_prunes_partitions(spark, sf_dir, tmp_path):
+    """The larger-than-memory serving mode (open_layered2 pinned=False,
+    r11): the probe must (1) return EXACTLY the pinned-mode results,
+    (2) carry the probed segment_ids into the parquet scan as
+    PartitionFilters — the physical property that lets an index bigger
+    than cluster storage serve from the probed partitions alone — and
+    (3) with a finer segmentation than the probed union, actually skip
+    partitions in the executed scan."""
+    from cs598vectordb_spark.functions.planmetrics import executed_plan_metrics
+    from cs598vectordb_spark.operators.graph import (
+        knn_graph_layered2,
+        materialize_layered2,
+        open_layered2,
+    )
+    from cs598vectordb_spark.queries_index import layered_graph2_for
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 5)
+    fresh = layered_graph2_for(spark, sf_dir, nlist1=8, nlist2=8)
+    pinned = materialize_layered2(fresh, str(tmp_path / "g2cold"))
+    cold = open_layered2(spark, str(tmp_path / "g2cold"), pinned=False)
+    assert cold.segments.storageLevel.useMemory is False
+
+    kw = dict(k=K, nprobe1=2, nprobe2=6, beam=32)
+    a = knn_graph_layered2(pinned, q, **kw).select("q_id", "rank", "vec_id")
+    b = knn_graph_layered2(cold, q, **kw)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "segment_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    bb = b.select("q_id", "rank", "vec_id")
+    assert a.exceptAll(bb).count() == 0 and bb.exceptAll(a).count() == 0
+
+    m = executed_plan_metrics(knn_graph_layered2(cold, q, **kw))
+    n = emb.count()
+    assert 0 < m["scan_output_rows"] < n, m
+    pinned.segments.unpersist()
+
+
 def test_graph2_filtered_ann(spark, sf_dir):
     """Filtered ANN (post-filter with expansion) on the hierarchical
     index: every result satisfies the predicate, per-query results never
