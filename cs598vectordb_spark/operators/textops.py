@@ -682,6 +682,53 @@ def tfidf_keywords(docs: DataFrame, topk: int = 3) -> DataFrame:
     )
 
 
+def lm_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_neg_logprob, perplexity): corpus-trained
+    UNIGRAM language-model surprisal — the screening member of the
+    CCNet quality family (Wenzek et al. 2020 rank web documents by LM
+    perplexity before training; the unigram member of that family is
+    exactly expressible relationally, no external model). p(token) is
+    the corpus's own unigram MLE, so there is no OOV by construction;
+    per doc: mean over tokens of -ln p(token), and
+    perplexity = exp(mean). Boilerplate made of frequent tokens scores
+    LOW (it is exactly what the corpus predicts); rare-vocabulary
+    prose scores high — the complement of the repetition bank, which
+    sees within-doc structure but not corpus-typicality.
+
+    Plan: one explode + vocab-keyed partial-agg (the shuffle carries
+    one row per distinct token), a token-keyed join back (AQE
+    broadcasts a small vocabulary; keys are uniform at scale), one
+    per-doc agg. Empty docs keep a zero row via the left join.
+    Rows-only this round (the oracle budget is at 99/100) — the
+    formula is pure ANSI; QUEUED for an r12 oracle promotion paired
+    with a token_counts retirement (its n_tokens_ws duplicates
+    doc_stats' n_tokens — the policy's shared-oracle retirement
+    class). Exact values pinned on a closed-form corpus in
+    tests/test_dedup_text.py::test_lm_surprisal_closed_form."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(normalize_ws(F.col(text_col)))).alias("token")
+    ).filter(F.length("token") > 0)
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    scored = toks.join(vocab, "token").select(
+        id_col,
+        (F.log(F.lit(float(total))) - F.log(F.col("c").cast("double"))).alias("nll"),
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("_anl")
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            _r(F.coalesce(F.col("_anl"), F.lit(0.0))).alias("avg_neg_logprob"),
+            _r(F.exp(F.coalesce(F.col("_anl"), F.lit(0.0)))).alias("perplexity"),
+        )
+    )
+
+
 def ngram_profile(docs: DataFrame, topk: int = 5) -> DataFrame:
     """(lang, rank, gram, n): the top-k most frequent word BIGRAMS per
     language — corpus profiling for training-mix curation (which boilerplate

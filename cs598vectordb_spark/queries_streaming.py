@@ -230,6 +230,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup(spark, sf_dir, _io_dir(sf_dir, "stream_dedup"), n_splits=3)
 
 
+@register("stream_quality_gate")
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-edge Gopher gate: the full repetition filter bank applied
+    per micro-batch on a document file stream, keeping only
+    non-repetitive docs — stateless, watermark-free, with exact
+    batch/stream parity pinned in tests/test_streaming.py::
+    test_stream_quality_gate_matches_batch. Rows-only (oracle budget
+    99/100; promotable as repetition_scores' SQL + WHERE NOT
+    repetitive when a slot frees)."""
+    from cs598vectordb_spark.streaming.jobs import stream_quality_gate
+
+    return stream_quality_gate(
+        spark, sf_dir, _io_dir(sf_dir, "stream_qgate"), n_splits=3
+    )
+
+
 def _near_dedup_oracle() -> str:
     from cs598vectordb_spark.queries_text import _duck_bands, _duck_minhash_sigs
 

@@ -755,6 +755,19 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(docs)
 
 
+@register("lm_surprisal")
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM surprisal / perplexity per document —
+    the CCNet-style typicality screen (complement of the repetition
+    bank). Rows-only this round (oracle budget 99/100): the formula is
+    pure ANSI and QUEUED for an r12 promotion paired with a
+    token_counts retirement; closed-form values pinned in
+    tests/test_dedup_text.py::test_lm_surprisal_closed_form, fixture
+    invariants alongside."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.lm_surprisal(docs)
+
+
 @register("pii_redact")
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing pass (emails / IPv4 / phone-shaped runs → typed

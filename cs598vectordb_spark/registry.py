@@ -199,6 +199,10 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
     "semdedup": "tests/test_dedup_text.py::test_semdedup_prunes_planted_duplicates",
+    "lm_surprisal": "tests/test_dedup_text.py::test_lm_surprisal_closed_form",
+    "stream_quality_gate": (
+        "tests/test_streaming.py::test_stream_quality_gate_matches_batch"
+    ),
     # repetition_scores PROMOTED to an oracle r11 (full Gopher bank in
     # DuckDB) — its known-documents pin and Counter property test remain
     # as defense in depth but are no longer the primary evidence.

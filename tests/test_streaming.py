@@ -111,6 +111,25 @@ def test_stream_dedup_agrees_with_batch_dedup(spark, sf_dir, tmp_path):
     assert got.count() == docs.count()
 
 
+def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Evidence pin for the rows-only stream_quality_gate entry: the
+    ingest-edge Gopher gate is a stateless projection, so the drained
+    union over micro-batches must equal the BATCH bank's keep set
+    row for row — every column, not just ids (exact parity is the
+    whole point of a stateless gate)."""
+    from cs598vectordb_spark.operators.textops import repetition_scores
+    from cs598vectordb_spark.sources.tables import load_table
+    from cs598vectordb_spark.streaming.jobs import stream_quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = stream_quality_gate(spark, sf_dir, str(tmp_path / "qg"), n_splits=3)
+    want = repetition_scores(docs).filter(~F.col("repetitive"))
+    assert got.count() == want.count() > 0
+    g = got.select(*sorted(got.columns))
+    w = want.select(*sorted(want.columns))
+    assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+
+
 def test_merge_cow_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
     """The copy-on-write MERGE contract, asserted at the file level: the
     upsert plan touches keys vec_id%10 in {2,5}, so with pid = vec_id%10
