@@ -85,6 +85,18 @@ def _quiesce(store, polls: int = 20) -> None:
         time.sleep(0.05)
 
 
+def _all_complete(store, ids) -> bool:
+    """True iff every execution id has a drained end event (completion
+    time present in the status store) — the guard that keeps the
+    empty-agg early exit from reporting zeros for a scan-bearing query
+    whose accumulator events are still queued."""
+    for eid in ids:
+        opt = store.execution(eid)
+        if opt.isEmpty() or opt.get().completionTime().isEmpty():
+            return False
+    return True
+
+
 def _execution_metrics(store, eid: int) -> dict:
     """Aggregated wanted metrics of one execution (may be {} while the
     async listener hasn't processed its accumulator updates yet)."""
@@ -158,9 +170,12 @@ def executed_plan_metrics(df_or_thunk, spark=None) -> dict:
     # A legitimately EMPTY agg can also settle (ADVICE r10): a plan
     # with no Scan/Exchange/InMemoryTableScan node — LocalTableScan
     # over driver-built rows — never produces wanted metrics, so once
-    # the new-execution id set is non-empty and the (ids, sums) state
-    # has been stable for a few polls we return the zeros instead of
-    # spinning out the full 6 s budget.
+    # the new-execution id set is non-empty, every new execution's END
+    # event has drained (completionTime present — bare set stability is
+    # not enough: a lagging listener can hold accumulator updates past
+    # several stable polls and zeros would masquerade as data), and the
+    # (ids, sums) state has been stable for a few polls, we return the
+    # zeros instead of spinning out the full 6 s budget.
     prev: tuple | None = None
     stable = 0
     agg: dict[str, int] = {}
@@ -179,7 +194,7 @@ def executed_plan_metrics(df_or_thunk, spark=None) -> dict:
         stable = stable + 1 if state == prev else 0
         if agg and stable >= 1:
             break
-        if new_ids and stable >= 3:
+        if new_ids and stable >= 3 and _all_complete(store, new_ids):
             break
         prev = state
         time.sleep(0.1)

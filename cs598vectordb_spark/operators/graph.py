@@ -1426,7 +1426,9 @@ def graph_quality(graph: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
-def materialize_layered2(index: LayeredGraph2Index, path: str) -> LayeredGraph2Index:
+def materialize_layered2(
+    index: LayeredGraph2Index, path: str, pinned: bool = True
+) -> LayeredGraph2Index:
     """Persist the hierarchical index to parquet and re-open it — the
     layered2 sibling of materialize_layered (reference analog:
     faiss.write_index/read_index; Milvus persists per-segment indexes,
@@ -1434,7 +1436,10 @@ def materialize_layered2(index: LayeredGraph2Index, path: str) -> LayeredGraph2I
     segments PARTITIONED BY segment_id, the DISTRIBUTED L2 centroid
     table (never driver-collected — the property that lets segment
     count exceed any driver-sized top layer), and a driver-sized L1
-    sidecar (nlist1 rows by design)."""
+    sidecar (nlist1 rows by design). `pinned` picks the re-open mode
+    (see open_layered2) — pass False when the caller wants the
+    cold-serving relation, so the write path never shuffles/persists a
+    full cached copy it is not going to use."""
     spark = index.segments.sparkSession
     index.segments.write.mode("overwrite").partitionBy("segment_id").parquet(
         os.path.join(path, "segments")
@@ -1454,7 +1459,7 @@ def materialize_layered2(index: LayeredGraph2Index, path: str) -> LayeredGraph2I
         rows,
         "l1_id long, centroid array<double>, nlist1 int, nlist2 int, degree int",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "l1"))
-    return open_layered2(spark, path)
+    return open_layered2(spark, path, pinned=pinned)
 
 
 def open_layered2(spark, path: str, pinned: bool = True) -> LayeredGraph2Index:

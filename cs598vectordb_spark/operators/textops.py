@@ -481,10 +481,6 @@ def repetition_scores(
             ),
         ).otherwise(F.array().cast("array<struct<g:string,p:int>>"))
 
-    def _top_stats(n: int) -> F.Column:
-        """struct(chars, count) of the most frequent n-gram."""
-        return _top_gram_chars(_grams_sorted(n), n)
-
     def _top_frac(stats: F.Column) -> F.Column:
         return F.least(
             stats.chars / F.greatest(word_chars, F.lit(1)), F.lit(1.0)
@@ -506,7 +502,21 @@ def repetition_scores(
         )
         return covered_chars / F.greatest(word_chars, F.lit(1))
 
-    out = base.select(
+    # materialize each top-gram (chars, count) struct ONCE in an
+    # intermediate projection — referencing the aggregate from both the
+    # frac and the count column would otherwise build the O(L log L)
+    # gram sort + one-pass aggregate twice per gram size (higher-order
+    # functions sit outside codegen subexpression elimination, and
+    # CollapseProject keeps non-cheap expressions from being inlined
+    # into multiple consumers, so the two-stage select is honored)
+    mid = base.select(
+        "*",
+        *[
+            _top_gram_chars(_grams_sorted(n), n).alias(f"_tops{n}")
+            for n in GOPHER_TOP_NGRAM_THRESHOLDS
+        ],
+    )
+    out = mid.select(
         id_col,
         n_sents.alias("n_sents"),
         n_words.alias("n_words"),
@@ -517,8 +527,8 @@ def repetition_scores(
             c
             for n in GOPHER_TOP_NGRAM_THRESHOLDS
             for c in (
-                _r(_top_frac(_top_stats(n))).alias(f"top_{n}gram_char_frac"),
-                _top_stats(n).count.alias(f"_top{n}_count"),
+                _r(_top_frac(F.col(f"_tops{n}"))).alias(f"top_{n}gram_char_frac"),
+                F.col(f"_tops{n}").count.alias(f"_top{n}_count"),
             )
         ],
         *[
@@ -695,10 +705,15 @@ def lm_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     prose scores high — the complement of the repetition bank, which
     sees within-doc structure but not corpus-typicality.
 
-    Plan: one explode + vocab-keyed partial-agg (the shuffle carries
-    one row per distinct token), a token-keyed join back (AQE
-    broadcasts a small vocabulary; keys are uniform at scale), one
-    per-doc agg. Empty docs keep a zero row via the left join.
+    Plan: ONE explode feeding a (doc, token) term-frequency agg whose
+    exchange is reused for the vocabulary rollup (tf → vocab is a
+    second partial agg over the same shuffle; Spark's ReuseExchange
+    dedups the shared subtree, so documents are exploded once), the
+    corpus total derived IN-PLAN from vocab (a broadcast one-row cross
+    join — no eager count at construction), a token-keyed join back
+    (AQE broadcasts a small vocabulary; keys are uniform at scale),
+    one per-doc agg with tf-weighted mean. Empty docs keep a zero row
+    via the left join.
     Rows-only this round (the oracle budget is at 99/100) — the
     formula is pure ANSI; QUEUED for an r12 oracle promotion paired
     with a token_counts retirement (its n_tokens_ws duplicates
@@ -708,14 +723,20 @@ def lm_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     toks = docs.select(
         F.col(id_col), F.explode(tokens(normalize_ws(F.col(text_col)))).alias("token")
     ).filter(F.length("token") > 0)
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.count()
-    scored = toks.join(vocab, "token").select(
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = vocab.agg(F.sum("c").alias("_total"))
+    scored = tf.join(vocab, "token").crossJoin(F.broadcast(total)).select(
         id_col,
-        (F.log(F.lit(float(total))) - F.log(F.col("c").cast("double"))).alias("nll"),
+        F.col("tf"),
+        (
+            F.col("tf").cast("double")
+            * (F.log(F.col("_total").cast("double")) - F.log(F.col("c").cast("double")))
+        ).alias("nll_sum"),
     )
     per = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("_anl")
+        F.sum("tf").alias("n_tokens"),
+        (F.sum("nll_sum") / F.sum("tf")).alias("_anl"),
     )
     return (
         docs.select(id_col)

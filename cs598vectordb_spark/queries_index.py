@@ -839,19 +839,19 @@ def graph2_materialized_for(
     once per (session, sf_dir, segmentation) — shared by the registered
     query below and bench.py's probe-side scan-fraction measurement.
 
-    pinned=False re-opens the SAME artifacts in cold-serving mode (no
-    cache, probes partition-prune the parquet scan) — the
+    pinned=False opens the artifacts in cold-serving mode (no cache,
+    no repartition — probes partition-prune the parquet scan) — the
     larger-than-memory index regime; see operators.graph.open_layered2.
-    The bench measurement passes a FINER segmentation (8×8) than the
+    `pinned` is part of the warm key AND threads through the build, so
+    requesting only the cold mode never shuffles/persists a full
+    cached copy it is not going to use (review finding r11). The
+    bench measurement passes a FINER segmentation (8×8) than the
     registered query's 4×4: with 16 segments a 5-query probed union
     covers every partition and pruning has nothing to skip — the same
     batch-size caveat the IVF scan measurements document."""
     import os as _os
 
-    from cs598vectordb_spark.operators.graph import (
-        materialize_layered2,
-        open_layered2,
-    )
+    from cs598vectordb_spark.operators.graph import materialize_layered2
 
     path = _os.path.join(
         "/tmp/cs598_spark_io",
@@ -861,12 +861,11 @@ def graph2_materialized_for(
 
     def build():
         idx = layered_graph2_for(spark, sf_dir, nlist1=nlist1, nlist2=nlist2)
-        return materialize_layered2(idx, path)
+        return materialize_layered2(idx, path, pinned=pinned)
 
-    opened = _warm(spark, ("layered_graph2_mat", sf_dir, nlist1, nlist2), build)
-    if pinned:
-        return opened
-    return open_layered2(spark, path, pinned=False)
+    return _warm(
+        spark, ("layered_graph2_mat", sf_dir, nlist1, nlist2, pinned), build
+    )
 
 
 @register("knn_graph2_materialized")
