@@ -705,33 +705,41 @@ def lm_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     prose scores high — the complement of the repetition bank, which
     sees within-doc structure but not corpus-typicality.
 
-    Plan: ONE explode feeding a (doc, token) term-frequency agg whose
-    exchange is reused for the vocabulary rollup (tf → vocab is a
-    second partial agg over the same shuffle; Spark's ReuseExchange
-    dedups the shared subtree, so documents are exploded once), the
-    corpus total derived IN-PLAN from vocab (a broadcast one-row cross
-    join — no eager count at construction), a token-keyed join back
-    (AQE broadcasts a small vocabulary; keys are uniform at scale),
-    one per-doc agg with tf-weighted mean. Empty docs keep a zero row
-    via the left join.
+    Plan: the corpus token total comes from one EXPLODE-FREE eager
+    scan (sum of per-row array sizes — a projection aggregate, no
+    shuffle of the token stream); the main plan is a (doc, token)
+    term-frequency agg joined to the vocabulary rollup derived from it
+    — the tf subtree appears on both sides of that join (two Generate
+    nodes), the same two-pass shape as tfidf_keywords, because any
+    1-row in-plan statistic would duplicate the full explode lineage
+    instead (ReuseExchange cannot dedup the two tf exchanges: column
+    pruning makes them structurally different — measured, not
+    assumed). AQE broadcasts a small vocabulary; keys are uniform at
+    scale; one per-doc agg with tf-weighted mean. Empty docs keep a
+    zero row via the left join.
     Rows-only this round (the oracle budget is at 99/100) — the
     formula is pure ANSI; QUEUED for an r12 oracle promotion paired
     with a token_counts retirement (its n_tokens_ws duplicates
     doc_stats' n_tokens — the policy's shared-oracle retirement
     class). Exact values pinned on a closed-form corpus in
     tests/test_dedup_text.py::test_lm_surprisal_closed_form."""
+    tok_arr = F.filter(
+        tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
+    )
+    total = int(
+        docs.agg(F.sum(F.size(tok_arr)).alias("n")).collect()[0]["n"] or 0
+    )
     toks = docs.select(
         F.col(id_col), F.explode(tokens(normalize_ws(F.col(text_col)))).alias("token")
     ).filter(F.length("token") > 0)
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
-    total = vocab.agg(F.sum("c").alias("_total"))
-    scored = tf.join(vocab, "token").crossJoin(F.broadcast(total)).select(
+    scored = tf.join(vocab, "token").select(
         id_col,
         F.col("tf"),
         (
             F.col("tf").cast("double")
-            * (F.log(F.col("_total").cast("double")) - F.log(F.col("c").cast("double")))
+            * (F.log(F.lit(float(max(total, 1)))) - F.log(F.col("c").cast("double")))
         ).alias("nll_sum"),
     )
     per = scored.groupBy(id_col).agg(
