@@ -622,6 +622,105 @@ def mixture_sample(
     )
 
 
+def dsir_logweights(
+    docs: DataFrame,
+    target: F.Column,
+    n_buckets: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, is_target, n_feats, log_weight): DSIR — Data Selection
+    via Importance Resampling (Xie et al. 2023, arXiv:2302.03169), the
+    standard recipe for selecting web-scale pretraining data that looks
+    like a high-quality target corpus. Features are hashed word
+    unigrams + bigrams (the paper's 10K-bucket hashed n-grams; the
+    hash is the engine's polynomial rolling hash, shared with the
+    DuckDB oracle family); per-bucket probabilities are Laplace-
+    smoothed MLEs over the TARGET slice (rows where `target` is true)
+    and the RAW corpus; a document's log importance weight is
+    Σ_features count·(ln p_target[bucket] − ln p_raw[bucket]) — high
+    for documents whose feature profile matches the target. Selection
+    = rank/threshold on log_weight downstream (the paper adds Gumbel
+    noise for sampled selection; the deterministic weight is the
+    engine artifact).
+
+    Plan: one explode-free eager scan for the two totals (conditional
+    sums of per-row feature-array sizes), then the two-pass
+    tf-join-bucket-table shape (tfidf/lm_surprisal's plan class): the
+    (doc, bucket) counts shuffle once, the ≤n_buckets-row weight table
+    comes back as a broadcast join. Nothing is per-row Python.
+    Rows-only (oracle budget 99/100); closed-form values pinned in
+    tests/test_dedup_text.py::test_dsir_closed_form and the
+    language-separation invariant alongside."""
+    t = tokens(normalize_ws(F.col(text_col)))
+    t = F.filter(t, lambda w: F.length(w) > 0)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(t, bigrams)
+
+    totals = docs.agg(
+        F.coalesce(F.sum(F.size(feats)), F.lit(0)).alias("raw"),
+        F.coalesce(F.sum(F.when(target, F.size(feats)).otherwise(0)), F.lit(0)).alias(
+            "tgt"
+        ),
+    ).collect()[0]
+    t_raw, t_tgt = int(totals["raw"]), int(totals["tgt"])
+
+    exploded = docs.select(
+        F.col(id_col), target.alias("_is_t"), F.explode(feats).alias("feat")
+    ).select(
+        id_col,
+        "_is_t",
+        F.pmod(rolling_hash("feat"), F.lit(n_buckets)).alias("bucket"),
+    )
+    per_doc = exploded.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw_b = exploded.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_b = (
+        exploded.filter("_is_t")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    # Laplace-smoothed log-likelihood ratio per bucket; every doc
+    # feature has c_raw >= 1 by construction, c_tgt may be absent
+    w = raw_b.join(tgt_b, "bucket", "left").select(
+        "bucket",
+        (
+            F.log(F.coalesce(F.col("c_tgt"), F.lit(0)).cast("double") + 1.0)
+            - F.log(F.lit(float(t_tgt + n_buckets)))
+            - F.log(F.col("c_raw").cast("double") + 1.0)
+            + F.log(F.lit(float(t_raw + n_buckets)))
+        ).alias("w"),
+    )
+    per = (
+        per_doc.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c").cast("double") * F.col("w")).alias("_lw"),
+        )
+    )
+    return (
+        docs.select(id_col, target.alias("is_target"))
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            "is_target",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            _r(F.coalesce(F.col("_lw"), F.lit(0.0))).alias("log_weight"),
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     min_quality: float = 0.5,

@@ -755,6 +755,20 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(docs)
 
 
+@register("dsir_logweights")
+def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with the English slice
+    as the target distribution: hashed unigram+bigram buckets, Laplace-
+    smoothed target/raw log-likelihood ratio summed per document — the
+    data-selection recipe for making a web crawl look like a curated
+    corpus. Rows-only (oracle budget 99/100; hash and formula are the
+    engine's DuckDB-shared rolling hash, promotable when a slot
+    frees); closed-form values + the language-separation invariant
+    pinned in tests/test_dedup_text.py::test_dsir_closed_form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.dsir_logweights(docs, F.col("lang") == "en")
+
+
 @register("lm_surprisal")
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM surprisal / perplexity per document —

@@ -200,6 +200,7 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
     "semdedup": "tests/test_dedup_text.py::test_semdedup_prunes_planted_duplicates",
     "lm_surprisal": "tests/test_dedup_text.py::test_lm_surprisal_closed_form",
+    "dsir_logweights": "tests/test_dedup_text.py::test_dsir_closed_form",
     "stream_quality_gate": (
         "tests/test_streaming.py::test_stream_quality_gate_matches_batch"
     ),

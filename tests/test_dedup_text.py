@@ -580,6 +580,79 @@ def test_lm_surprisal_closed_form(spark, sf_dir):
     assert out.filter(F.col("perplexity") < 1.0).count() == 0
 
 
+def test_dsir_closed_form(spark, sf_dir):
+    """Evidence pin for the rows-only dsir_logweights entry: exact
+    hashed-n-gram importance weights against a Python reference of the
+    same rolling hash / Laplace-smoothed ratio, plus the fixture
+    invariant that makes DSIR DSIR — with English as the target, the
+    mean weight of English docs exceeds the mean weight of Chinese
+    docs (disjoint vocabularies force the separation)."""
+    import math
+
+    from cs598vectordb_spark.functions.text import ROLLING_MOD
+
+    rows = [
+        (0, "the cat sat", "en"),
+        (1, "the dog ran fast", "en"),
+        (2, "le chat noir", "fr"),
+        (3, "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r
+        for r in textops.dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+
+    B = 10_000
+
+    def roll(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * 31 + ord(ch)) % ROLLING_MOD
+        return h
+
+    def feats(text: str) -> list[int]:
+        ws = text.split()
+        fs = ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        return [roll(f) % B for f in fs]
+
+    from collections import Counter
+
+    raw, tgt = Counter(), Counter()
+    for _, text, lang in rows:
+        for b in feats(text):
+            raw[b] += 1
+            if lang == "en":
+                tgt[b] += 1
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+
+    def lw(text: str) -> float:
+        return sum(
+            math.log(tgt.get(b, 0) + 1)
+            - math.log(t_tgt + B)
+            - math.log(raw[b] + 1)
+            + math.log(t_raw + B)
+            for b in feats(text)
+        )
+
+    for d, text, lang in rows:
+        assert got[d].is_target == (lang == "en")
+        assert got[d].n_feats == len(feats(text))
+        assert abs(got[d].log_weight - lw(text)) <= 5.1e-5, (d, got[d])
+
+    corpus = load_table(spark, sf_dir, "documents")
+    out = textops.dsir_logweights(corpus, F.col("lang") == "en")
+    assert out.count() == corpus.count()
+    means = {
+        r.lang: r.m
+        for r in out.join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    assert means["en"] > means["zh"], means
+
+
 def test_mixture_sample_quotas(spark, sf_dir):
     """Evidence pin for the rows-only mixture_sample entry: per-source
     quotas equal the closed-form largest-remainder allocation of
