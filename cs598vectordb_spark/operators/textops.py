@@ -622,6 +622,65 @@ def mixture_sample(
     )
 
 
+def exact_substring_stats(
+    docs: DataFrame, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_kgrams, n_shared, shared_frac): per-document count of
+    DISTINCT k-token windows that occur verbatim in at least one OTHER
+    document — the ExactSubstr dedup signal (Lee et al. 2021: training
+    data repeated verbatim across documents is memorization fuel, and
+    near-dup methods tuned for whole-document similarity miss a long
+    quote inside an otherwise-unique page). shared_frac is the
+    fraction of the doc's distinct k-grams that are cross-document
+    duplicates; a downstream pass can clip or drop flagged spans.
+
+    Exactness is literal: the join key is the k-gram STRING (distinct
+    per doc, so document frequency counts documents, not occurrences)
+    — no hash, no collisions, which is what 'exact' means here. At
+    100 TB the same plan runs with a 128-bit content hash in place of
+    the string key to shrink the exchange; the fixture-scale artifact
+    keeps the string so the oracle-family SQL is byte-identical.
+    Two-pass plan (tfidf's class): (doc, gram) distinct rows shuffle
+    once; gram document-frequency aggregates the same subtree; the
+    per-doc rollup joins them back. Docs shorter than k keep a zero
+    row via the left join."""
+    t = F.filter(
+        tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
+    )
+    grams = F.when(
+        F.size(t) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.array_join(F.slice(t, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    df = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        dg.join(df, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kgrams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_kgrams", F.lit(0)).cast("long").alias("n_kgrams"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            _r(
+                F.coalesce("n_shared", F.lit(0))
+                / F.greatest(F.coalesce("n_kgrams", F.lit(0)), F.lit(1))
+            ).alias("shared_frac"),
+        )
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target: F.Column,

@@ -201,6 +201,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "semdedup": "tests/test_dedup_text.py::test_semdedup_prunes_planted_duplicates",
     "lm_surprisal": "tests/test_dedup_text.py::test_lm_surprisal_closed_form",
     "dsir_logweights": "tests/test_dedup_text.py::test_dsir_closed_form",
+    "exact_substring_stats": (
+        "tests/test_dedup_text.py::test_exact_substring_stats"
+    ),
     "stream_quality_gate": (
         "tests/test_streaming.py::test_stream_quality_gate_matches_batch"
     ),

