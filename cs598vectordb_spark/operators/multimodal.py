@@ -437,6 +437,68 @@ def media_decode_audio(media: DataFrame, n_samples: int = 64, rate: int = 8000) 
     )
 
 
+def audio_frame_features(
+    media: DataFrame,
+    n_samples: int = 64,
+    rate: int = 8000,
+    frame: int = 16,
+    hop: int = 8,
+) -> DataFrame:
+    """(doc_id, frame_id, n, rms, zcr, active): framed audio features —
+    the windowing a speech-data pipeline runs before VAD / quality
+    filtering (RMS energy + zero-crossing rate per hop window; ZCR
+    separates voiced/tonal from noisy/fricative content, RMS gates
+    silence). Samples come through the SAME real WAV round-trip as
+    media_decode_audio (payload bytes → PCM16 → encode_wav →
+    decode_wav), so the framing consumes what the codec path produces.
+
+    One Arrow kernel, one output row per frame (overlapping windows,
+    hop < frame) — per-row map, no shuffle, scales like the scan.
+    Deterministic: integer samples make the sum-of-squares and the
+    sign-transition count exact before the one rounded division;
+    `active` is a fixed RMS gate (int16 quarter-scale), the energy-VAD
+    convention. Rows-only; closed-form square-wave/silence pins in
+    tests/test_multimodal.py::test_audio_frame_features_closed_form."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        need = n_samples * 2
+        for pdf in batches:
+            ids, fids, ns, rmss, zcrs, act = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                tiled = _tile_bytes(a, need)
+                decoded, _ = decode_wav(encode_wav(tiled.view("<i2"), rate))
+                mono = decoded[:, 0].astype(np.int64)
+                fid = 0
+                for start in range(0, len(mono) - frame + 1, hop):
+                    win = mono[start : start + frame]
+                    rms = float(np.sqrt(np.square(win).sum() / frame))
+                    nonneg = win >= 0
+                    zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+                    ids.append(int(doc_id))
+                    fids.append(fid)
+                    ns.append(frame)
+                    rmss.append(round(rms, 4))
+                    zcrs.append(round(zc / (frame - 1), 4))
+                    act.append(rms > 8192.0)
+                    fid += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_id": fids,
+                    "n": ns,
+                    "rms": rmss,
+                    "zcr": zcrs,
+                    "active": act,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        kernel,
+        "doc_id long, frame_id int, n int, rms double, zcr double, active boolean",
+    )
+
+
 def media_resize_pixels(media: DataFrame, w: int = 8, h: int = 4, scale: int = 2) -> DataFrame:
     """REAL pixel resample (the op media_resize only *plans*): decode the
     payload's BMP via the real codec, nearest-neighbor downsample by

@@ -75,6 +75,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(_media(spark, sf_dir))
 
 
+@register("media_audio_frames")
+def q_media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed audio features through the real WAV round-trip: per hop
+    window, RMS energy + zero-crossing rate + a fixed energy-VAD gate —
+    the windowing a speech-data pipeline runs before voice-activity /
+    quality filtering. Rows-only (sample framing has no SQL twin at
+    reasonable cost); square-wave/silence closed forms pinned in
+    tests/test_multimodal.py::test_audio_frame_features_closed_form."""
+    from cs598vectordb_spark.operators.multimodal import audio_frame_features
+
+    return audio_frame_features(_media(spark, sf_dir))
+
+
 @register(
     "media_frame_sample",
     f"""

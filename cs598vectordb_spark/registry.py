@@ -204,6 +204,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "exact_substring_stats": (
         "tests/test_dedup_text.py::test_exact_substring_stats"
     ),
+    "media_audio_frames": (
+        "tests/test_multimodal.py::test_audio_frame_features_closed_form"
+    ),
     "stream_quality_gate": (
         "tests/test_streaming.py::test_stream_quality_gate_matches_batch"
     ),

@@ -260,3 +260,46 @@ def test_media_decode_pnm_queries(spark, sf_dir):
     assert pgm.filter(F.col("px_checksum") != F.col("sum_px") % 997).count() == 0
     ppm.unpersist()
     pgm.unpersist()
+
+
+def test_audio_frame_features_closed_form(spark, sf_dir):
+    """Evidence pin for the rows-only media_audio_frames entry: exact
+    RMS/ZCR on synthesized payloads whose WAV round-trip yields a known
+    square wave and known silence, plus fixture invariants (frames per
+    doc, bounds, the silence gate)."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.multimodal import (
+        audio_frame_features,
+        media_table,
+    )
+
+    # payloads whose little-endian int16 view is (a) a ±A square wave,
+    # (b) all zeros; 64 samples = 128 bytes, so _tile_bytes is identity
+    A = 12345
+    sq = np.tile(np.array([A, -A], dtype="<i2"), 32).tobytes()
+    silence = np.zeros(64, dtype="<i2").tobytes()
+    media = spark.createDataFrame(
+        [(0, bytearray(sq)), (1, bytearray(silence))], "doc_id long, payload binary"
+    )
+    got = audio_frame_features(media).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.doc_id, []).append(r)
+    # 64 samples, frame 16 hop 8 -> 7 frames each
+    assert len(by[0]) == len(by[1]) == 7
+    for r in by[0]:
+        # |x| = A everywhere -> rms = A exactly; signs alternate every
+        # sample -> 15 transitions over 15 boundaries -> zcr = 1.0
+        assert r.rms == float(A)
+        assert r.zcr == 1.0
+        assert r.active  # 12345 > 8192 energy gate
+    for r in by[1]:
+        assert (r.rms, r.zcr, r.active) == (0.0, 0.0, False)
+
+    corpus = media_table(load_table(spark, sf_dir, "documents"))
+    out = audio_frame_features(corpus)
+    n_docs = corpus.count()
+    assert out.count() == 7 * n_docs  # every payload tiles to 64 samples
+    assert out.filter((F.col("zcr") < 0) | (F.col("zcr") > 1)).count() == 0
+    assert out.filter(F.col("rms") < 0).count() == 0
