@@ -324,6 +324,64 @@ def test_repetition_scores_is_projection_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_repetition_scores_single_evaluation(spark, sf_dir):
+    """Regression pin for the r11 review finding: each top-gram
+    (chars, count) struct must be built ONCE — the optimized plan holds
+    exactly one sort_array per array (sents + words + 3 top-gram sizes
+    + 6 dup-gram sizes = 11), not 14 (the doubled-struct shape)."""
+    from cs598vectordb_spark.operators.textops import repetition_scores
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    opt = repetition_scores(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("sort_array") == 11, opt.count("sort_array")
+
+
+def test_lm_surprisal_two_generates_and_no_python(spark, sf_dir):
+    """lm_surprisal's plan class (pinned after the r11 review fix): the
+    token stream is exploded exactly twice (tf side + vocab rollup —
+    the tfidf two-pass shape; an in-plan global total would add a
+    third), the vocabulary joins back without a cartesian, and nothing
+    is per-row Python."""
+    from cs598vectordb_spark.operators.textops import lm_surprisal
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = lm_surprisal(docs)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Generate") == 2, phys.count("Generate")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_broadcasts_bucket_table(spark, sf_dir):
+    """DSIR's per-doc scoring joins the ≤n_buckets-row weight table by
+    BROADCAST (the corpus-sized side never shuffles against it twice),
+    with no cartesian and no per-row Python."""
+    from cs598vectordb_spark.operators.textops import dsir_logweights
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(dsir_logweights(docs, F.col("lang") == "en"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_exact_substring_no_cartesian_no_global_window(spark, sf_dir):
+    """ExactSubstr stats must stay in the gram-keyed two-pass class: no
+    cartesian pair stage, no single-partition window, no Python."""
+    from cs598vectordb_spark.operators.textops import exact_substring_stats
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(exact_substring_stats(docs, k=10))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_mixture_sample_partitions_by_source_and_broadcasts_quota(spark, sf_dir):
     """The mixing draw shuffles ONCE (window keyed by source) and joins
     the |sources|-sized quota table by broadcast — never a shuffle join
