@@ -177,6 +177,46 @@ def knn_exact_expr(
     )
 
 
+def hard_negatives(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+    max_cos: float = 0.95,
+    expand: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, rank, vec_id, cos_sim): hard-negative mining for
+    contrastive embedding training (the SimCSE/E5/DPR recipe): per
+    anchor, the most-similar vectors that are NOT the anchor itself and
+    NOT near-duplicates (cosine > max_cos — those are false negatives
+    that poison the contrastive loss; semdedup/embedding_near_dup find
+    them, this op EXCLUDES them). High-similarity-but-distinct is
+    exactly what makes a negative hard.
+
+    Plan: the exact cosine kernel with an expansion factor (expand·k +
+    a pad), then the near-dup/self filter and one per-query re-rank
+    window — the same post-filter-with-expansion shape as
+    knn_graph2_filtered; if a query has more than (expand−1)·k
+    near-dups the tail truncates (the documented expansion tradeoff).
+    Only top-k candidate rows reach the shuffle, never the base."""
+    cand = knn_exact(base, queries, k=expand * k + 8, metric="cosine")
+    kept = cand.filter(
+        (F.col("vec_id") != F.col("q_id")) & (F.col("dist") <= max_cos)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").desc(), F.col("vec_id").asc())
+    return (
+        kept.withColumn("new_rank", F.row_number().over(w))
+        .filter(F.col("new_rank") <= k)
+        .select(
+            "q_id",
+            F.col("new_rank").alias("rank"),
+            "vec_id",
+            F.round(F.col("dist"), 6).alias("cos_sim"),
+        )
+    )
+
+
 def knn_collect(knn: DataFrame) -> DataFrame:
     """Reshape long kNN rows into one row per query with a rank-ordered id
     list (the reference's (D, I) matrix form, Q4 — e.g. Milvus result

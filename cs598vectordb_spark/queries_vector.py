@@ -146,6 +146,22 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, q, k=_K, metric="cosine").select("q_id", "rank", "vec_id")
 
 
+@register("hard_negatives")
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor, the most-cosine-similar vectors that are neither the anchor
+    nor near-duplicates (cosine > 0.95 excluded — false negatives
+    poison the contrastive loss). Post-filter-with-expansion over the
+    exact kernel. Rows-only (oracle budget 99/100; the SQL twin is
+    knn_cosine's with the extra predicates — promotable when a slot
+    frees); planted-duplicate exclusion and ordering pinned in
+    tests/test_knn.py::test_hard_negatives_excludes_near_dups."""
+    emb, q = _load_q(spark, sf_dir)
+    from cs598vectordb_spark.operators.knn import hard_negatives
+
+    return hard_negatives(emb, q, k=_K, max_cos=0.95)
+
+
 @register(
     "knn_filtered",
     f"""

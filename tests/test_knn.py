@@ -226,3 +226,38 @@ def test_pca_recall_high_on_low_rank_data(spark):
     pred = knn_exact(proj, pq, k=10)
     rec = recall_at_k(pred, truth, 10).collect()[0][0]
     assert rec >= 0.9, (rec, captured)
+
+
+def test_hard_negatives_excludes_near_dups(spark, sf_dir):
+    """Evidence pin for the rows-only hard_negatives entry: a planted
+    exact duplicate of an anchor (cosine 1.0) must NOT appear among its
+    negatives while the true most-similar-but-distinct vectors do, the
+    anchor never returns itself, every similarity respects the near-dup
+    ceiling, and ranks descend by similarity."""
+    from cs598vectordb_spark.operators.knn import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    base = emb.union(dup)
+    q = queries_from_embeddings(emb, 5)
+    got = hard_negatives(base, q, k=K, max_cos=0.95).cache()
+
+    rows = got.collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for qid, rs in by_q.items():
+        ids = [r.vec_id for r in rs]
+        assert qid not in ids  # never the anchor itself
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(s <= 0.95 for s in sims)
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == list(
+            range(1, len(rs) + 1)
+        )
+    # the planted exact duplicate of anchor 0 (cosine 1.0) is excluded
+    assert 100000 not in [r.vec_id for r in by_q[0]]
+    got.unpersist()
