@@ -600,6 +600,30 @@ def main() -> int:
         3,
     )
 
+    # Text-pipeline throughput at the bench SF: seconds and corpus MB/s
+    # for the quality/selection bank — converts each gate's "scales
+    # like the scan" claim into a rate a capacity plan can use (the
+    # denominator is raw text bytes, the unit crawl pipelines are
+    # priced in). Executed via planmetrics so iterative/eager stages
+    # inside a call are included.
+    docs_b = load_table(spark, sf_dir, "documents")
+    corpus_mb = (
+        docs_b.agg(F.sum(F.length("text"))).collect()[0][0] or 0
+    ) / 1048576
+    text_ops = {"corpus_mb": round(corpus_mb, 2)}
+    for name in (
+        "clean_text",
+        "repetition_scores",
+        "lm_surprisal",
+        "dsir_logweights",
+        "exact_substring_stats",
+    ):
+        m = executed_plan_metrics(lambda n=name: qs[n](spark, sf_dir), spark=spark)
+        text_ops[name] = {
+            "seconds": m["seconds"],
+            "mb_per_s": round(corpus_mb / max(m["seconds"], 1e-9), 2),
+        }
+
     # Executed partition-pruning evidence at SERVING batch size: rows
     # the probes' scans actually MATERIALIZED for a 5-query batch
     # against the parquet-materialized indexes, vs the exact kernel's
@@ -745,6 +769,7 @@ def main() -> int:
         "dynamic_recall_curves": dyn_curves,
         "dedup_scaling": dedup_scaling,
         "semdedup_scaling": semdedup_scaling,
+        "text_ops": text_ops,
         "probe_scan_rows": probe_scan_rows,
         "zorder_scan": zorder_scan,
         "large_base": large_base,

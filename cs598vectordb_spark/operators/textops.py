@@ -622,6 +622,53 @@ def mixture_sample(
     )
 
 
+def clean_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tags, n_entities, n_ctrl, clean_len, clean_md5): the
+    CLEANING transform itself (the trafilatura-lite pass every web
+    pipeline runs before quality scoring) — not a statistic: strip
+    HTML-ish tags, unescape the five core entities (&amp; last, so
+    '&amp;lt;' becomes the literal '&lt;' and never a tag), drop
+    control characters, collapse whitespace. Per-kind counts ride
+    along; the cleaned text faces tests (and a future oracle) through
+    its md5, the chunk_documents trick for unsortable long strings.
+
+    Staged regexp_replace chain — pure codegen projection, zero
+    shuffle, scales like the scan; the stage ORDER is the semantics
+    (tags before entities: '&lt;b&gt;' must not become a strippable
+    tag). ANSI-expressible end to end (DuckDB shares regexp_replace/
+    md5) — promotable when an oracle slot frees; known-document pins in
+    tests/test_dedup_text.py::test_clean_text_known_documents."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tag = r"<[^>]+>"
+    ctrl = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    n_tags = F.regexp_count(t, F.lit(tag))
+    no_tags = F.regexp_replace(t, tag, " ")
+    ent_pat = r"&(amp|lt|gt|quot|apos);"
+    n_ents = F.regexp_count(no_tags, F.lit(ent_pat))
+    unescaped = no_tags
+    for pat, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        unescaped = F.replace(unescaped, F.lit(pat), F.lit(rep))
+    n_ctrl = F.regexp_count(unescaped, F.lit(ctrl))
+    no_ctrl = F.regexp_replace(unescaped, ctrl, " ")
+    clean = F.regexp_replace(F.trim(no_ctrl), r"\s+", " ")
+    return docs.select(
+        F.col(id_col),
+        n_tags.alias("n_tags"),
+        n_ents.alias("n_entities"),
+        n_ctrl.alias("n_ctrl"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
 def exact_substring_stats(
     docs: DataFrame, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -755,6 +755,18 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(docs)
 
 
+@register("clean_text")
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML/entity/control-char cleaning transform (trafilatura-lite)
+    with per-kind counts and the cleaned text's md5 — the stage that
+    FEEDS every other text operator in a real crawl pipeline. Rows-only
+    (oracle budget 99/100; staged regexp chain is ANSI-shared —
+    promotable when a slot frees); markup/entity/control semantics
+    pinned in tests/test_dedup_text.py::test_clean_text_known_documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.clean_text(docs)
+
+
 @register("exact_substring_stats")
 def q_exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr cross-document duplication signal (Lee et al. 2021):

@@ -580,6 +580,42 @@ def test_lm_surprisal_closed_form(spark, sf_dir):
     assert out.filter(F.col("perplexity") < 1.0).count() == 0
 
 
+def test_clean_text_known_documents(spark, sf_dir):
+    """Evidence pin for the rows-only clean_text entry: tag stripping,
+    double-escape-safe entity unescaping (&amp;lt; must become the
+    LITERAL '&lt;', never a strippable tag), control-char removal, and
+    whitespace collapse — each checked through the cleaned text's md5
+    against a Python reference of the same staged pipeline."""
+    import hashlib
+
+    rows = [
+        (0, "<p>Hello <b>world</b></p>"),
+        (1, "Tom &amp; Jerry say &lt;hi&gt;"),
+        (2, "double &amp;lt; escape"),
+        (3, "ctrl\x00chars\x1fhere"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.clean_text(docs).collect()}
+
+    expect = {
+        0: ("Hello world", 4, 0, 0),
+        1: ('Tom & Jerry say <hi>', 0, 3, 0),
+        2: ("double &lt; escape", 0, 1, 0),
+        3: ("ctrl chars here", 0, 0, 2),
+        4: ("", 0, 0, 0),
+    }
+    for d, (clean, n_tags, n_ents, n_ctrl) in expect.items():
+        r = got[d]
+        assert (r.n_tags, r.n_entities, r.n_ctrl) == (n_tags, n_ents, n_ctrl), (d, r)
+        assert r.clean_len == len(clean), (d, r)
+        assert r.clean_md5 == hashlib.md5(clean.encode()).hexdigest(), (d, clean)
+
+    corpus = load_table(spark, sf_dir, "documents")
+    out = textops.clean_text(corpus)
+    assert out.count() == corpus.count()
+
+
 def test_exact_substring_stats(spark, sf_dir):
     """Evidence pin for the rows-only exact_substring_stats entry: a
     planted 10-token verbatim quote inside two otherwise-unrelated
