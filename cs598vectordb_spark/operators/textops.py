@@ -740,8 +740,14 @@ def dsir_logweights(
     standard recipe for selecting web-scale pretraining data that looks
     like a high-quality target corpus. Features are hashed word
     unigrams + bigrams (the paper's 10K-bucket hashed n-grams; the
-    hash is the engine's polynomial rolling hash, shared with the
-    DuckDB oracle family); per-bucket probabilities are Laplace-
+    hash is Spark's native xxhash64 — codegen, one call per feature;
+    the r11 first cut used the per-character rolling hash for DuckDB
+    parity and measured 0.08 MB/s at the bench SF, ~50× under the rest
+    of the text bank, so the hash is the one deliberate departure from
+    oracle-shared primitives — an oracle twin would re-derive buckets
+    from a Spark-side (feature → bucket) export, or swap hashes at
+    promotion time; the formula is hash-agnostic); per-bucket
+    probabilities are Laplace-
     smoothed MLEs over the TARGET slice (rows where `target` is true)
     and the RAW corpus; a document's log importance weight is
     Σ_features count·(ln p_target[bucket] − ln p_raw[bucket]) — high
@@ -758,8 +764,14 @@ def dsir_logweights(
     Rows-only (oracle budget 99/100); closed-form values pinned in
     tests/test_dedup_text.py::test_dsir_closed_form and the
     language-separation invariant alongside."""
-    t = tokens(normalize_ws(F.col(text_col)))
-    t = F.filter(t, lambda w: F.length(w) > 0)
+    tok_expr = F.filter(
+        tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
+    )
+    # tokens materialized as a COLUMN before the bigram lambda — a free
+    # array expression inside a transform body re-evaluates per element
+    # (the whole regex split per bigram): 23.7 s → ~2 s at sf0.1 (r11)
+    mid = docs.select(F.col(id_col), target.alias("_is_t"), tok_expr.alias("_ws"))
+    t = F.col("_ws")
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
     bigrams = F.when(
         F.size(t) >= 2,
@@ -772,20 +784,20 @@ def dsir_logweights(
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(t, bigrams)
 
-    totals = docs.agg(
+    totals = mid.agg(
         F.coalesce(F.sum(F.size(feats)), F.lit(0)).alias("raw"),
-        F.coalesce(F.sum(F.when(target, F.size(feats)).otherwise(0)), F.lit(0)).alias(
-            "tgt"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("_is_t"), F.size(feats)).otherwise(0)), F.lit(0)
+        ).alias("tgt"),
     ).collect()[0]
     t_raw, t_tgt = int(totals["raw"]), int(totals["tgt"])
 
-    exploded = docs.select(
-        F.col(id_col), target.alias("_is_t"), F.explode(feats).alias("feat")
+    exploded = mid.select(
+        F.col(id_col), F.col("_is_t"), F.explode(feats).alias("feat")
     ).select(
         id_col,
         "_is_t",
-        F.pmod(rolling_hash("feat"), F.lit(n_buckets)).alias("bucket"),
+        F.pmod(F.xxhash64("feat"), F.lit(n_buckets)).alias("bucket"),
     )
     per_doc = exploded.groupBy(id_col, "bucket").agg(
         F.count(F.lit(1)).alias("c")
@@ -970,7 +982,13 @@ def ngram_profile(docs: DataFrame, topk: int = 5) -> DataFrame:
     the dedup shingles), one explode + one shuffle on (lang, gram), then a
     per-lang top-k window. Ties break on the gram string ascending so the
     ranking is deterministic cross-engine."""
-    t = tokens(normalize_ws(F.col("text")))
+    # tokens FIRST materialized as a column, THEN referenced in the
+    # gram lambda: a free (non-column) array expression inside a
+    # transform body is re-evaluated per element — the whole
+    # regex-split per bigram, measured 11.1 s → 0.4 s at sf0.1 (r11;
+    # same fix as dsir_logweights)
+    mid = docs.select("lang", tokens(normalize_ws(F.col("text"))).alias("_ts"))
+    t = F.col("_ts")
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
     grams = F.transform(
         idx,
@@ -978,7 +996,7 @@ def ngram_profile(docs: DataFrame, topk: int = 5) -> DataFrame:
             " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
         ),
     )
-    exploded = docs.select("lang", F.explode(grams).alias("gram"))
+    exploded = mid.select("lang", F.explode(grams).alias("gram"))
     counts = exploded.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
     return (

@@ -661,8 +661,6 @@ def test_dsir_closed_form(spark, sf_dir):
     docs (disjoint vocabularies force the separation)."""
     import math
 
-    from cs598vectordb_spark.functions.text import ROLLING_MOD
-
     rows = [
         (0, "the cat sat", "en"),
         (1, "the dog ran fast", "en"),
@@ -676,17 +674,28 @@ def test_dsir_closed_form(spark, sf_dir):
     }
 
     B = 10_000
-
-    def roll(s: str) -> int:
-        h = 0
-        for ch in s:
-            h = (h * 31 + ord(ch)) % ROLLING_MOD
-        return h
+    # bucket assignments come from the ENGINE's own hash expression (the
+    # reference reimplements the weighting math, not xxhash64)
+    all_feats = sorted(
+        {
+            f
+            for _, text, _ in rows
+            for ws in [text.split()]
+            for f in ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        }
+    )
+    fdf = spark.createDataFrame([(f,) for f in all_feats], "feat string")
+    bucket_of = {
+        r.feat: r.b
+        for r in fdf.select(
+            "feat", F.pmod(F.xxhash64("feat"), F.lit(B)).alias("b")
+        ).collect()
+    }
 
     def feats(text: str) -> list[int]:
         ws = text.split()
         fs = ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
-        return [roll(f) % B for f in fs]
+        return [bucket_of[f] for f in fs]
 
     from collections import Counter
 
