@@ -606,9 +606,11 @@ def main() -> int:
     # denominator is raw text bytes, the unit crawl pipelines are
     # priced in). Executed via planmetrics so iterative/eager stages
     # inside a call are included.
+    # octet_length, not length: the corpus has zh documents whose
+    # characters are ~3 UTF-8 bytes, and "MB" here means bytes
     docs_b = load_table(spark, sf_dir, "documents")
     corpus_mb = (
-        docs_b.agg(F.sum(F.length("text"))).collect()[0][0] or 0
+        docs_b.agg(F.sum(F.octet_length("text"))).collect()[0][0] or 0
     ) / 1048576
     text_ops = {"corpus_mb": round(corpus_mb, 2)}
     for name in (

@@ -200,7 +200,9 @@ def hard_negatives(
     knn_graph2_filtered; if a query has more than (expand−1)·k
     near-dups the tail truncates (the documented expansion tradeoff).
     Only top-k candidate rows reach the shuffle, never the base."""
-    cand = knn_exact(base, queries, k=expand * k + 8, metric="cosine")
+    cand = knn_exact(
+        base, queries, k=expand * k + 8, metric="cosine", id_col=id_col, vec_col=vec_col
+    )
     kept = cand.filter(
         (F.col("vec_id") != F.col("q_id")) & (F.col("dist") <= max_cos)
     )

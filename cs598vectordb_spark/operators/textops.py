@@ -658,7 +658,10 @@ def clean_text(
         unescaped = F.replace(unescaped, F.lit(pat), F.lit(rep))
     n_ctrl = F.regexp_count(unescaped, F.lit(ctrl))
     no_ctrl = F.regexp_replace(unescaped, ctrl, " ")
-    clean = F.regexp_replace(F.trim(no_ctrl), r"\s+", " ")
+    # collapse BEFORE trim: F.trim strips only ASCII spaces, so a doc
+    # starting/ending with \n or \t would otherwise keep a stray edge
+    # space after the collapse (review finding r11, verified live)
+    clean = F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
     return docs.select(
         F.col(id_col),
         n_tags.alias("n_tags"),
@@ -690,10 +693,14 @@ def exact_substring_stats(
     Two-pass plan (tfidf's class): (doc, gram) distinct rows shuffle
     once; gram document-frequency aggregates the same subtree; the
     per-doc rollup joins them back. Docs shorter than k keep a zero
-    row via the left join."""
-    t = F.filter(
+    row via the left join. The token array is materialized as a COLUMN
+    before the window lambda (the per-element re-evaluation class
+    fixed across the bank in r11)."""
+    tok_expr = F.filter(
         tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
     )
+    mid = docs.select(F.col(id_col), tok_expr.alias("_ws"))
+    t = F.col("_ws")
     grams = F.when(
         F.size(t) >= k,
         F.array_distinct(
@@ -703,7 +710,7 @@ def exact_substring_stats(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    dg = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    dg = mid.select(F.col(id_col), F.explode(grams).alias("gram"))
     df = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     per = (
         dg.join(df, "gram")

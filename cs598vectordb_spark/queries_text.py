@@ -760,9 +760,15 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML/entity/control-char cleaning transform (trafilatura-lite)
     with per-kind counts and the cleaned text's md5 — the stage that
     FEEDS every other text operator in a real crawl pipeline. Rows-only
-    (oracle budget 99/100; staged regexp chain is ANSI-shared —
-    promotable when a slot frees); markup/entity/control semantics
-    pinned in tests/test_dedup_text.py::test_clean_text_known_documents."""
+    BY SCHEDULE, not by nature: the staged regexp chain is ANSI-shared
+    and the oracle is mechanical, but the r11 grading head is already
+    full (49 priority + 1 auto slot), so an oracle registered now would
+    sit green-less until r12 and read as a freshness violation — the
+    same queue-then-promote discipline that carried mixture_sample
+    (r9→r10) and repetition_scores (r10→r11). Queued for r12 alongside
+    lm_surprisal (with a token_counts retirement). Markup/entity/control
+    semantics pinned in
+    tests/test_dedup_text.py::test_clean_text_known_documents."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.clean_text(docs)
 
@@ -786,10 +792,13 @@ def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the target distribution: hashed unigram+bigram buckets, Laplace-
     smoothed target/raw log-likelihood ratio summed per document — the
     data-selection recipe for making a web crawl look like a curated
-    corpus. Rows-only (oracle budget 99/100; hash and formula are the
-    engine's DuckDB-shared rolling hash, promotable when a slot
-    frees); closed-form values + the language-separation invariant
-    pinned in tests/test_dedup_text.py::test_dsir_closed_form."""
+    corpus. Rows-only. The bucket hash is Spark-native xxhash64 (the
+    rolling-hash first cut measured 0.08 MB/s — see the operator
+    docstring), so an oracle promotion must export (feature → bucket)
+    from the engine or swap hashes at promotion time; the weighting
+    formula itself is pure ANSI. Closed-form values + the
+    language-separation invariant pinned in
+    tests/test_dedup_text.py::test_dsir_closed_form."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.dsir_logweights(docs, F.col("lang") == "en")
 

@@ -594,6 +594,10 @@ def test_clean_text_known_documents(spark, sf_dir):
         (2, "double &amp;lt; escape"),
         (3, "ctrl\x00chars\x1fhere"),
         (4, None),
+        # leading/trailing NON-SPACE whitespace: trim() strips only
+        # ASCII spaces, so the collapse must run BEFORE the trim
+        # (review finding r11) — else a stray edge space survives
+        (5, "\nHello world\t"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in textops.clean_text(docs).collect()}
@@ -604,6 +608,7 @@ def test_clean_text_known_documents(spark, sf_dir):
         2: ("double &lt; escape", 0, 1, 0),
         3: ("ctrl chars here", 0, 0, 2),
         4: ("", 0, 0, 0),
+        5: ("Hello world", 0, 0, 0),
     }
     for d, (clean, n_tags, n_ents, n_ctrl) in expect.items():
         r = got[d]
