@@ -622,6 +622,70 @@ def mixture_sample(
     )
 
 
+def corpus_topics(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n_topics: int = 8,
+    topk: int = 5,
+    seed: int | None = None,
+) -> DataFrame:
+    """(topic_id, n_docs, rank, token, lift): the corpus MAP — embed-
+    space k-means topics labeled by their most DISTINCTIVE tokens (the
+    Nomic-Atlas / BERTopic-style exploration view a curation team uses
+    to see what a crawl actually contains). Clusters come from the
+    embedding table (distributed MLlib KMeans, seeded — doc_id and
+    vec_id share an id space, FIXTURES.md); labels come from the text:
+    per (topic, token), lift = P(token | topic) / P(token | corpus),
+    smoothed, ranked per topic with deterministic (lift DESC, token
+    ASC) ties. High-lift tokens are what the topic talks about that
+    the corpus at large does not.
+
+    The one cross-modal join in the text bank: vectors pick the
+    blocks, tokens name them. Plan: KMeans fit + one broadcast-able
+    (doc_id → topic) join + the tfidf-class two-pass token aggs + a
+    per-topic top-k window (WindowGroupLimit). Rows-only (seeded
+    KMeans assignment is engine-internal); structure + determinism
+    pinned in tests/test_dedup_text.py::test_corpus_topics."""
+    from cs598vectordb_spark.config import SEED
+    from cs598vectordb_spark.operators.index import build_ivf_index_mllib
+
+    idx = build_ivf_index_mllib(
+        embeddings, nlist=n_topics, seed=SEED if seed is None else seed
+    )
+    assign = idx.assigned.select(
+        F.col("vec_id").alias("doc_id"), F.col("centroid_id").alias("topic_id")
+    )
+    toks = (
+        docs.join(assign, "doc_id")
+        .select("topic_id", F.explode(tokens(normalize_ws(F.col("text")))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    per_topic = toks.groupBy("topic_id", "token").agg(F.count(F.lit(1)).alias("c_t"))
+    corpus = per_topic.groupBy("token").agg(F.sum("c_t").alias("c_all"))
+    topic_tot = per_topic.groupBy("topic_id").agg(F.sum("c_t").alias("n_topic"))
+    total = int(corpus.agg(F.sum("c_all")).collect()[0][0] or 0)
+    n_docs = assign.groupBy("topic_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        per_topic.join(F.broadcast(topic_tot), "topic_id")
+        .join(corpus, "token")
+        .select(
+            "topic_id",
+            "token",
+            _r(
+                (F.col("c_t").cast("double") / F.col("n_topic"))
+                / ((F.col("c_all").cast("double") + 1.0) / float(max(total, 1) + 1))
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("topic_id").orderBy(F.col("lift").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .join(F.broadcast(n_docs), "topic_id")
+        .select("topic_id", "n_docs", "rank", "token", "lift")
+    )
+
+
 def clean_text(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -755,6 +755,19 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(docs)
 
 
+@register("corpus_topics")
+def q_corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus map: embedding-space k-means topics labeled by their
+    highest-lift tokens — the cross-modal (vectors pick the blocks,
+    tokens name them) exploration view a curation team runs over a new
+    crawl. Rows-only (seeded MLlib KMeans assignment is
+    engine-internal); structure, determinism, and the lift ordering
+    pinned in tests/test_dedup_text.py::test_corpus_topics."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return textops.corpus_topics(docs, emb, n_topics=8, topk=5)
+
+
 @register("clean_text")
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML/entity/control-char cleaning transform (trafilatura-lite)

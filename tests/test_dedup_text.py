@@ -580,6 +580,32 @@ def test_lm_surprisal_closed_form(spark, sf_dir):
     assert out.filter(F.col("perplexity") < 1.0).count() == 0
 
 
+def test_corpus_topics(spark, sf_dir):
+    """Evidence pin for the rows-only corpus_topics entry: exactly topk
+    ranked labels per discovered topic, deterministic across runs
+    (seeded KMeans + lexicographic lift ties), doc counts conserve the
+    corpus, and every label's lift is positive (a topic's top token
+    must be over-represented vs the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = textops.corpus_topics(docs, emb, n_topics=8, topk=5)
+    rows = a.collect()
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r.topic_id, []).append(r)
+    assert 1 <= len(by_topic) <= 8
+    assert sum(rs[0].n_docs for rs in by_topic.values()) == docs.count()
+    for rs in by_topic.values():
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r.lift > 0 for r in rs)
+        ordered = sorted(rs, key=lambda r: r.rank)
+        lifts = [r.lift for r in ordered]
+        assert lifts == sorted(lifts, reverse=True), lifts  # rank = lift order
+    # determinism: a second invocation yields identical rows
+    b = textops.corpus_topics(docs, emb, n_topics=8, topk=5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_clean_text_known_documents(spark, sf_dir):
     """Evidence pin for the rows-only clean_text entry: tag stripping,
     double-escape-safe entity unescaping (&amp;lt; must become the
