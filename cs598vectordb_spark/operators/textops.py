@@ -943,6 +943,66 @@ def curate_corpus(
     )
 
 
+def export_training_set(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "es", "de"),
+) -> DataFrame:
+    """(shard, n_docs, n_tokens, total_chars, ids_md5): the LAST MILE —
+    materialize the curated corpus as `n_shards` hash-sharded parquet
+    shards under out_dir and return the manifest a training job (and an
+    auditor) consumes. The funnel is curate_corpus's own (canonical
+    docs, allowed languages, quality floor); sharding is
+    pmod(xxhash64(doc_id), n_shards) so shard membership is
+    content-independent and stable across re-crawls; ids_md5 is the md5
+    of the shard's SORTED doc_id list — two exports of the same corpus
+    are byte-comparable by manifest alone, and a lost/duplicated doc
+    flips the hash.
+
+    Plan: the curation joins (each keeping its own at-scale shape) →
+    one partitionBy(shard) write (a single pass; shard count chosen for
+    target file sizes at scale) → manifest = per-shard aggregate over
+    the WRITTEN files (reading back what was written, not what was
+    intended — the audit stance). Deterministic and idempotent: same
+    corpus ⇒ same manifest (pinned in
+    tests/test_dedup_text.py::test_export_training_set)."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.dedup import dedup_exact
+
+    q = quality_scores(docs).select("doc_id", "quality", "n_tokens")
+    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
+    kept = (
+        docs.select("doc_id", "lang", "text", "n_chars")
+        .filter(F.col("lang").isin(list(langs)))
+        .join(canon, "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality") >= min_quality)
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
+    )
+    path = _os.path.join(out_dir, "shards")
+    kept.select("shard", "doc_id", "lang", "text", "n_tokens", "n_chars").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(path)
+    written = kept.sparkSession.read.parquet(path)
+    return written.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
+
+
 def tfidf_keywords(docs: DataFrame, topk: int = 3) -> DataFrame:
     """(doc_id, rank, token, tf, df, tfidf): the top-k characteristic
     tokens per document — frequent in the doc, rare in the corpus. The

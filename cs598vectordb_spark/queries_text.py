@@ -755,6 +755,25 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(docs)
 
 
+@register("export_training_set")
+def q_export_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last-mile export: curated corpus written as hash-sharded
+    parquet + the checksummed manifest a training job consumes (per
+    shard: doc/token/char totals and the md5 of the sorted doc_id
+    list — two exports of the same corpus are byte-comparable by
+    manifest alone). Rows-only (the ids_md5 depends on the engine's
+    own write/read round-trip — the point); determinism, conservation
+    vs the curation funnel, and idempotence pinned in
+    tests/test_dedup_text.py::test_export_training_set."""
+    import os as _os
+
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = _os.path.join(_io_dir(sf_dir, "export_ts"), "v1")
+    return textops.export_training_set(docs, out, n_shards=8)
+
+
 @register("corpus_topics")
 def q_corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus map: embedding-space k-means topics labeled by their

@@ -210,6 +210,7 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "hard_negatives": "tests/test_knn.py::test_hard_negatives_excludes_near_dups",
     "clean_text": "tests/test_dedup_text.py::test_clean_text_known_documents",
     "corpus_topics": "tests/test_dedup_text.py::test_corpus_topics",
+    "export_training_set": "tests/test_dedup_text.py::test_export_training_set",
     "stream_quality_gate": (
         "tests/test_streaming.py::test_stream_quality_gate_matches_batch"
     ),

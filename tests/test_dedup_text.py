@@ -580,6 +580,48 @@ def test_lm_surprisal_closed_form(spark, sf_dir):
     assert out.filter(F.col("perplexity") < 1.0).count() == 0
 
 
+def test_export_training_set(spark, sf_dir, tmp_path):
+    """Evidence pin for the rows-only export_training_set entry: the
+    manifest's totals conserve the curation funnel exactly, every kept
+    doc lands in exactly one shard, a re-export of the same corpus
+    yields an IDENTICAL manifest (ids_md5 included — the
+    byte-comparability claim), and the written shards round-trip the
+    kept doc_id set."""
+    from cs598vectordb_spark.operators.dedup import dedup_exact
+    from cs598vectordb_spark.operators.textops import (
+        export_training_set,
+        quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    m1 = export_training_set(docs, str(tmp_path / "e1"), n_shards=8).collect()
+
+    q = quality_scores(docs).select("doc_id", "quality")
+    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
+    kept = (
+        docs.select("doc_id", "lang")
+        .filter(F.col("lang").isin(["en", "es", "de"]))
+        .join(canon, "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+    )
+    n_kept = kept.count()
+    assert sum(r.n_docs for r in m1) == n_kept > 0
+    assert len(m1) <= 8 and len({r.shard for r in m1}) == len(m1)
+
+    # written shards hold exactly the kept ids, each once
+    written = spark.read.parquet(str(tmp_path / "e1" / "shards"))
+    assert written.count() == n_kept
+    assert written.select("doc_id").distinct().count() == n_kept
+    assert written.join(kept.select("doc_id"), "doc_id").count() == n_kept
+
+    # idempotence: same corpus -> identical manifest, checksums included
+    m2 = export_training_set(docs, str(tmp_path / "e2"), n_shards=8).collect()
+    assert sorted(map(tuple, m1), key=lambda t: t[0]) == sorted(
+        map(tuple, m2), key=lambda t: t[0]
+    )
+
+
 def test_corpus_topics(spark, sf_dir):
     """Evidence pin for the rows-only corpus_topics entry: exactly topk
     ranked labels per discovered topic, deterministic across runs
