@@ -70,7 +70,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # fine fill (flagship refresh). r12 outlook: the 49 r10-graded entries
 # + knn_cosine − knn_exact's r11 auto-refresh = 49 due, leaving ONE
 # spare r12 slot — at most one r12 birth without a same-round
-# retirement (policy above).
+# retirement (policy above). r12 PROMOTION QUEUE (noted r11):
+# lm_surprisal (pure ANSI; pair with a token_counts retirement — its
+# n_tokens_ws duplicates doc_stats' n_tokens, the shared-oracle
+# retirement class) and clean_text (staged regexp chain, mechanical
+# SQL twin). token_counts is itself r12-due, so retiring it ALSO frees
+# its due slot: 48 due + 2 births = 50 — exactly at capacity with zero
+# spare; promote just ONE of the queue if any changed-evidence
+# re-grade is expected that round.
 _PRIORITY: tuple[str, ...] = (
     # --- r11 slot 1: oracle birth + changed evidence.
     "repetition_scores",
