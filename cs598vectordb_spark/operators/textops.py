@@ -943,6 +943,62 @@ def curate_corpus(
     )
 
 
+def curation_funnel_report(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "es", "de"),
+) -> DataFrame:
+    """(stage_id, stage, n_in, n_dropped, n_out): the funnel DASHBOARD —
+    how many documents each curation gate drops, in pipeline order
+    (lang filter → exact dedup → Gopher repetition bank → quality
+    floor). This is the one view a curation team actually watches: a
+    gate suddenly dropping 40% is a crawl regression; a gate dropping
+    ~0% is dead weight. Composes the engine's own operators
+    (stage-by-stage the same funnel curate_corpus/export_training_set
+    apply), so the report IS the pipeline, not a parallel recount.
+
+    Plan: the per-stage keep-sets chain as successive semi-join-style
+    filters; the report is a union of 1-row aggregates over the shared
+    lineage (Spark evaluates each count as a partial-agg — no collect,
+    no loop). Conservation (n_in − n_dropped = n_out, stage i's out =
+    stage i+1's in, final out = the composed filter's count) pinned in
+    tests/test_dedup_text.py::test_curation_funnel_report."""
+    from cs598vectordb_spark.operators.dedup import dedup_exact
+
+    s0 = docs.select("doc_id", "lang", "text")
+    s1 = s0.filter(F.col("lang").isin(list(langs)))
+    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
+    s2 = s1.join(canon, "doc_id")
+    rep = repetition_scores(docs).select("doc_id", "repetitive")
+    s3 = s2.join(rep, "doc_id").filter(~F.col("repetitive"))
+    q = quality_scores(docs).select("doc_id", "quality")
+    s4 = s3.join(q, "doc_id").filter(F.col("quality") >= min_quality)
+
+    stages = [
+        (1, "lang_filter", s0, s1),
+        (2, "exact_dedup", s1, s2),
+        (3, "repetition_gate", s2, s3),
+        (4, "quality_floor", s3, s4),
+    ]
+    frames = []
+    for sid, name, before, after in stages:
+        n_in = before.agg(F.count(F.lit(1)).alias("n_in"))
+        n_out = after.agg(F.count(F.lit(1)).alias("n_out"))
+        frames.append(
+            n_in.crossJoin(n_out).select(
+                F.lit(sid).alias("stage_id"),
+                F.lit(name).alias("stage"),
+                F.col("n_in"),
+                (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+                F.col("n_out"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def export_training_set(
     docs: DataFrame,
     out_dir: str,

@@ -755,6 +755,19 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(docs)
 
 
+@register("curation_funnel_report")
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard: per-gate document drop accounting in
+    pipeline order (lang → exact dedup → repetition bank → quality
+    floor) — composed from the engine's own operators so the report IS
+    the pipeline. Rows-only by schedule (pure ANSI counts; behind
+    lm_surprisal/clean_text in the r12 promotion queue); conservation
+    invariants pinned in
+    tests/test_dedup_text.py::test_curation_funnel_report."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.curation_funnel_report(docs)
+
+
 @register("export_training_set")
 def q_export_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The last-mile export: curated corpus written as hash-sharded

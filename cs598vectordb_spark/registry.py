@@ -218,6 +218,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "clean_text": "tests/test_dedup_text.py::test_clean_text_known_documents",
     "corpus_topics": "tests/test_dedup_text.py::test_corpus_topics",
     "export_training_set": "tests/test_dedup_text.py::test_export_training_set",
+    "curation_funnel_report": (
+        "tests/test_dedup_text.py::test_curation_funnel_report"
+    ),
     "stream_quality_gate": (
         "tests/test_streaming.py::test_stream_quality_gate_matches_batch"
     ),

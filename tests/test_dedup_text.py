@@ -580,6 +580,47 @@ def test_lm_surprisal_closed_form(spark, sf_dir):
     assert out.filter(F.col("perplexity") < 1.0).count() == 0
 
 
+def test_curation_funnel_report(spark, sf_dir):
+    """Evidence pin for the rows-only curation_funnel_report entry:
+    stage conservation (n_in − n_dropped = n_out; stage i's out =
+    stage i+1's in), the first stage sees the whole corpus, counts
+    never increase, and the final survivors equal the independently
+    composed filter count."""
+    from cs598vectordb_spark.operators.dedup import dedup_exact
+    from cs598vectordb_spark.operators.textops import (
+        curation_funnel_report,
+        quality_scores,
+        repetition_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(curation_funnel_report(docs).collect(), key=lambda r: r.stage_id)
+    assert [r.stage for r in rows] == [
+        "lang_filter",
+        "exact_dedup",
+        "repetition_gate",
+        "quality_floor",
+    ]
+    assert rows[0].n_in == docs.count()
+    for r in rows:
+        assert r.n_in - r.n_dropped == r.n_out
+        assert r.n_dropped >= 0
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_out == b.n_in
+
+    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
+    survivors = (
+        docs.filter(F.col("lang").isin(["en", "es", "de"]))
+        .join(canon, "doc_id")
+        .join(repetition_scores(docs).select("doc_id", "repetitive"), "doc_id")
+        .filter(~F.col("repetitive"))
+        .join(quality_scores(docs).select("doc_id", "quality"), "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .count()
+    )
+    assert rows[-1].n_out == survivors > 0
+
+
 def test_export_training_set(spark, sf_dir, tmp_path):
     """Evidence pin for the rows-only export_training_set entry: the
     manifest's totals conserve the curation funnel exactly, every kept
