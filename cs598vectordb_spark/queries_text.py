@@ -800,19 +800,53 @@ def q_corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.corpus_topics(docs, emb, n_topics=8, topk=5)
 
 
-@register("clean_text")
+# clean_text's staged chain, stage for stage in DuckDB: strip tags →
+# count+unescape the five core entities (&amp; LAST so '&amp;lt;' ends
+# as the literal '&lt;', mirroring the operator's replace order) → drop
+# control chars → collapse whitespace then trim. Plain replace() (not
+# regexp) for the entity rewrites, exactly like the Spark side.
+_CLEAN_TEXT_ORACLE = r"""
+WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '<[^>]+>')) AS n_tags,
+         regexp_replace(t, '<[^>]+>', ' ', 'g') AS no_tags
+  FROM base
+),
+s2 AS (
+  SELECT doc_id, n_tags,
+         len(regexp_extract_all(no_tags, '&(amp|lt|gt|quot|apos);')) AS n_entities,
+         replace(replace(replace(replace(replace(no_tags,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&amp;', '&') AS unescaped
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_tags, n_entities,
+         len(regexp_extract_all(unescaped, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS n_ctrl,
+         regexp_replace(unescaped, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g') AS no_ctrl
+  FROM s2
+)
+SELECT doc_id,
+       CAST(n_tags AS INTEGER) AS n_tags,
+       CAST(n_entities AS INTEGER) AS n_entities,
+       CAST(n_ctrl AS INTEGER) AS n_ctrl,
+       CAST(length(trim(regexp_replace(no_ctrl, '\s+', ' ', 'g'))) AS INTEGER) AS clean_len,
+       md5(trim(regexp_replace(no_ctrl, '\s+', ' ', 'g'))) AS clean_md5
+FROM s3
+"""
+
+
+@register("clean_text", _CLEAN_TEXT_ORACLE)
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HTML/entity/control-char cleaning transform (trafilatura-lite)
     with per-kind counts and the cleaned text's md5 — the stage that
-    FEEDS every other text operator in a real crawl pipeline. Rows-only
-    BY SCHEDULE, not by nature: the staged regexp chain is ANSI-shared
-    and the oracle is mechanical, but the r11 grading head is already
-    full (49 priority + 1 auto slot), so an oracle registered now would
-    sit green-less until r12 and read as a freshness violation — the
-    same queue-then-promote discipline that carried mixture_sample
-    (r9→r10) and repetition_scores (r10→r11). Queued for r12 alongside
-    lm_surprisal (with a token_counts retirement). Markup/entity/control
-    semantics pinned in
+    FEEDS every other text operator in a real crawl pipeline. ORACLE
+    PROMOTED r12 (the r11 queue, paired with the token_counts/
+    doc_repetition retirements): the staged regexp chain is replayed
+    stage for stage in DuckDB, so every count AND the cleaned text
+    itself (via md5 — the unsortable-long-string trick) face the gate.
+    Markup/entity/control semantics also pinned in
     tests/test_dedup_text.py::test_clean_text_known_documents."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.clean_text(docs)
@@ -848,15 +882,45 @@ def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dsir_logweights(docs, F.col("lang") == "en")
 
 
-@register("lm_surprisal")
+# Unigram-LM surprisal, formula for formula in DuckDB: p(token) is the
+# corpus MLE over the SAME normalized token stream (_TOKENS_CTE shares
+# normalize_ws+split with the operator), avg_neg_logprob is the
+# tf-weighted mean of ln(N) - ln(c), perplexity = exp(mean) of the
+# UNROUNDED mean (rounding both outputs at ORACLE_ROUND absorbs
+# summation-order fp noise, the standing oracle discipline).
+_LM_SURPRISAL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(tokens, t -> len(t) > 0)) AS token
+  FROM ({_TOKENS_CTE})
+),
+total AS (SELECT GREATEST(COUNT(*), 1) AS n FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT token, SUM(tf) AS c FROM tf GROUP BY 1),
+per AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf) AS n_tokens,
+         SUM(CAST(tf.tf AS DOUBLE)
+             * (ln(CAST((SELECT n FROM total) AS DOUBLE))
+                - ln(CAST(vocab.c AS DOUBLE)))) / SUM(tf.tf) AS anl
+  FROM tf JOIN vocab USING (token)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(per.anl, 0.0), {_R}) AS avg_neg_logprob,
+       ROUND(exp(COALESCE(per.anl, 0.0)), {_R}) AS perplexity
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+@register("lm_surprisal", _LM_SURPRISAL_ORACLE)
 def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM surprisal / perplexity per document —
     the CCNet-style typicality screen (complement of the repetition
-    bank). Rows-only this round (oracle budget 99/100): the formula is
-    pure ANSI and QUEUED for an r12 promotion paired with a
-    token_counts retirement; closed-form values pinned in
-    tests/test_dedup_text.py::test_lm_surprisal_closed_form, fixture
-    invariants alongside."""
+    bank). ORACLE PROMOTED r12 (the r11 queue): the corpus MLE, the
+    tf-weighted mean and exp() are recomputed end to end by DuckDB over
+    the shared normalized token stream. Closed-form values also pinned
+    in tests/test_dedup_text.py::test_lm_surprisal_closed_form."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.lm_surprisal(docs)
 
@@ -1005,29 +1069,32 @@ def q_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 
 
-@register(
-    "token_counts",
-    f"""
-SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
-       len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}')) AS n_tokens_bpe
-FROM documents
-""",
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace split and a BPE-ish regex
-    pre-tokenizer (the unit a training-data budget is priced in). Both are
-    single-pass JVM regex ops — no UDF, no shuffle."""
-    from pyspark.sql import functions as F
-
+def token_counts_df(docs: DataFrame) -> DataFrame:
+    """The token_counts projection (shared with the retirement pin)."""
     from cs598vectordb_spark.functions.text import token_count
 
-    docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens_ws"),
         F.regexp_count(F.col("text"), F.lit(_BPE_PAT)).alias("n_tokens_bpe"),
     )
+
+
+@register("token_counts")
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenizer (the unit a training-data budget is priced in). Both are
+    single-pass JVM regex ops — no UDF, no shuffle.
+
+    ORACLE RETIRED r12 (shared-oracle class: n_tokens_ws duplicates
+    doc_stats' n_tokens, which stays oracled; the retirement funds the
+    lm_surprisal promotion per the registry budget policy). Value-exact
+    pin: tests/test_dedup_text.py::test_token_counts_closed_form
+    recomputes both counts independently (Python re in ASCII mode, the
+    engine-neutral reading of the pattern) on known edge documents AND
+    the whole sf fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts_df(docs)
 
 
 # global (unblocked) pairs at Hamming ≤ 3 (engine side: 4×16-bit bands)
@@ -1051,32 +1118,21 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_banded_pairs(docs, max_hamming=3, n_bands=4)
 
 
-@register(
-    "doc_repetition",
-    f"""
-WITH toks AS ({_TOKENS_CTE}),
-grams AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(tokens) - 1),
-                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS gram
-  FROM toks WHERE len(tokens) >= 3
-),
-per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
-stats AS (
-  SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS mx, SUM(c) - COUNT(*) AS dup
-  FROM per GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
-       CAST(COALESCE(s.mx, 0) AS BIGINT) AS max_gram_count,
-       ROUND(COALESCE(CAST(s.dup AS DOUBLE) / s.n_grams, 0.0), 6) AS dup_gram_frac
-FROM documents d LEFT JOIN stats s USING (doc_id)
-""",
-)
+@register("doc_repetition")
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition (Gopher-style quality rule): trigram
     total / most-repeated count / repeated fraction per doc — the
-    quality signal inter-doc dedup cannot see."""
+    quality signal inter-doc dedup cannot see.
+
+    ORACLE RETIRED r12 (near-duplicate-evidence class: repetition_scores
+    — promoted r11 with the COMPLETE Gopher §A1.1 bank, incl. the
+    top-3-gram char fraction over this same trigram stream — covers the
+    intra-doc-repetition evidence family; this entry was r12-due, so the
+    retirement frees the due slot the clean_text promotion needs).
+    Value-exact pin: tests/test_dedup_text.py::
+    test_doc_repetition_closed_form recomputes all three statistics with
+    a Python Counter over the shared normalization on fixture + edge
+    documents."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.doc_repetition(docs)
 

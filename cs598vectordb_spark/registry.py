@@ -61,64 +61,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # mixture_sample → 98 oracled, slack 2.
 # Promoted r11: repetition_scores (the verdict-r10 queue; its r11
 # evidence also CHANGED — the Gopher n-gram bank added 9 columns) →
-# 99 oracled, slack 1. Budget outlook: the r11 due set is 48 — the 49
-# entries graded r9 and not priority-re-graded r10, minus knn_cosine,
-# which the gate auto-graded in the spare r10 slot (VERDICT r10
-# missing-item 3) — so the head below is 1 birth + 48 due = 49, and
-# the gate's 50th slot auto-fills with the first non-priority oracled
-# entry in registration order — knn_exact (checked: queries()[49]), a
-# fine fill (flagship refresh). r12 outlook: the 49 r10-graded entries
-# + knn_cosine − knn_exact's r11 auto-refresh = 49 due, leaving ONE
-# spare r12 slot — at most one r12 birth without a same-round
-# retirement (policy above). r12 PROMOTION QUEUE (noted r11):
-# lm_surprisal (pure ANSI; pair with a token_counts retirement — its
-# n_tokens_ws duplicates doc_stats' n_tokens, the shared-oracle
-# retirement class) and clean_text (staged regexp chain, mechanical
-# SQL twin). token_counts is itself r12-due, so retiring it ALSO frees
-# its due slot: 48 due + 2 births = 50 — exactly at capacity with zero
-# spare; promote just ONE of the queue if any changed-evidence
-# re-grade is expected that round.
+# 99 oracled, slack 1.
+# r12 ROTATION (executed; recomputed from CORRECTNESS_r10∪r11, which
+# CORRECTED an r11 planning error: the old comment called token_counts
+# "r12-due", but token_counts was graded GREEN in r11's head, so it is
+# r13-due and retiring it frees nothing this round — the r12 due set
+# is the 49 entries green-in-r10-only (50 graded r10 − knn_exact,
+# which auto-refreshed in r11's spare slot), and fitting BOTH queued
+# births therefore needs a retirement FROM THE DUE SET):
+#   retire doc_repetition (near-duplicate-evidence class: promoted-r11
+#     repetition_scores' complete Gopher bank covers the intra-doc
+#     repetition family; doc_repetition WAS r12-due → frees a due
+#     slot) and token_counts (shared-oracle class: n_tokens_ws
+#     duplicates doc_stats' n_tokens; r13-due, so this retirement
+#     buys r13 slack instead), both with value-exact pins below;
+#   promote lm_surprisal + clean_text (the r11 queue, pure-ANSI SQL
+#     twins in queries_text.py).
+# Net: 99 − 2 + 2 = 99 oracled, slack 1. Head below = 2 births + 48
+# due = 50 exactly; no auto-fill slot this round. r13 outlook: the 50
+# r11-green entries − token_counts (retired) = 49 due, ONE spare r13
+# slot. r13 PROMOTION QUEUE: stream_quality_gate (repetition SQL +
+# WHERE NOT repetitive, named in its docstring) or exact_substring_
+# stats (string-key SQL twin is mechanical); dsir_logweights has a
+# VERIFIED queued oracle (registry._QUEUED_ORACLES, bucket-map export
+# machinery in queries_text.py) but needs its sidecar parquet
+# refreshed at grading SF — promote at most ONE without a retirement.
 _PRIORITY: tuple[str, ...] = (
-    # --- r11 slot 1: oracle birth + changed evidence.
-    "repetition_scores",
-    # --- the r9-green set not re-graded in round 10; newest green row
-    # is r9, so the ≤2-rounds invariant makes them due now (48 entries;
-    # knn_cosine got its r10 green via the auto-filled spare slot and
-    # is NOT due).
-    "stream_interval_join_outer", "knn_exact_pca", "stream_interval_join",
-    "sessionize", "stream_events_hourly", "funnel_steps", "orders_cube",
-    "stream_merge_upserts_cow", "media_decode_ppm", "asof_attribution",
-    "stream_sessionize", "stream_late_data", "stream_sink_parquet",
-    "knn_filtered", "shipping_priority", "local_supplier_volume",
-    "revenue_change", "order_priority_count", "customer_order_stats",
-    "brand_top_parts", "status_pivot", "customer_number_extract",
-    "lineitem_rollup", "priority_customers_setops", "customer_order_gaps",
-    "minhash_signatures", "jaccard_topk", "doc_stats", "quality_scores",
-    "fingerprints", "source_summary", "token_counts", "simhash_banded",
-    "lang_detect", "stratified_sample", "dedup_clusters", "sq8_encode",
-    "stream_ingest_updates", "media_dedup", "ingest", "sql_text_surface",
-    "delete_pct", "insert_restore", "upsert_guard", "knn_post_delete",
-    "recall_low_dim", "events_last5_summary", "events_first5_series",
+    # --- r12 slots 1-2: oracle births (the r11 promotion queue).
+    "lm_surprisal", "clean_text",
+    # --- the r10-green set not re-graded in round 11; newest green row
+    # is r10, so the ≤2-rounds invariant makes them due now (48 entries
+    # = 49 due − doc_repetition, retired this round; knn_exact got its
+    # r11 green via the auto-filled spare slot and is NOT due).
+    "stream_interval_join_full", "mixture_sample", "scan_fvecs",
+    "cohort_retention", "knn_exact_2k", "knn_ip", "range_search",
+    "event_value_percentiles", "distance_histogram", "chunk_documents",
+    "stream_static_enrich", "merge_upsert", "pricing_summary",
+    "dedup_exact", "bucketed_customer_orders", "shingle_cardinality_kmv",
+    "events_hourly", "props_json_extract", "range_click_burst",
+    "salted_user_stats", "decimal_revenue", "media_features",
+    "media_frame_sample", "media_summary", "stream_stateful_counts",
+    "stream_dedup", "stream_knn", "decontamination", "curate_corpus",
+    "sq8_error", "hash_split", "ngram_profile", "tfidf_keywords",
+    "semantic_doc_search", "minhash_lsh_dedup", "simhash_near_dups",
+    "embedding_near_dup", "pack_sequences", "acctbal_deciles",
+    "media_decode_wav", "media_decode_bmp", "media_resize_pixels",
+    "stream_merge_upserts", "scan_ivecs", "load_dataset", "scan_logs",
+    "stream_near_dedup", "knn_cosine",
     # ---------------- 50-slot grading boundary is here ----------------
-    # (49 filled this round: 1 birth + 48 due; the 50th slot auto-fills
-    # from rest_oracled registration order.)
-    # r10-green entries not re-graded this round (due back in r12, 49
-    # entries + knn_cosine − whichever auto-fills above):
-    # stream_interval_join_full, mixture_sample, scan_fvecs,
-    # cohort_retention, knn_exact_2k, knn_ip, range_search,
-    # event_value_percentiles, distance_histogram, chunk_documents,
-    # stream_static_enrich, knn_exact, merge_upsert, pricing_summary,
-    # dedup_exact, bucketed_customer_orders, doc_repetition,
-    # shingle_cardinality_kmv, events_hourly, props_json_extract,
-    # range_click_burst, salted_user_stats, decimal_revenue,
-    # media_features, media_frame_sample, media_summary,
-    # stream_stateful_counts, stream_dedup, stream_knn, decontamination,
-    # curate_corpus, sq8_error, hash_split, ngram_profile,
-    # tfidf_keywords, semantic_doc_search, minhash_lsh_dedup,
-    # simhash_near_dups, embedding_near_dup, pack_sequences,
-    # acctbal_deciles, media_decode_wav, media_decode_bmp,
-    # media_resize_pixels, stream_merge_upserts, scan_ivecs,
-    # load_dataset, scan_logs, stream_near_dedup, knn_cosine
+    # (50 filled this round: 2 births + 48 due; nothing auto-fills.)
+    # r11-green entries not re-graded this round (due back in r13, 49
+    # entries — token_counts dropped out by retirement):
+    # repetition_scores, stream_interval_join_outer, knn_exact_pca,
+    # stream_interval_join, sessionize, stream_events_hourly,
+    # funnel_steps, orders_cube, stream_merge_upserts_cow,
+    # media_decode_ppm, asof_attribution, stream_sessionize,
+    # stream_late_data, stream_sink_parquet, knn_filtered,
+    # shipping_priority, local_supplier_volume, revenue_change,
+    # order_priority_count, customer_order_stats, brand_top_parts,
+    # status_pivot, customer_number_extract, lineitem_rollup,
+    # priority_customers_setops, customer_order_gaps,
+    # minhash_signatures, jaccard_topk, doc_stats, quality_scores,
+    # fingerprints, source_summary, simhash_banded, lang_detect,
+    # stratified_sample, dedup_clusters, sq8_encode,
+    # stream_ingest_updates, media_dedup, ingest, sql_text_surface,
+    # delete_pct, insert_restore, upsert_guard, knn_post_delete,
+    # recall_low_dim, events_last5_summary, events_first5_series,
+    # knn_exact
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -206,7 +215,12 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
     "semdedup": "tests/test_dedup_text.py::test_semdedup_prunes_planted_duplicates",
-    "lm_surprisal": "tests/test_dedup_text.py::test_lm_surprisal_closed_form",
+    # lm_surprisal + clean_text PROMOTED to oracles r12 (the r11
+    # queue); their closed-form/known-document pins remain as defense
+    # in depth but are no longer the primary evidence.
+    # retired-oracle entries (r12) — value-exact pins
+    "token_counts": "tests/test_dedup_text.py::test_token_counts_closed_form",
+    "doc_repetition": "tests/test_dedup_text.py::test_doc_repetition_closed_form",
     "dsir_logweights": "tests/test_dedup_text.py::test_dsir_closed_form",
     "exact_substring_stats": (
         "tests/test_dedup_text.py::test_exact_substring_stats"
@@ -215,7 +229,6 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "tests/test_multimodal.py::test_audio_frame_features_closed_form"
     ),
     "hard_negatives": "tests/test_knn.py::test_hard_negatives_excludes_near_dups",
-    "clean_text": "tests/test_dedup_text.py::test_clean_text_known_documents",
     "corpus_topics": "tests/test_dedup_text.py::test_corpus_topics",
     "export_training_set": "tests/test_dedup_text.py::test_export_training_set",
     "curation_funnel_report": (

@@ -1018,3 +1018,100 @@ def test_mixture_sample_oracle_sql_on_skewed_corpus():
         total_sel = sum(quota.values())
         assert total_sel == min(200, sum(counts.values()))
         assert len(got) == total_sel
+
+
+def test_token_counts_closed_form(spark, sf_dir):
+    """Value-exact pin for the ORACLE-RETIRED-r12 token_counts entry:
+    both counts recomputed independently with Python re in ASCII mode
+    (matching Java's ASCII-only \\s and the ASCII character classes the
+    pattern is restricted to by design) on edge documents covering
+    every BPE branch, then across the WHOLE sf fixture."""
+    import re
+
+    from cs598vectordb_spark.queries_text import _BPE_PAT, token_counts_df
+
+    pat = re.compile(_BPE_PAT, re.ASCII)
+
+    def ws_count(text: str) -> int:
+        # Spark: size(split(trim(text), '\s+')) — trim strips ASCII
+        # spaces only; Java split keeps leading/trailing empties
+        return len(re.split(r"\s+", text.strip(" "), flags=re.ASCII))
+
+    rows = [
+        (0, "the quick brown fox"),          # plain words
+        (1, "it's 42 degrees!! don't"),      # contraction/digits/punct
+        (2, "  a  b\tc  "),                  # \t edge: trim is space-only
+        (3, "x1y2 3.14 --- 'tis"),           # mixed runs + leading '
+        (4, "word"),                         # single token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in token_counts_df(docs).collect()}
+    for did, text in rows:
+        assert got[did].n_tokens_ws == ws_count(text), (did, text)
+        assert got[did].n_tokens_bpe == len(pat.findall(text)), (did, text)
+    # hand-derived spot values so the recomputation itself is checked:
+    # doc 1 BPE: it|'s|␠42|␠degrees|!!|␠don|'t = 7; ws: 4 words
+    assert (got[1].n_tokens_ws, got[1].n_tokens_bpe) == (4, 7)
+    # doc 2: trim(' ') keeps the \t, so ws splits "a  b\tc" into 3;
+    # BPE: ws-run|a|ws|b|ws(\t)|c|ws-run = 7
+    assert (got[2].n_tokens_ws, got[2].n_tokens_bpe) == (3, 7)
+
+    corpus = load_table(spark, sf_dir, "documents")
+    out = {r.doc_id: r for r in token_counts_df(corpus).collect()}
+    for row in corpus.select("doc_id", "text").collect():
+        assert out[row.doc_id].n_tokens_ws == ws_count(row.text)
+        assert out[row.doc_id].n_tokens_bpe == len(pat.findall(row.text))
+
+
+def test_doc_repetition_closed_form(spark, sf_dir):
+    """Value-exact pin for the ORACLE-RETIRED-r12 doc_repetition entry:
+    all three trigram statistics recomputed with a Python Counter over
+    the shared normalization (lower + collapse whitespace + split) on
+    constructed edge docs AND the whole sf fixture."""
+    import re
+    from collections import Counter
+
+    def expect(text):
+        # mirrors tokens(normalize_ws(.)): ASCII-space trim, lower,
+        # ASCII-\s collapse, trim, split — empty string -> no tokens
+        norm = re.sub(
+            r"\s+", " ", (text or "").strip(" ").lower(), flags=re.ASCII
+        ).strip(" ")
+        toks = norm.split(" ") if norm else []
+        if len(toks) < 3:
+            return (0, 0, 0.0)
+        c = Counter(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+        n = sum(c.values())
+        return (n, max(c.values()), round((n - len(c)) / n, 6))
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),   # one trigram repeated
+        (1, "all distinct words here now"),      # zero repetition
+        (2, "ab cd"),                            # too short -> zero row
+        (3, ""),                                 # empty
+        (4, "Tick TOCK tick tock tick tock"),    # case-folds to repeats
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textops.doc_repetition(docs).collect()}
+    for did, text in rows:
+        n, mx, frac = expect(text)
+        r = got[did]
+        assert (r.n_grams, r.max_gram_count, r.dup_gram_frac) == (n, mx, frac), (
+            did,
+            text,
+        )
+    # hand-derived: doc 0 has 4 trigrams, all "spam spam spam"
+    assert (got[0].n_grams, got[0].max_gram_count, got[0].dup_gram_frac) == (
+        4,
+        4,
+        0.75,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents")
+    out = {r.doc_id: r for r in textops.doc_repetition(corpus).collect()}
+    for row in corpus.select("doc_id", "text").collect():
+        n, mx, frac = expect(row.text)
+        r = out[row.doc_id]
+        assert (r.n_grams, r.max_gram_count, r.dup_gram_frac) == (n, mx, frac)
