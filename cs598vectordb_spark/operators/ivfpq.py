@@ -61,10 +61,19 @@ def build_ivfpq(
     vec_col: str = "embedding",
     seed: int = SEED,
     path: str | None = None,
+    keep_vectors: bool = False,
 ) -> IvfPqIndex:
     """Coarse-assign, residual-encode, and (optionally) materialize
     partitioned by list id. Training happens on the deterministic
-    orderBy-head sample's residuals; encoding is one Arrow pass."""
+    orderBy-head sample's residuals; encoding is one Arrow pass.
+
+    keep_vectors=True stores the raw vector NEXT TO its codes in the
+    list-partitioned layout (the FAISS IndexRefineFlat storage shape):
+    the refined probe then re-ranks its ADC shortlist map-side from the
+    same rows it already scanned, which deletes the refine join's
+    full-base exchange — see knn_ivfpq_refined. Same total bytes as
+    base+index held separately; it is a RE-LAYOUT, not an extra copy,
+    so the 100 TB story is unchanged."""
     ivf = build_ivf_index(base, nlist, train_sample, id_col, vec_col, seed)
     C = ivf.centroids
     spark = base.sparkSession
@@ -110,17 +119,19 @@ def build_ivfpq(
                 sub = Rb[:, j * dsub : (j + 1) * dsub]
                 d = -2.0 * (sub @ Bk[j].T) + np.square(Bk[j]).sum(1)[None, :]
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "centroid_id": lists,
-                    "codes": list(codes),
-                }
-            )
+            cols = {
+                id_col: pdf[id_col].values,
+                "centroid_id": lists,
+                "codes": list(codes),
+            }
+            if keep_vectors:
+                cols[vec_col] = pdf[vec_col].values
+            yield pd.DataFrame(cols)
 
-    encoded = ivf.assigned.mapInPandas(
-        encode, f"{id_col} long, centroid_id int, codes array<int>"
-    )
+    schema = f"{id_col} long, centroid_id int, codes array<int>"
+    if keep_vectors:
+        schema += f", {vec_col} array<float>"
+    encoded = ivf.assigned.mapInPandas(encode, schema)
     if path is not None:
         # materialize partitioned by list id → probes prune partitions
         encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
@@ -200,22 +211,32 @@ def knn_ivfpq(
                 ids = grp[id_col].to_numpy(dtype=np.int64)
                 n = len(ids)
                 k_eff = min(k, n)
-                for qi, pi in probers:
-                    lut = bT[qi, pi]  # (m, ksub)
-                    scores = lut[np.arange(m)[:, None], Cd.T].sum(axis=0)
-                    part = np.argpartition(scores, k_eff - 1)[:k_eff]
+                # ADC scores for EVERY prober of this list in one
+                # vectorized pass: m gathers of shape (p, n) — the
+                # per-prober Python loop this replaces did p·m tiny
+                # gathers and dominated the probe's fixed overhead at
+                # serving batch sizes (p ≈ nq·nprobe/nlist per list).
+                qis = np.fromiter((q for q, _ in probers), np.int64)
+                pis = np.fromiter((p for _, p in probers), np.int64)
+                Ts = bT[qis, pis]  # (p, m, ksub)
+                scores = np.zeros((len(probers), n))
+                for j in range(m):
+                    scores += Ts[:, j, Cd[:, j]]
+                for t in range(len(probers)):
+                    s = scores[t]
+                    part = np.argpartition(s, k_eff - 1)[:k_eff]
                     # widen the cut to EVERY row tied with the k-boundary
                     # score (identical code vectors are plausible at small
                     # ksub / duplicate inputs), then order the candidates
                     # by (score, vec_id) — the same total order the final
                     # window uses — so the emitted top-k is deterministic
                     # across partitionings, not argpartition-arbitrary.
-                    cand = np.flatnonzero(scores <= scores[part].max())
-                    order = np.lexsort((ids[cand], scores[cand]))[:k_eff]
+                    cand = np.flatnonzero(s <= s[part].max())
+                    order = np.lexsort((ids[cand], s[cand]))[:k_eff]
                     sel = cand[order]
-                    out_q.append(np.full(k_eff, bq_ids[qi], dtype=np.int64))
+                    out_q.append(np.full(k_eff, bq_ids[qis[t]], dtype=np.int64))
                     out_id.append(ids[sel])
-                    out_d.append(scores[sel])
+                    out_d.append(s[sel])
             if out_q:
                 yield pd.DataFrame(
                     {
@@ -246,15 +267,36 @@ def knn_ivfpq_refined(
 ) -> DataFrame:
     """IVF-PQ shortlist + exact re-rank (FAISS's IVFPQR shape): the
     quantized probe selects k·mult candidates from the pruned lists,
-    then ONLY those |Q|·k·mult rows fetch full vectors for the exact
-    pass — the compressed scan does the reading, exact math touches
-    mult·k/N of the table. This is the SERVING configuration of record
-    for the dynamic protocol: raw ADC at nprobe=8 sits below the
-    engine's advertised ≥0.70 approximate floor on this data, the
-    refined probe clears it (pinned in tests/test_pq.py and
-    tests/test_updates_metrics.py)."""
+    then ONLY those candidates get exact distances — the compressed
+    scan does the selection, exact math touches ~mult·k/N of the table.
+    This is the SERVING configuration of record for the dynamic
+    protocol: raw ADC at nprobe=8 sits below the engine's advertised
+    ≥0.70 approximate floor on this data, the refined probe clears it
+    (pinned in tests/test_pq.py and tests/test_updates_metrics.py).
+
+    Two physical strategies, picked by the index layout:
+    - FUSED (index built with keep_vectors=True): the probe kernel
+      ADC-selects the per-(query, list) top-mult·k and re-ranks them
+      exactly IN PLACE from the vectors stored beside the codes — plan
+      is scan(pruned) → kernel → one top-k window, the same 2-stage
+      shape as plain ADC. The r11 join form paid an extra window
+      shuffle plus a full-base exchange for the candidate fetch
+      (measured 8× slower than EXACT at 100K base — the whole r11
+      large-base inversion was this fixed cost); fused, the refine adds
+      ~mult·k·dim FLOPs per probe pair and no new stage. The candidate
+      set is a per-list superset of the join form's global-mult·k
+      shortlist, so recall can only improve; floors unchanged.
+    - JOIN (vector-less index): the original shortlist → base join —
+      kept for indexes whose codes-only layout is the point (COW
+      streaming deltas), and as the oracle of the fused path's
+      equivalence test."""
     from cs598vectordb_spark.functions.distance import squared_l2
 
+    if vec_col in index.codes.columns:
+        return _knn_ivfpq_refined_fused(
+            index, queries, k=k, nprobe=nprobe, mult=mult,
+            vec_col=vec_col, id_col=id_col,
+        )
     shortlist = knn_ivfpq(index, queries, k=mult * k, nprobe=nprobe).select(
         "q_id", "vec_id"
     )
@@ -270,6 +312,126 @@ def knn_ivfpq_refined(
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
+    )
+
+
+def _knn_ivfpq_refined_fused(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    mult: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-side ADC-select + exact re-rank over a keep_vectors index:
+    one pruned scan, one Arrow kernel, one final top-k window. Per
+    (query, probed list): ADC scores every code row (the vectorized
+    m-gather pass shared with knn_ivfpq), cuts to the top mult·k by
+    (adc, vec_id) deterministic order, computes exact squared-L2 on
+    just those rows' stored vectors, and emits the local exact top-k;
+    the window merges per-list winners globally. Exact-math volume is
+    the same mult·k per probe pair as the join form; the exchanges the
+    join form paid (shortlist window + full-base join) are gone."""
+    spark = index.codes.sparkSession
+    qpdf = queries.select("q_id", vec_col).toPandas()
+    q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+    Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    C = index.centroids
+    books = index.cb.codebooks
+    m, dsub = index.cb.m, books.shape[2]
+
+    qc = (
+        np.square(Q).sum(1, keepdims=True)
+        - 2.0 * (Q @ C.T)
+        + np.square(C).sum(1)[None, :]
+    )
+    probed = np.argsort(qc, axis=1)[:, :nprobe]
+
+    nq = len(q_ids)
+    T = np.empty((nq, nprobe, m, index.cb.ksub))
+    for pi in range(nprobe):
+        Rq = Q - C[probed[:, pi]]
+        for j in range(m):
+            sub = Rq[:, j * dsub : (j + 1) * dsub]
+            T[:, pi, j, :] = (
+                np.square(sub).sum(1, keepdims=True)
+                - 2.0 * (sub @ books[j].T)
+                + np.square(books[j]).sum(1)[None, :]
+            )
+
+    probe_map: dict[int, list[tuple[int, int]]] = {}
+    for qi in range(nq):
+        for pi in range(nprobe):
+            probe_map.setdefault(int(probed[qi, pi]), []).append((qi, pi))
+    bc = spark.sparkContext.broadcast((q_ids, Q, T, probe_map))
+
+    lists = sorted(probe_map)
+    pruned = index.codes.filter(F.col("centroid_id").isin(lists))
+
+    def kern(batches):
+        import pandas as pd
+
+        bq_ids, bQ, bT, bmap = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_id, out_d = [], [], []
+            for cid, grp in pdf.groupby("centroid_id"):
+                probers = bmap.get(int(cid))
+                if not probers:
+                    continue
+                Cd = np.stack(grp["codes"].to_numpy())
+                V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                ids = grp[id_col].to_numpy(dtype=np.int64)
+                n = len(ids)
+                mk = min(mult * k, n)
+                k_eff = min(k, n)
+                qis = np.fromiter((q for q, _ in probers), np.int64)
+                pis = np.fromiter((p for _, p in probers), np.int64)
+                Ts = bT[qis, pis]  # (p, m, ksub)
+                scores = np.zeros((len(probers), n))
+                for j in range(m):
+                    scores += Ts[:, j, Cd[:, j]]
+                # deterministic ADC cut per prober: widen boundary ties,
+                # order by (adc, vec_id), take mult·k
+                sel = np.empty((len(probers), mk), dtype=np.int64)
+                for t in range(len(probers)):
+                    s = scores[t]
+                    part = np.argpartition(s, mk - 1)[:mk]
+                    cand = np.flatnonzero(s <= s[part].max())
+                    order = np.lexsort((ids[cand], s[cand]))[:mk]
+                    sel[t] = cand[order]
+                # exact refine on the selected rows only: (p, mk) pairs
+                Cs = V[sel]  # (p, mk, dim)
+                qv = bQ[qis]  # (p, dim)
+                ex = np.square(Cs - qv[:, None, :]).sum(axis=2)  # (p, mk)
+                for t in range(len(probers)):
+                    d = ex[t]
+                    kk = min(k_eff, mk)
+                    part = np.argpartition(d, kk - 1)[:kk]
+                    cand = np.flatnonzero(d <= d[part].max())
+                    tids = ids[sel[t]]
+                    order = np.lexsort((tids[cand], d[cand]))[:kk]
+                    pick = cand[order]
+                    out_q.append(np.full(kk, bq_ids[qis[t]], dtype=np.int64))
+                    out_id.append(tids[pick])
+                    out_d.append(d[pick])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_id),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    local = pruned.mapInPandas(kern, "q_id long, vec_id long, dist double")
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "dist")
     )
@@ -303,6 +465,7 @@ def insert_into_ivfpq(
     C = index.centroids
     books = index.cb.codebooks
     m, dsub = index.cb.m, books.shape[2]
+    keep_vectors = vec_col in index.codes.columns
     bc = spark.sparkContext.broadcast((C, books))
 
     def encode(batches):
@@ -325,19 +488,21 @@ def insert_into_ivfpq(
                 sub = Rb[:, j * dsub : (j + 1) * dsub]
                 d = -2.0 * (sub @ Bk[j].T) + np.square(Bk[j]).sum(1)[None, :]
                 codes[:, j] = d.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "centroid_id": lists,
-                    "codes": list(codes),
-                }
-            )
+            cols = {
+                id_col: pdf[id_col].values,
+                "centroid_id": lists,
+                "codes": list(codes),
+            }
+            if keep_vectors:
+                cols[vec_col] = pdf[vec_col].values
+            yield pd.DataFrame(cols)
 
-    encoded = delta.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, centroid_id int, codes array<int>"
-    )
-    codes = index.codes.select(id_col, "centroid_id", "codes").unionByName(
-        encoded
-    ).persist()
+    schema = f"{id_col} long, centroid_id int, codes array<int>"
+    cols = [id_col, "centroid_id", "codes"]
+    if keep_vectors:
+        schema += f", {vec_col} array<float>"
+        cols.append(vec_col)
+    encoded = delta.select(id_col, vec_col).mapInPandas(encode, schema)
+    codes = index.codes.select(*cols).unionByName(encoded).persist()
     codes.count()
     return IvfPqIndex(codes, index.centroids, index.cb, index.nlist, None)

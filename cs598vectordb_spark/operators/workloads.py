@@ -99,7 +99,11 @@ def _build_probe(backend: str):
         # (VERDICT r9 defect 2) — the refined probe is the configuration
         # of record, same as the static knn_ivfpq_refined entry
         return (
-            lambda base: build_ivfpq(base, nlist=16, m=16, ksub=256),
+            # keep_vectors → the refined probe re-ranks map-side (fused
+            # path) instead of joining the shortlist back to the base;
+            # insert/delete maintenance carries the vector column through
+            lambda base: build_ivfpq(base, nlist=16, m=16, ksub=256,
+                                     keep_vectors=True),
             lambda base, idx, queries, k: knn_ivfpq_refined(
                 idx, base, queries, k, nprobe=8
             ),

@@ -1031,12 +1031,17 @@ def ivfpq_index_for(
     from cs598vectordb_spark.queries_sources import _io_dir
 
     def build():
+        # keep_vectors: the refined probe re-ranks map-side from the
+        # same list-partitioned rows (operators/ivfpq.py fused path);
+        # the codes-only ADC probe is unaffected — parquet column
+        # pruning skips the vector column it doesn't select.
         return build_ivfpq(
             load_table(spark, sf_dir, "embeddings"),
             nlist=nlist,
             m=m,
             ksub=ksub,
             path=_os.path.join(_io_dir(sf_dir, "ivfpq_index"), "t"),
+            keep_vectors=True,
         )
 
     return _warm(spark, ("ivfpq", sf_dir, nlist, m, ksub), build)

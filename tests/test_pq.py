@@ -143,3 +143,38 @@ def test_ivfpq_topk_deterministic_under_ties(spark):
     for qid, rank, _ in outs[0]:
         per_q.setdefault(qid, []).append(rank)
     assert all(sorted(v) == list(range(1, 7)) for v in per_q.values())
+
+
+def test_ivfpq_fused_refine_dominates_join_path(spark, emb_q):
+    """The fused (keep_vectors) refined probe considers a per-list
+    candidate superset of the join form's global-mult·k shortlist (any
+    row in the global ADC top-mult·k is a fortiori in its own list's
+    top-mult·k), so rank for rank its exact distances can only be equal
+    or closer. Both paths share the same seed → same codebooks, so this
+    pins the fused kernel's selection logic against the join form as
+    oracle."""
+    from cs598vectordb_spark.operators.ivfpq import build_ivfpq, knn_ivfpq_refined
+
+    emb, q = emb_q
+    plain = build_ivfpq(emb, nlist=8, m=16, ksub=16)
+    fused = build_ivfpq(emb, nlist=8, m=16, ksub=16, keep_vectors=True)
+    assert "embedding" in fused.codes.columns and "embedding" not in plain.codes.columns
+
+    def dists_by_q(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.q_id, []).append((r.rank, r.dist))
+        return {
+            qid: [d for _, d in sorted(v)] for qid, v in out.items()
+        }
+
+    j = dists_by_q(knn_ivfpq_refined(plain, emb, q, 10, nprobe=4))
+    f = dists_by_q(knn_ivfpq_refined(fused, emb, q, 10, nprobe=4))
+    assert set(j) == set(f)
+    for qid in j:
+        assert len(f[qid]) == len(j[qid])
+        for fd, jd in zip(f[qid], j[qid]):
+            # 1e-6 absorbs JVM-float32 vs numpy-float64 distance noise
+            assert fd <= jd + 1e-6, (qid, fd, jd)
+    plain.close()
+    fused.close()
