@@ -957,46 +957,58 @@ def curation_funnel_report(
     (stage-by-stage the same funnel curate_corpus/export_training_set
     apply), so the report IS the pipeline, not a parallel recount.
 
-    Plan: the per-stage keep-sets chain as successive semi-join-style
-    filters; the report is a union of 1-row aggregates over the shared
-    lineage (Spark evaluates each count as a partial-agg — no collect,
-    no loop). Conservation (n_in − n_dropped = n_out, stage i's out =
-    stage i+1's in, final out = the composed filter's count) pinned in
+    Plan (ADVICE r11): ONE pass — each doc gets four cumulative
+    stage-pass flags (the expensive subtrees dedup_exact /
+    repetition_scores / quality_scores each appear exactly once, as
+    left-joined per-doc columns), then a single conditional aggregate
+    counts every funnel level at once and stack() unpivots the 1-row
+    result into the 4 stage rows. The previous union-of-8-aggregates
+    form re-executed the shared subtrees per branch (un-persisted
+    subtrees are not reused across union branches) — a recompute
+    factor that grows with corpus size. Conservation (n_in − n_dropped
+    = n_out, stage i's out = stage i+1's in, final out = the composed
+    filter's count) pinned in
     tests/test_dedup_text.py::test_curation_funnel_report."""
     from cs598vectordb_spark.operators.dedup import dedup_exact
 
-    s0 = docs.select("doc_id", "lang", "text")
-    s1 = s0.filter(F.col("lang").isin(list(langs)))
-    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
-    s2 = s1.join(canon, "doc_id")
+    canon = dedup_exact(docs).select(
+        F.col("canonical_id").alias("doc_id"), F.lit(True).alias("_canon")
+    )
     rep = repetition_scores(docs).select("doc_id", "repetitive")
-    s3 = s2.join(rep, "doc_id").filter(~F.col("repetitive"))
     q = quality_scores(docs).select("doc_id", "quality")
-    s4 = s3.join(q, "doc_id").filter(F.col("quality") >= min_quality)
-
-    stages = [
-        (1, "lang_filter", s0, s1),
-        (2, "exact_dedup", s1, s2),
-        (3, "repetition_gate", s2, s3),
-        (4, "quality_floor", s3, s4),
-    ]
-    frames = []
-    for sid, name, before, after in stages:
-        n_in = before.agg(F.count(F.lit(1)).alias("n_in"))
-        n_out = after.agg(F.count(F.lit(1)).alias("n_out"))
-        frames.append(
-            n_in.crossJoin(n_out).select(
-                F.lit(sid).alias("stage_id"),
-                F.lit(name).alias("stage"),
-                F.col("n_in"),
-                (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
-                F.col("n_out"),
-            )
+    flags = (
+        docs.select("doc_id", "lang")
+        .join(canon, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .withColumn("p1", F.col("lang").isin(list(langs)))
+        .withColumn("p2", F.col("p1") & F.coalesce("_canon", F.lit(False)))
+        .withColumn("p3", F.col("p2") & ~F.coalesce("repetitive", F.lit(True)))
+        .withColumn(
+            "p4", F.col("p3") & (F.coalesce("quality", F.lit(-1.0)) >= min_quality)
         )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+        .select("p1", "p2", "p3", "p4")
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum(F.col(f"p{i}").cast("long")).alias(f"n{i}")
+            for i in range(1, 5)
+        ],
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "1, 'lang_filter', n0, n1, "
+        "2, 'exact_dedup', n1, n2, "
+        "3, 'repetition_gate', n2, n3, "
+        "4, 'quality_floor', n3, n4) AS (stage_id, stage, n_in, n_out)"
+    ).select(
+        "stage_id",
+        "stage",
+        "n_in",
+        (F.col("n_in") - F.col("n_out")).alias("n_dropped"),
+        "n_out",
+    )
 
 
 def export_training_set(

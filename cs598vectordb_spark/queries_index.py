@@ -844,11 +844,15 @@ def graph2_materialized_for(
     larger-than-memory index regime; see operators.graph.open_layered2.
     `pinned` is part of the warm key AND threads through the build, so
     requesting only the cold mode never shuffles/persists a full
-    cached copy it is not going to use (review finding r11). The
-    bench measurement passes a FINER segmentation (8×8) than the
-    registered query's 4×4: with 16 segments a 5-query probed union
-    covers every partition and pruning has nothing to skip — the same
-    batch-size caveat the IVF scan measurements document."""
+    cached copy it is not going to use (review finding r11); it is
+    ALSO part of the on-disk path (ADVICE r11): requesting both
+    serving modes at the same segmentation must not rebuild into the
+    directory the other mode's already-open index is still reading
+    part files from. The bench measurement passes a FINER segmentation
+    (8×8) than the registered query's 4×4: with 16 segments a 5-query
+    probed union covers every partition and pruning has nothing to
+    skip — the same batch-size caveat the IVF scan measurements
+    document."""
     import os as _os
 
     from cs598vectordb_spark.operators.graph import materialize_layered2
@@ -856,7 +860,7 @@ def graph2_materialized_for(
     path = _os.path.join(
         "/tmp/cs598_spark_io",
         _os.path.basename(sf_dir.rstrip("/")),
-        f"graph2_mat_{nlist1}x{nlist2}",
+        f"graph2_mat_{nlist1}x{nlist2}_{'pinned' if pinned else 'cold'}",
     )
 
     def build():

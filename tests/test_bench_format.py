@@ -129,3 +129,16 @@ def test_unshrinkable_line_raises():
     }
     with pytest.raises(AssertionError, match="bench JSON line"):
         bench.render_bench_line(out, {})
+
+
+def test_batch_qps_extras_come_from_sweep_medians():
+    """One artifact, one number per kernel (VERDICT r11 wrong-item 2):
+    every batch-size QPS extra must be the sweep's own median value for
+    that batch size — never an independently-timed divide — and a
+    batch size the sweep never executed records 0.0."""
+    sweep = {"100": 900.0, "1000": 2800.0, "2000": 3061.0, "10000": 5977.0}
+    extras = bench.batch_qps_extras(sweep)
+    assert extras["knn_exact_2k_qps"] == sweep["2000"]
+    assert extras["knn_exact_10k_qps"] == sweep["10000"]
+    assert extras["knn_exact_5k_qps"] == 0.0  # absent -> honest zero
+    assert set(extras.values()) <= set(sweep.values()) | {0.0}
