@@ -491,3 +491,34 @@ def test_executed_plan_metrics_measures_shuffles(spark, sf_dir):
     assert cm["cached_scan_output_rows"] > 0, cm
     assert cm["scan_output_rows"] == 0, cm
     cached.unpersist()
+
+
+def test_ivfpq_fused_refine_plan_single_exchange(spark, emb_q):
+    """The fused refined probe's scale claim (operators/ivfpq.py): with
+    vectors stored beside their codes, ADC-select + exact re-rank run
+    inside the probe kernel, so the WHOLE plan is scan(pruned) →
+    kernel → one top-k window — exactly one Exchange and zero joins.
+    The join form this replaced paid a shortlist window exchange PLUS a
+    full-base join exchange, the fixed cost behind the r11 large-base
+    inversion (refined probe 8× slower than exact brute force)."""
+    from cs598vectordb_spark.operators.ivfpq import build_ivfpq, knn_ivfpq_refined
+
+    import re
+
+    def n_exchanges(plan: str) -> int:
+        # formatted explain prints each node twice (tree + detail
+        # block); the "(id) Exchange" detail headers count nodes once
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    emb, q = emb_q
+    fused = build_ivfpq(emb, nlist=8, m=16, ksub=16, keep_vectors=True)
+    plan = plan_of(knn_ivfpq_refined(fused, emb, q, 10, nprobe=4))
+    assert n_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+    # and the join form really does pay the extra stages it is
+    # documented to pay (the comparison that justifies keep_vectors)
+    plain = build_ivfpq(emb, nlist=8, m=16, ksub=16)
+    jplan = plan_of(knn_ivfpq_refined(plain, emb, q, 10, nprobe=4))
+    assert n_exchanges(jplan) > 1 and "Join" in jplan, jplan
+    fused.close()
+    plain.close()
