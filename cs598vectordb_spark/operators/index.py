@@ -270,7 +270,16 @@ def materialize_ivf(index: IvfIndex, path: str) -> IvfIndex:
     (probed) filter becomes parquet PartitionFilters: a probe of
     nprobe/nlist lists reads nprobe/nlist of the bytes."""
     spark = index.assigned.sparkSession
-    index.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    # shuffle onto the list id before the partitioned write: the
+    # assignment kernel's output is scan-partitioned, so a direct
+    # partitionBy fans every task across every list directory —
+    # ~tasks×nlist tiny files whose open overhead dominates the probe
+    # scan (measured 13.5 s opens vs ~1 s decode at 1M×1024 on the
+    # IVF-PQ sibling). One file per list; at 100 TB file count scales
+    # with nlist × per-list shards, never × write parallelism.
+    index.assigned.repartition(index.nlist, "centroid_id").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
     assigned = spark.read.parquet(path)
     return IvfIndex(assigned, index.centroids, index.nlist, path)
 

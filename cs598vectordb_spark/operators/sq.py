@@ -161,7 +161,12 @@ def build_ivf_sq(
     ivf = build_ivf_index(base, nlist=nlist, id_col=id_col, vec_col=vec_col)
     codec = train_sq(base, vec_col)
     enc = sq_encode(ivf.assigned, codec, vec_col, id_col, extra_cols=["centroid_id"])
-    enc.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    # repartition on the list id first — see materialize_ivf: a direct
+    # partitionBy from the scan-partitioned encoder output writes
+    # ~tasks×nlist tiny files
+    enc.repartition(nlist, "centroid_id").write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
     spark = base.sparkSession
     return IvfSqIndex(spark.read.parquet(path), codec, ivf.centroids, nlist)
 

@@ -799,6 +799,52 @@ def exact_substring_stats(
     )
 
 
+def _dsir_token_col(text_col: str = "text") -> F.Column:
+    """Filtered-token array materialized AS A COLUMN named `_ws` before
+    any HOF lambda references it — a free array expression inside a
+    transform body re-evaluates per element (the whole regex split per
+    bigram): 23.7 s → ~2 s at sf0.1 (r11)."""
+    return F.filter(
+        tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
+    ).alias("_ws")
+
+
+def _dsir_feats_expr() -> F.Column:
+    """Unigram+bigram feature array over the `_ws` token column — ONE
+    definition shared by dsir_logweights and dsir_bucket_map so the
+    exported (feature → bucket) mapping is lossless by construction."""
+    t = F.col("_ws")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bigrams)
+
+
+def dsir_bucket_map(
+    docs: DataFrame, n_buckets: int = 10_000, text_col: str = "text"
+) -> DataFrame:
+    """(feat, bucket): the corpus's DISTINCT hashed-feature mapping —
+    the oracle bridge for dsir_logweights' one engine-private primitive
+    (pmod(xxhash64, n_buckets) has no DuckDB twin). A relational oracle
+    re-derives the features from the text, joins this export for the
+    bucket ids, and recomputes the DSIR formula in pure SQL — the
+    promotion route the operator docstring names. Distinct-feature
+    sized (vocabulary + bigrams), not token-stream sized."""
+    mid = docs.select(_dsir_token_col(text_col))
+    return (
+        mid.select(F.explode(_dsir_feats_expr()).alias("feat"))
+        .distinct()
+        .select("feat", F.pmod(F.xxhash64("feat"), F.lit(n_buckets)).alias("bucket"))
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target: F.Column,
@@ -835,25 +881,10 @@ def dsir_logweights(
     Rows-only (oracle budget 99/100); closed-form values pinned in
     tests/test_dedup_text.py::test_dsir_closed_form and the
     language-separation invariant alongside."""
-    tok_expr = F.filter(
-        tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
+    mid = docs.select(
+        F.col(id_col), target.alias("_is_t"), _dsir_token_col(text_col)
     )
-    # tokens materialized as a COLUMN before the bigram lambda — a free
-    # array expression inside a transform body re-evaluates per element
-    # (the whole regex split per bigram): 23.7 s → ~2 s at sf0.1 (r11)
-    mid = docs.select(F.col(id_col), target.alias("_is_t"), tok_expr.alias("_ws"))
-    t = F.col("_ws")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(t, bigrams)
+    feats = _dsir_feats_expr()
 
     totals = mid.agg(
         F.coalesce(F.sum(F.size(feats)), F.lit(0)).alias("raw"),

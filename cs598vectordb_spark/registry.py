@@ -264,6 +264,29 @@ def oracle_sql() -> dict[str, str]:
     return {n: _ORACLES[n] for n in _ordered_names() if n in _ORACLES}
 
 
+def queued_oracle_sql() -> dict[str, str]:
+    """Oracles AUTHORED and value-verified but not registered: the
+    grading head is at capacity (see the _PRIORITY budget comment), so
+    these strings wait here until a slot frees — registering them now
+    would leave them green-less for a round and read as a freshness
+    violation. Promotion = move the SQL to the entry's register(...)
+    call and re-curate _PRIORITY. tools/check_oracle.py verifies a
+    queued oracle when the entry is explicitly named; pytest pins each
+    end to end (the dict maps name → SQL baked for the sf0.01 grading
+    fixture)."""
+    _ensure_loaded()
+    from cs598vectordb_spark.queries_text import (
+        dsir_bucket_map_path,
+        dsir_oracle_sql,
+    )
+
+    return {
+        "dsir_logweights": dsir_oracle_sql(
+            dsir_bucket_map_path("/root/testdata/sf0.01")
+        )
+    }
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry(): exact top-10 kNN at sf0.001, 50 self-queries."""
     from cs598vectordb_spark.operators.knn import knn_exact

@@ -1115,3 +1115,46 @@ def test_doc_repetition_closed_form(spark, sf_dir):
         n, mx, frac = expect(row.text)
         r = out[row.doc_id]
         assert (r.n_grams, r.max_gram_count, r.dup_gram_frac) == (n, mx, frac)
+
+
+def test_dsir_queued_oracle_matches_duckdb(spark, sf_dir):
+    """End-to-end value verification of the QUEUED DSIR oracle
+    (registry.queued_oracle_sql, VERDICT r11 item 6): the Spark
+    operator and the DuckDB twin — features re-derived relationally,
+    buckets joined from the engine's exported (feature → bucket)
+    parquet — must agree row for row at sf0.001, the same
+    sorted-columns value comparison the driver's gate applies. This is
+    the promotion gate's dress rehearsal; the registered entry stays
+    rows-only until a grading slot frees."""
+    import duckdb
+
+    from cs598vectordb_spark.queries_text import (
+        _export_dsir_bucket_map,
+        dsir_oracle_sql,
+        q_dsir_logweights,
+    )
+
+    sdf = q_dsir_logweights(spark, sf_dir)
+    path = _export_dsir_bucket_map(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(dsir_oracle_sql(path))
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)

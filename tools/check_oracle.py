@@ -83,7 +83,20 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = dict(entrymod.oracle_sql())
+    # QUEUED oracles (authored + value-verified, awaiting a grading
+    # slot — registry.queued_oracle_sql): verified here ONLY when the
+    # entry is explicitly named, so the default all-queries sweep keeps
+    # mirroring exactly what the driver grades. The queued SQL bakes
+    # the default grading SF's sidecar paths — skip under an SF
+    # override rather than fail on a missing export.
+    if only and SF_DIR.rstrip("/").endswith("sf0.01"):
+        from cs598vectordb_spark.registry import queued_oracle_sql
+
+        for qname, qsql in queued_oracle_sql().items():
+            if qname in only and qname not in oracles:
+                print(f"  {qname:28s} (using QUEUED oracle)")
+                oracles[qname] = qsql
 
     spark = _bare_spark()
     con = duckdb.connect()
