@@ -414,9 +414,19 @@ def repetition_scores(
     one-pass aggregate per gram size) on NORMALIZED text — JVM-side,
     zero shuffle, no Python: a projection that scales like the scan,
     with D the count of duplicated-gram occurrences (web boilerplate,
-    not the token stream). Plan shape pinned in tests/test_plans.py;
-    exact values pinned on known-repetition docs and property-tested
-    against a collections.Counter reference (tests/test_properties.py).
+    not the token stream). Measured kernel rate (r12, kernel-bound
+    153 MB corpus, full-output parquet write, 32 threads): ~3 MB/s —
+    the HEAVIEST gate in the text bank by ~5× (nine per-row sorted
+    n-gram passes); at 100 TB that is ~10 node-years of a 32-core
+    node, i.e. ~400 nodes for a day — run it AFTER the cheap gates
+    (clean_text ~87 MB/s, lang/quality) have cut the corpus, not
+    before. Earlier rounds recorded "0.8 MB/s at the 1.4 MB fixture"
+    as overhead-dominated, which was true but unhelpfully measured
+    through a count() that pruned the kernel entirely; the bench block
+    now writes the output (bench.py text_ops). Plan shape pinned in
+    tests/test_plans.py; exact values pinned on known-repetition docs
+    and property-tested against a collections.Counter reference
+    (tests/test_properties.py).
     ORACLE PROMOTED r11: every column is closed-form over the word
     array, so DuckDB recomputes the full bank relationally
     (unnest → group → pivot) in queries_text.py."""
@@ -699,10 +709,14 @@ def clean_text(
     its md5, the chunk_documents trick for unsortable long strings.
 
     Staged regexp_replace chain — pure codegen projection, zero
-    shuffle, scales like the scan; the stage ORDER is the semantics
-    (tags before entities: '&lt;b&gt;' must not become a strippable
-    tag). ANSI-expressible end to end (DuckDB shares regexp_replace/
-    md5) — promotable when an oracle slot frees; known-document pins in
+    shuffle, scales like the scan; measured kernel rate ~87 MB/s at
+    the kernel-bound 153 MB corpus (r12, full-output write, 32
+    threads) — ~2.8 MB/s/core, so 100 TB is ~14 node-days: the cheap
+    first gate the rest of the funnel should run behind. The stage
+    ORDER is the semantics (tags before entities: '&lt;b&gt;' must not
+    become a strippable tag). ORACLE PROMOTED r12 (the staged chain
+    replayed stage for stage in DuckDB — queries_text.py);
+    known-document pins in
     tests/test_dedup_text.py::test_clean_text_known_documents."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     tag = r"<[^>]+>"
@@ -1164,11 +1178,11 @@ def lm_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     assumed). AQE broadcasts a small vocabulary; keys are uniform at
     scale; one per-doc agg with tf-weighted mean. Empty docs keep a
     zero row via the left join.
-    Rows-only this round (the oracle budget is at 99/100) — the
-    formula is pure ANSI; QUEUED for an r12 oracle promotion paired
-    with a token_counts retirement (its n_tokens_ws duplicates
-    doc_stats' n_tokens — the policy's shared-oracle retirement
-    class). Exact values pinned on a closed-form corpus in
+    ORACLE PROMOTED r12 (the r11 queue, funded by the token_counts
+    retirement) — the full formula recomputed by DuckDB in
+    queries_text.py. Measured rate ~19 MB/s at the kernel-bound 153 MB
+    corpus (r12, full-output write, 32 threads). Exact values pinned
+    on a closed-form corpus in
     tests/test_dedup_text.py::test_lm_surprisal_closed_form."""
     tok_arr = F.filter(
         tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
