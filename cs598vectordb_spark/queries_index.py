@@ -1070,10 +1070,15 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_ivfpq_refined")
 def q_knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ shortlist + exact re-rank (FAISS's IVFPQR shape): the
-    quantized probe selects 5k candidates from the pruned lists, then
-    only those |Q|*5k rows fetch full vectors for the exact pass —
-    compressed scan does the reading, exact math touches 100x less."""
+    """IVF-PQ shortlist + exact re-rank (FAISS's IVFPQR shape), FUSED
+    r12: the index stores vectors beside their codes (keep_vectors),
+    so the probe kernel ADC-selects the per-(query,list) top mult·k
+    and re-ranks them exactly in place — one pruned scan, one kernel,
+    one top-k window, no full-base join (the r11 join form lost to
+    exact brute force 8× at 100K on exactly that join's fixed cost;
+    plan pinned in tests/test_plans.py::
+    test_ivfpq_fused_refine_plan_single_exchange, crossover vs exact
+    recorded at 1M in bench detail large_base_1m)."""
     from cs598vectordb_spark.operators.ivfpq import knn_ivfpq_refined
 
     emb, q = _setup(spark, sf_dir)
