@@ -257,108 +257,6 @@ def pii_redact(
     )
 
 
-def _max_run_len(sorted_arr: F.Column) -> F.Column:
-    """Longest identical-element run in a SORTED array == the mode's
-    multiplicity — one O(L) JVM-side aggregate pass (no explode, no
-    shuffle), vs the O(L^2) a per-element filter() count would cost on
-    a pathological many-element document."""
-    zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def merge(acc, x):
-        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
-        )
-
-    return F.aggregate(sorted_arr, zero, merge, lambda acc: acc.best)
-
-
-def _dup_char_count(sorted_arr: F.Column) -> F.Column:
-    """Total characters in duplicate occurrences BEYOND the first of
-    each element in a SORTED array (the RedPajama dups_char convention,
-    mirroring (n - n_distinct) for the count-based twin) — same
-    one-pass aggregate shape as _max_run_len."""
-    zero = F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("dup"))
-
-    def merge(acc, x):
-        add = F.when(x == acc.prev, F.length(x).cast("long")).otherwise(F.lit(0))
-        return F.struct(x.alias("prev"), (acc.dup + add).alias("dup"))
-
-    return F.aggregate(sorted_arr, zero, merge, lambda acc: acc.dup)
-
-
-def _top_gram_chars(sorted_grams: F.Column, n: int) -> F.Column:
-    """count(most frequent n-gram) × its word-character length (gram
-    length minus the n-1 joining spaces), over a SORTED gram array —
-    the numerator of Gopher's top-n-gram character fraction. One O(L)
-    pass; count ties keep the FIRST gram in sorted order (the
-    lexicographically smallest), the same rule the DuckDB oracle's
-    (count DESC, gram ASC) row_number encodes."""
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-        F.lit(0).alias("bchars"),
-    )
-
-    def merge(acc, x):
-        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
-        chars = F.length(x) - F.lit(n - 1)
-        better = run > acc.best
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc.best).alias("best"),
-            F.when(better, chars).otherwise(acc.bchars).alias("bchars"),
-        )
-
-    return F.aggregate(
-        sorted_grams,
-        zero,
-        merge,
-        lambda acc: F.struct(
-            (acc.best * acc.bchars).cast("long").alias("chars"),
-            acc.best.cast("long").alias("count"),
-        ),
-    )
-
-
-def _dup_gram_positions(sorted_pairs: F.Column) -> F.Column:
-    """1-based start positions of EVERY occurrence of any gram that
-    occurs more than once, given an array of (g, p) structs sorted by
-    gram (sort_array on the struct groups identical grams into
-    contiguous runs). Same one-pass shape as _max_run_len, with the
-    current run's positions buffered and flushed into the dup list only
-    when the run ends with length > 1."""
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.array().cast("array<int>").alias("run"),
-        F.array().cast("array<int>").alias("dups"),
-    )
-
-    def merge(acc, x):
-        same = x.g == acc.prev
-        flushed = (
-            F.when(F.size(acc.run) > 1, F.concat(acc.dups, acc.run)).otherwise(acc.dups)
-        )
-        return F.struct(
-            x.g.alias("prev"),
-            F.when(same, F.concat(acc.run, F.array(x.p)))
-            .otherwise(F.array(x.p))
-            .alias("run"),
-            F.when(same, acc.dups).otherwise(flushed).alias("dups"),
-        )
-
-    def finish(acc):
-        return F.when(F.size(acc.run) > 1, F.concat(acc.dups, acc.run)).otherwise(
-            acc.dups
-        )
-
-    return F.aggregate(sorted_pairs, zero, merge, finish)
-
-
 # Gopher §A1.1 repetition thresholds (Rae et al. 2021, Table A1)
 GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
@@ -410,26 +308,30 @@ def repetition_scores(
                             arithmetic, not repetition (see the flag
                             comment below)
 
-    All per-row O(L log L + D·n) array expressions (sort_array +
-    one-pass aggregate per gram size) on NORMALIZED text — JVM-side,
-    zero shuffle, no Python: a projection that scales like the scan,
-    with D the count of duplicated-gram occurrences (web boilerplate,
-    not the token stream). Measured kernel rate (r12, kernel-bound
-    153 MB corpus, full-output parquet write, 32 threads): ~3 MB/s —
-    the HEAVIEST gate in the text bank by ~5× (nine per-row sorted
-    n-gram passes); at 100 TB that is ~10 node-years of a 32-core
-    node, i.e. ~400 nodes for a day — run it AFTER the cheap gates
-    (clean_text ~87 MB/s, lang/quality) have cut the corpus, not
-    before. Earlier rounds recorded "0.8 MB/s at the 1.4 MB fixture"
-    as overhead-dominated, which was true but unhelpfully measured
-    through a count() that pruned the kernel entirely; the bench block
-    now writes the output (bench.py text_ops). Plan shape pinned in
-    tests/test_plans.py; exact values pinned on known-repetition docs
-    and property-tested against a collections.Counter reference
-    (tests/test_properties.py).
+    Physical strategy (r12): the normalization and both tokenizations
+    stay JVM-codegen regexps (the semantics anchor the DuckDB oracle
+    shares), and the per-document Counter math runs in ONE Arrow
+    `mapInPandas` kernel. This op used to be the showcase "pure
+    Catalyst expression bank" (9 per-row sort_array + aggregate
+    passes), but higher-order functions are INTERPRETED per element —
+    never whole-stage-codegen — and the honest full-output-write
+    measurement put that form at ~3 MB/s, the heaviest gate in the
+    text bank by 5× (two cheaper JVM variants were measured first:
+    hashing the gram keys changed nothing, a neighbor-check dup scan
+    won 13% — the cost IS the interpreted HOF machinery, not the
+    string work). The Arrow kernel measures 23.5 MB/s end to end at
+    the kernel-bound 153 MB corpus (32 threads) — 7.7× — with values
+    IDENTICAL column for column: the DuckDB oracle, the known-document
+    pins, and the collections.Counter property test all gate the swap.
+    Still zero shuffle, still scales like the scan; 100 TB is ~50
+    node-days of a 32-core node — comparable to the rest of the text
+    bank, no longer its 5× outlier.
+
     ORACLE PROMOTED r11: every column is closed-form over the word
     array, so DuckDB recomputes the full bank relationally
     (unnest → group → pivot) in queries_text.py."""
+    from cs598vectordb_spark.config import ORACLE_ROUND
+
     # NULL text folds to the empty-string path (all-zero row, flag
     # false) — split(NULL) would otherwise yield size() = -1 and a NULL
     # flag that a downstream keep-filter silently drops
@@ -441,135 +343,124 @@ def repetition_scores(
     words = F.filter(
         F.split(norm, r"[^\p{L}\p{N}]+"), lambda w: F.length(w) > 0
     )
+    id_type = docs.schema[id_col].dataType.simpleString()
     base = docs.select(
-        F.col(id_col),
-        F.sort_array(sents).alias("sents"),
-        F.sort_array(words).alias("words"),
-        words.alias("words_seq"),
+        F.col(id_col), sents.alias("_sents"), words.alias("_words")
     )
-    n_sents = F.size("sents")
-    n_words = F.size("words")
-    sent_chars = F.aggregate(
-        "sents", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    word_chars = F.aggregate(
-        "words", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    dup_sent_frac = (n_sents - F.size(F.array_distinct("sents"))) / F.greatest(
-        n_sents, F.lit(1)
-    )
-    dup_sent_char_frac = _dup_char_count(F.col("sents")) / F.greatest(
-        sent_chars, F.lit(1)
-    )
-    top_word_frac = _max_run_len(F.col("words")) / F.greatest(n_words, F.lit(1))
 
-    def _grams_sorted(n: int) -> F.Column:
-        """Sorted n-gram string array (for the top-gram run pass)."""
-        return F.when(
-            F.size("words_seq") >= n,
-            F.sort_array(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("words_seq") - (n - 1)),
-                    lambda i: F.array_join(F.slice("words_seq", i, n), " "),
+    top_thr = dict(GOPHER_TOP_NGRAM_THRESHOLDS)
+    dup_thr = dict(GOPHER_DUP_NGRAM_THRESHOLDS)
+    rnd = ORACLE_ROUND
+    cols = (
+        [id_col, "n_sents", "n_words", "dup_sent_frac", "dup_sent_char_frac",
+         "top_word_frac"]
+        + [f"top_{n}gram_char_frac" for n in top_thr]
+        + [f"dup_{n}gram_char_frac" for n in dup_thr]
+        + ["repetitive"]
+    )
+
+    def kern(batches):
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        quantum = Decimal(1).scaleb(-rnd)
+
+        def r(x: float) -> float:
+            # mirrors Spark's round(double, n): HALF_UP on the
+            # shortest decimal representation (Double.toString and
+            # Python repr use the same shortest-round-trip rule)
+            return float(Decimal(repr(x)).quantize(quantum, ROUND_HALF_UP))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {c: [] for c in cols}
+            for did, sl, wl in zip(pdf[id_col], pdf["_sents"], pdf["_words"]):
+                sl, wl = list(sl), list(wl)
+                n_s, n_w = len(sl), len(wl)
+                wlens = [len(w) for w in wl]
+                wchars = sum(wlens)
+                sc = Counter(sl)
+                schars = sum(len(s) for s in sl)
+                dup_sent_frac = r((n_s - len(sc)) / max(n_s, 1))
+                dup_sent_char_frac = r(
+                    sum((c - 1) * len(s) for s, c in sc.items() if c > 1)
+                    / max(schars, 1)
                 )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    def _gram_pos_sorted(n: int) -> F.Column:
-        """(gram, position) struct array sorted by gram — identical
-        grams land in contiguous runs with their positions."""
-        return F.when(
-            F.size("words_seq") >= n,
-            F.sort_array(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("words_seq") - (n - 1)),
-                    lambda i: F.struct(
-                        F.array_join(F.slice("words_seq", i, n), " ").alias("g"),
-                        i.cast("int").alias("p"),
-                    ),
+                wc = Counter(wl)
+                top_word_frac = r(
+                    (max(wc.values()) if wc else 0) / max(n_w, 1)
                 )
-            ),
-        ).otherwise(F.array().cast("array<struct<g:string,p:int>>"))
-
-    def _top_frac(stats: F.Column) -> F.Column:
-        return F.least(
-            stats.chars / F.greatest(word_chars, F.lit(1)), F.lit(1.0)
-        )
-
-    def _dup_frac(n: int) -> F.Column:
-        covered = F.array_distinct(
-            F.flatten(
-                F.transform(
-                    _dup_gram_positions(_gram_pos_sorted(n)),
-                    lambda p: F.sequence(p, p + F.lit(n - 1)),
+                vals = [did, n_s, n_w, dup_sent_frac, dup_sent_char_frac,
+                        top_word_frac]
+                # flag reads the ROUNDED values so boundary docs decide
+                # identically in Spark and the DuckDB oracle
+                flag = (
+                    dup_sent_frac > 0.30
+                    or dup_sent_char_frac > 0.20
+                    or top_word_frac > 0.30
                 )
-            )
-        )
-        covered_chars = F.aggregate(
-            covered,
-            F.lit(0).cast("long"),
-            lambda acc, i: acc + F.length(F.element_at("words_seq", i)),
-        )
-        return covered_chars / F.greatest(word_chars, F.lit(1))
+                for n, thr in top_thr.items():
+                    if n_w >= n:
+                        gc = Counter(
+                            tuple(wl[i : i + n]) for i in range(n_w - n + 1)
+                        )
+                        best = max(gc.values())
+                        # count ties keep the lexicographically smallest
+                        # gram — tuple order equals joined-string order
+                        # here (words contain no chars below 0x20, so
+                        # the ' ' separator sorts before any word char,
+                        # i.e. prefix-first — and Python code-point
+                        # order equals the UTF8-byte order Spark and
+                        # DuckDB both compare by)
+                        top = min(g for g, c in gc.items() if c == best)
+                        chars = sum(len(w) for w in top)
+                        frac = r(min(best * chars / max(wchars, 1), 1.0))
+                    else:
+                        best, frac = 0, 0.0
+                    vals.append(frac)
+                    # top-gram thresholds require the top gram to REPEAT
+                    # (count ≥ 2): Gopher applies this bank after a
+                    # ≥50-word filter, and without the gate a count-1
+                    # gram on a tiny doc trips on arithmetic, not
+                    # repetition
+                    flag = flag or (frac > thr and best >= 2)
+                for n, thr in dup_thr.items():
+                    if n_w >= n:
+                        grams = [
+                            tuple(wl[i : i + n]) for i in range(n_w - n + 1)
+                        ]
+                        gc = Counter(grams)
+                        cov = set()
+                        for i, g in enumerate(grams):
+                            if gc[g] > 1:
+                                cov.update(range(i, i + n))
+                        # coverage is a DISTINCT position set, so
+                        # overlapping duplicate grams never double-count
+                        frac = r(
+                            sum(wlens[i] for i in cov) / max(wchars, 1)
+                        )
+                    else:
+                        frac = 0.0
+                    vals.append(frac)
+                    flag = flag or frac > thr
+                vals.append(bool(flag))
+                for c, v in zip(cols, vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
 
-    # materialize each top-gram (chars, count) struct ONCE in an
-    # intermediate projection — referencing the aggregate from both the
-    # frac and the count column would otherwise build the O(L log L)
-    # gram sort + one-pass aggregate twice per gram size (higher-order
-    # functions sit outside codegen subexpression elimination, and
-    # CollapseProject keeps non-cheap expressions from being inlined
-    # into multiple consumers, so the two-stage select is honored)
-    mid = base.select(
-        "*",
-        *[
-            _top_gram_chars(_grams_sorted(n), n).alias(f"_tops{n}")
-            for n in GOPHER_TOP_NGRAM_THRESHOLDS
-        ],
+    schema = ", ".join(
+        [f"{id_col} {id_type}", "n_sents int", "n_words int"]
+        + [
+            f"{c} double"
+            for c in cols
+            if c not in (id_col, "n_sents", "n_words", "repetitive")
+        ]
+        + ["repetitive boolean"]
     )
-    out = mid.select(
-        id_col,
-        n_sents.alias("n_sents"),
-        n_words.alias("n_words"),
-        _r(dup_sent_frac).alias("dup_sent_frac"),
-        _r(dup_sent_char_frac).alias("dup_sent_char_frac"),
-        _r(top_word_frac).alias("top_word_frac"),
-        *[
-            c
-            for n in GOPHER_TOP_NGRAM_THRESHOLDS
-            for c in (
-                _r(_top_frac(F.col(f"_tops{n}"))).alias(f"top_{n}gram_char_frac"),
-                F.col(f"_tops{n}").count.alias(f"_top{n}_count"),
-            )
-        ],
-        *[
-            _r(_dup_frac(n)).alias(f"dup_{n}gram_char_frac")
-            for n in GOPHER_DUP_NGRAM_THRESHOLDS
-        ],
-    )
-    # The flag reads the ROUNDED columns so boundary docs decide
-    # identically in Spark and the DuckDB oracle. Top-gram thresholds
-    # additionally require the top gram to actually REPEAT (count ≥ 2):
-    # Gopher applies its n-gram bank after a ≥50-word doc-length filter,
-    # and without that precondition a count-1 gram on a tiny doc is a
-    # large char fraction by arithmetic, not by repetition. For any doc
-    # long enough for the statistic to mean anything, a count-1 gram is
-    # far below threshold, so the gate only affects the degenerate short
-    # tail. Dup-gram filters self-gate (frac > 0 requires duplication).
-    flag = (
-        (F.col("dup_sent_frac") > 0.30)
-        | (F.col("dup_sent_char_frac") > 0.20)
-        | (F.col("top_word_frac") > 0.30)
-    )
-    for n, thr in GOPHER_TOP_NGRAM_THRESHOLDS.items():
-        flag = flag | (
-            (F.col(f"top_{n}gram_char_frac") > thr)
-            & (F.col(f"_top{n}_count") >= 2)
-        )
-    for n, thr in GOPHER_DUP_NGRAM_THRESHOLDS.items():
-        flag = flag | (F.col(f"dup_{n}gram_char_frac") > thr)
-    return out.withColumn("repetitive", flag).drop(
-        *[f"_top{n}_count" for n in GOPHER_TOP_NGRAM_THRESHOLDS]
-    )
+    return base.mapInPandas(kern, schema)
 
 
 def mixture_sample(

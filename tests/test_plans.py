@@ -324,17 +324,25 @@ def test_repetition_scores_is_projection_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_repetition_scores_single_evaluation(spark, sf_dir):
-    """Regression pin for the r11 review finding: each top-gram
-    (chars, count) struct must be built ONCE — the optimized plan holds
-    exactly one sort_array per array (sents + words + 3 top-gram sizes
-    + 6 dup-gram sizes = 11), not 14 (the doubled-struct shape)."""
+def test_repetition_scores_single_arrow_pass(spark, sf_dir):
+    """Plan pin for the r12 physical strategy: the whole Gopher bank is
+    ONE Arrow kernel over JVM-tokenized arrays — exactly one
+    MapInPandas, zero Exchange (scales like the scan), and none of the
+    interpreted sort_array HOF passes the measured-3-MB/s r11
+    expression form paid (the r11 single-evaluation pin counted 11
+    sort_array nodes; the honest full-output-write measurement showed
+    interpreted HOFs were the bottleneck itself, so the pin's
+    successor asserts their absence)."""
     from cs598vectordb_spark.operators.textops import repetition_scores
     from cs598vectordb_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    opt = repetition_scores(docs)._jdf.queryExecution().optimizedPlan().toString()
-    assert opt.count("sort_array") == 11, opt.count("sort_array")
+    df = repetition_scores(docs)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("MapInPandas") == 1, phys
+    assert "Exchange" not in phys, phys
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "sort_array" not in opt, "interpreted HOF sort passes came back"
 
 
 def test_lm_surprisal_two_generates_and_no_python(spark, sf_dir):
