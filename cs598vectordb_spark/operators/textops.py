@@ -3,8 +3,11 @@ stats, fingerprinting) over the documents table.
 
 Per-row projections only — no shuffle except the final group-bys. These
 are the text half of the LLM-data-pipeline surface (the north star's
-"text analysis" bucket): every expression is Catalyst-codegen'd; the
-DuckDB oracle mirrors each formula.
+"text analysis" bucket): expressions are Catalyst-codegen'd, EXCEPT
+where measurement said otherwise — repetition_scores' Counter math
+runs as one Arrow kernel because Catalyst higher-order functions are
+interpreted per element (3 → 23.5 MB/s, r12). The DuckDB oracle
+mirrors each formula either way.
 """
 
 from __future__ import annotations
