@@ -288,6 +288,9 @@ def _cached_ivfpq(spark, lb, root: str, nlist: int, m: int, ksub: int,
     codes_path = os.path.join(root, "codes")
     if os.path.exists(npz_path):
         z = np.load(npz_path)
+        if "build_seconds" in z:  # cached opens still report the cost
+            meta["ivfpq_build_seconds"] = float(z["build_seconds"])
+            meta["ivfpq_built_this_run"] = False
         return IvfPqIndex(
             spark.read.parquet(codes_path),
             z["C"],
@@ -301,9 +304,11 @@ def _cached_ivfpq(spark, lb, root: str, nlist: int, m: int, ksub: int,
         path=codes_path, keep_vectors=True,
     )
     meta["ivfpq_build_seconds"] = round(time.time() - t0, 1)
+    meta["ivfpq_built_this_run"] = True
     np.savez(
         npz_path, C=idx.centroids, books=idx.cb.codebooks,
         m=idx.cb.m, ksub=idx.cb.ksub, nlist=idx.nlist,
+        build_seconds=meta["ivfpq_build_seconds"],
     )
     return idx
 
@@ -897,8 +902,15 @@ def main() -> int:
         nlist=1024, m=16, ksub=256, train_sample=50_000, meta=lb1m_meta,
     )
     g2_path = os.path.join(lb1m_root, "graph2")
+    g2_marker = os.path.join(g2_path, "_BUILD_SECONDS")
     if os.path.exists(os.path.join(g2_path, "l1")):
         lb1m_g2 = open_layered2(spark, g2_path, pinned=True)
+        try:
+            with open(g2_marker) as fh:
+                lb1m_meta["graph2_build_seconds"] = float(fh.read())
+            lb1m_meta["graph2_built_this_run"] = False
+        except OSError:
+            pass
     else:
         t0 = time.time()
         lb1m_g2 = materialize_layered2(
@@ -907,6 +919,9 @@ def main() -> int:
             pinned=True,
         )
         lb1m_meta["graph2_build_seconds"] = round(time.time() - t0, 1)
+        lb1m_meta["graph2_built_this_run"] = True
+        with open(g2_marker, "w") as fh:
+            fh.write(str(lb1m_meta["graph2_build_seconds"]))
 
     lbq1m = lb1m.filter(F.col("vec_id") < 1000).select(
         F.col("vec_id").alias("q_id"), "embedding"

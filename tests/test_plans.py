@@ -309,21 +309,6 @@ def test_semdedup_broadcasts_centroids_no_cartesian(spark, sf_dir):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
 
 
-def test_repetition_scores_is_projection_only(spark, sf_dir):
-    """The repetition quality gate at 100 TB is a per-row sorted-array
-    aggregate projection — no Exchange, no Python. (No WSCG assert:
-    higher-order array functions are codegen-incompatible by design,
-    but they still evaluate JVM-side.)"""
-    from cs598vectordb_spark.operators.textops import repetition_scores
-    from cs598vectordb_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    plan = plan_of(repetition_scores(docs))
-    assert "Exchange" not in plan, plan
-    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
-    assert "BatchEvalPython" not in plan, plan
-
-
 def test_repetition_scores_single_arrow_pass(spark, sf_dir):
     """Plan pin for the r12 physical strategy: the whole Gopher bank is
     ONE Arrow kernel over JVM-tokenized arrays — exactly one
