@@ -80,12 +80,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Net: 99 − 2 + 2 = 99 oracled, slack 1. Head below = 2 births + 48
 # due = 50 exactly; no auto-fill slot this round. r13 outlook: the 50
 # r11-green entries − token_counts (retired) = 49 due, ONE spare r13
-# slot. r13 PROMOTION QUEUE: stream_quality_gate (repetition SQL +
-# WHERE NOT repetitive, named in its docstring) or exact_substring_
-# stats (string-key SQL twin is mechanical); dsir_logweights has a
-# VERIFIED queued oracle (registry._QUEUED_ORACLES, bucket-map export
-# machinery in queries_text.py) but needs its sidecar parquet
-# refreshed at grading SF — promote at most ONE without a retirement.
+# slot. r13 PROMOTION QUEUE — two entries carry AUTHORED, pytest-
+# verified queued oracles in queued_oracle_sql() below, ready to move
+# into their register() calls: stream_quality_gate (the repetition
+# bank + WHERE NOT repetitive; dress-rehearsed end to end vs DuckDB)
+# and dsir_logweights (features re-derived relationally + the engine's
+# (feature → bucket) parquet export, which q_dsir_logweights refreshes
+# at the grading SFs automatically). exact_substring_stats' string-key
+# twin stays the mechanical third option. Promote at most ONE without
+# a same-round retirement.
 _PRIORITY: tuple[str, ...] = (
     # --- r12 slots 1-2: oracle births (the r11 promotion queue).
     "lm_surprisal", "clean_text",
@@ -276,6 +279,7 @@ def queued_oracle_sql() -> dict[str, str]:
     fixture)."""
     _ensure_loaded()
     from cs598vectordb_spark.queries_text import (
+        _repetition_oracle,
         dsir_bucket_map_path,
         dsir_oracle_sql,
     )
@@ -283,7 +287,15 @@ def queued_oracle_sql() -> dict[str, str]:
     return {
         "dsir_logweights": dsir_oracle_sql(
             dsir_bucket_map_path("/root/testdata/sf0.01")
-        )
+        ),
+        # the gate IS repetition_scores' bank + the keep-filter — the
+        # drained micro-batch union equals the batch filter row for row
+        # (parity pinned in tests/test_streaming.py), so the batch
+        # oracle grades the stream; dress rehearsal in
+        # tests/test_streaming.py::test_stream_quality_gate_queued_oracle
+        "stream_quality_gate": (
+            f"SELECT * FROM ({_repetition_oracle()}) WHERE NOT repetitive"
+        ),
     }
 
 

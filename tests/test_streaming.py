@@ -669,3 +669,42 @@ def test_stream_join_state_bound(spark, sf_dir):
         & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 6 HOURS")),
     ).count()
     assert sum(r.emitted_rows for r in rows) == matched
+
+
+def test_stream_quality_gate_queued_oracle(spark, sf_dir, tmp_path):
+    """Dress rehearsal for the QUEUED stream_quality_gate oracle
+    (registry.queued_oracle_sql): the drained micro-batch union must
+    match the DuckDB recomputation (the full repetition bank + the
+    keep-filter) row for row at sf0.001 under the driver's
+    sorted-columns value comparison. Complements the batch/stream
+    parity pin: that one proves stream == batch engine-side; this one
+    proves both == the independent relational oracle."""
+    import duckdb
+
+    from cs598vectordb_spark.registry import queued_oracle_sql
+    from cs598vectordb_spark.streaming.jobs import stream_quality_gate
+
+    sdf = stream_quality_gate(spark, sf_dir, str(tmp_path / "gate"))
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(queued_oracle_sql()["stream_quality_gate"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)
