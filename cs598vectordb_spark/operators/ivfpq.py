@@ -180,26 +180,21 @@ def knn_ivfpq(
     )
     probed = np.argsort(qc, axis=1)[:, :nprobe]  # (nq, nprobe)
 
-    # per-(query, probed list) LUTs from the residual target q − c:
-    # nq · nprobe · m · ksub doubles — driver-sized by construction
+    # LUTs are built INSIDE the kernel per (list, its probers) — the
+    # broadcast carries only (queries, centroids, codebooks), O(nq·dim
+    # + nlist·dim + m·ksub·dsub). The precomputed-T form shipped
+    # nq·nprobe·m·ksub doubles: 262 MB at (1000, 8, 16, 256) — the
+    # broadcast serialization alone cost more than the whole probe
+    # (measured 14.9 s vs 4.4 s at 1M×1024). Worker-side LUT math is
+    # ~p·m·ksub·dsub flops per list — ~0.5 GFLOPs total at that shape,
+    # spread over the scan's own parallelism.
     nq = len(q_ids)
-    T = np.empty((nq, nprobe, m, index.cb.ksub))
-    for pi in range(nprobe):
-        Rq = Q - C[probed[:, pi]]
-        for j in range(m):
-            sub = Rq[:, j * dsub : (j + 1) * dsub]
-            T[:, pi, j, :] = (
-                np.square(sub).sum(1, keepdims=True)
-                - 2.0 * (sub @ books[j].T)
-                + np.square(books[j]).sum(1)[None, :]
-            )
-
-    # list → (query rows probing it, LUT slot) reverse map
-    probe_map: dict[int, list[tuple[int, int]]] = {}
+    probe_map: dict[int, list[int]] = {}
     for qi in range(nq):
         for pi in range(nprobe):
-            probe_map.setdefault(int(probed[qi, pi]), []).append((qi, pi))
-    bc = spark.sparkContext.broadcast((q_ids, T, probe_map))
+            probe_map.setdefault(int(probed[qi, pi]), []).append(qi)
+    b2 = np.square(books).sum(2)  # (m, ksub)
+    bc = spark.sparkContext.broadcast((q_ids, Q, C, books, b2, probe_map))
 
     lists = sorted(probe_map)
     pruned = index.codes.filter(F.col("centroid_id").isin(lists))
@@ -207,7 +202,7 @@ def knn_ivfpq(
     def kern(batches):
         import pandas as pd
 
-        bq_ids, bT, bmap = bc.value
+        bq_ids, bQ, bC, Bk, bb2, bmap = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -220,17 +215,22 @@ def knn_ivfpq(
                 ids = grp[id_col].to_numpy(dtype=np.int64)
                 n = len(ids)
                 k_eff = min(k, n)
-                # ADC scores for EVERY prober of this list in one
-                # vectorized pass: m gathers of shape (p, n) — the
-                # per-prober Python loop this replaces did p·m tiny
+                # per-list LUT + ADC for EVERY prober in one vectorized
+                # pass: m small GEMMs and m gathers of shape (p, n) —
+                # the per-prober Python loop this replaces did p·m tiny
                 # gathers and dominated the probe's fixed overhead at
                 # serving batch sizes (p ≈ nq·nprobe/nlist per list).
-                qis = np.fromiter((q for q, _ in probers), np.int64)
-                pis = np.fromiter((p for _, p in probers), np.int64)
-                Ts = bT[qis, pis]  # (p, m, ksub)
+                qis = np.asarray(probers, dtype=np.int64)
+                Rq = bQ[qis] - bC[int(cid)]  # (p, dim)
                 scores = np.zeros((len(probers), n))
                 for j in range(m):
-                    scores += Ts[:, j, Cd[:, j]]
+                    sub = Rq[:, j * dsub : (j + 1) * dsub]
+                    Tj = (
+                        np.square(sub).sum(1, keepdims=True)
+                        - 2.0 * (sub @ Bk[j].T)
+                        + bb2[j][None, :]
+                    )  # (p, ksub)
+                    scores += Tj[:, Cd[:, j]]
                 for t in range(len(probers)):
                     s = scores[t]
                     part = np.argpartition(s, k_eff - 1)[:k_eff]
@@ -371,23 +371,15 @@ def _knn_ivfpq_refined_fused(
     )
     probed = np.argsort(qc, axis=1)[:, :nprobe]
 
+    # worker-side LUTs (see knn_ivfpq): broadcast stays O(nq·dim), not
+    # the 262 MB nq·nprobe·m·ksub tensor that dominated the probe
     nq = len(q_ids)
-    T = np.empty((nq, nprobe, m, index.cb.ksub))
-    for pi in range(nprobe):
-        Rq = Q - C[probed[:, pi]]
-        for j in range(m):
-            sub = Rq[:, j * dsub : (j + 1) * dsub]
-            T[:, pi, j, :] = (
-                np.square(sub).sum(1, keepdims=True)
-                - 2.0 * (sub @ books[j].T)
-                + np.square(books[j]).sum(1)[None, :]
-            )
-
-    probe_map: dict[int, list[tuple[int, int]]] = {}
+    probe_map: dict[int, list[int]] = {}
     for qi in range(nq):
         for pi in range(nprobe):
-            probe_map.setdefault(int(probed[qi, pi]), []).append((qi, pi))
-    bc = spark.sparkContext.broadcast((q_ids, Q, T, probe_map))
+            probe_map.setdefault(int(probed[qi, pi]), []).append(qi)
+    b2 = np.square(books).sum(2)
+    bc = spark.sparkContext.broadcast((q_ids, Q, C, books, b2, probe_map))
 
     lists = sorted(probe_map)
     pruned = index.codes.filter(F.col("centroid_id").isin(lists))
@@ -395,7 +387,7 @@ def _knn_ivfpq_refined_fused(
     def kern(batches):
         import pandas as pd
 
-        bq_ids, bQ, bT, bmap = bc.value
+        bq_ids, bQ, bC, Bk, bb2, bmap = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -410,12 +402,17 @@ def _knn_ivfpq_refined_fused(
                 n = len(ids)
                 mk = min(mult * k, n)
                 k_eff = min(k, n)
-                qis = np.fromiter((q for q, _ in probers), np.int64)
-                pis = np.fromiter((p for _, p in probers), np.int64)
-                Ts = bT[qis, pis]  # (p, m, ksub)
+                qis = np.asarray(probers, dtype=np.int64)
+                Rq = bQ[qis] - bC[int(cid)]
                 scores = np.zeros((len(probers), n))
                 for j in range(m):
-                    scores += Ts[:, j, Cd[:, j]]
+                    sub = Rq[:, j * dsub : (j + 1) * dsub]
+                    Tj = (
+                        np.square(sub).sum(1, keepdims=True)
+                        - 2.0 * (sub @ Bk[j].T)
+                        + bb2[j][None, :]
+                    )
+                    scores += Tj[:, Cd[:, j]]
                 # deterministic ADC cut per prober: widen boundary ties,
                 # order by (adc, vec_id), take mult·k
                 sel = np.empty((len(probers), mk), dtype=np.int64)
