@@ -857,9 +857,11 @@ def q_exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr cross-document duplication signal (Lee et al. 2021):
     per doc, the distinct 10-token windows shared verbatim with another
     document — catches the long-quote/boilerplate class whole-document
-    near-dup methods miss. Rows-only (oracle budget 99/100; the string
-    key makes the SQL twin mechanical — promotable when a slot frees);
-    planted-substring closed form + fixture invariants pinned in
+    near-dup methods miss. Rows-only (oracle budget 99/100; the output
+    columns are hash-free COUNTS, so the SQL twin recomputes them with
+    literal string grams — still promotable when a slot frees, the
+    r12 hashed join key notwithstanding); planted-substring closed
+    form + fixture invariants pinned in
     tests/test_dedup_text.py::test_exact_substring_stats."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.exact_substring_stats(docs, k=10)

@@ -363,8 +363,12 @@ def test_dsir_broadcasts_bucket_table(spark, sf_dir):
 
 
 def test_exact_substring_no_cartesian_no_global_window(spark, sf_dir):
-    """ExactSubstr stats must stay in the gram-keyed two-pass class: no
-    cartesian pair stage, no single-partition window, no Python."""
+    """ExactSubstr stats must stay in the hash-keyed one-kernel class:
+    no cartesian pair stage, no single-partition window, and the Arrow
+    extraction kernel evaluated exactly ONCE (the r12 window-count form
+    replaced the agg+join-back that would re-run the kernel per
+    branch). The only Python in the plan is that one kernel — the
+    df count and per-doc rollup stay JVM-side."""
     from cs598vectordb_spark.operators.textops import exact_substring_stats
     from cs598vectordb_spark.sources.tables import load_table
 
@@ -372,7 +376,10 @@ def test_exact_substring_no_cartesian_no_global_window(spark, sf_dir):
     plan = plan_of(exact_substring_stats(docs, k=10))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan, plan
-    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # one MapInPandas NODE = two formatted-plan mentions (tree line +
+    # node-detail header); the agg+join-back form this replaced showed 4
+    assert plan.count("MapInPandas") == 2, plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_mixture_sample_partitions_by_source_and_broadcasts_quota(spark, sf_dir):
