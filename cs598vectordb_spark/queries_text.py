@@ -1321,3 +1321,81 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.chunk_documents(docs).select(
         "doc_id", "chunk_id", "chunk_start", "chunk_len", "chunk_md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer family (operators/tokenizer.py) — the learned-vocabulary
+# layer next to the counting/scoring text bank. Training is iterative
+# (merge-argmax per round), so the merges are exported once per
+# (sf_dir, source-stamp) and both registered queries read the artifact —
+# the dsir_bucket_map marker pattern.
+# ---------------------------------------------------------------------------
+
+
+def bpe_merges_path(sf_dir: str) -> str:
+    """The corpus's trained BPE merge table (rank, left, right,
+    pair_count) as parquet — marker-cached by the documents source
+    stamp (mtime:size), like the other /tmp exports."""
+    import os as _os
+
+    from cs598vectordb_spark.queries_sources import _io_dir
+
+    return _os.path.join(_io_dir(sf_dir, "bpe"), "merges")
+
+
+def _export_bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 40
+) -> str:
+    import os as _os
+
+    from cs598vectordb_spark.operators import tokenizer
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    out = bpe_merges_path(sf_dir)
+    marker = _os.path.join(out, "_BPE_OK")
+    stamp = f"{_os.path.getmtime(src)}:{_os.path.getsize(src)}:{n_merges}"
+    try:
+        with open(marker) as fh:
+            if fh.read() == stamp:
+                return out
+    except OSError:
+        pass
+    docs = load_table(spark, sf_dir, "documents")
+    tokenizer.bpe_train(docs, n_merges=n_merges).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out)
+    with open(marker, "w") as fh:
+        fh.write(stamp)
+    return out
+
+
+@register("bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-trained BPE merge table in merge order (Sennrich et
+    al. 2016): 40 merges learned by iterative weighted pair-count
+    argmax over the word-frequency table. Rows-only by design —
+    training is an ITERATIVE algorithm (each merge depends on the
+    previous merge's rewrite), not a SQL expression; determinism
+    (lexicographic tie-break) and the classic-corpus merge sequence
+    are value-pinned in tests/test_tokenizer.py::test_bpe_train_classic_corpus,
+    and the non-increasing pair_count theorem in
+    tests/test_tokenizer.py::test_bpe_merges_fixture_invariants."""
+    return spark.read.parquet(_export_bpe_merges(spark, sf_dir)).orderBy("rank")
+
+
+@register("bpe_token_stats")
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics under the corpus-trained BPE
+    vocabulary: n_words, n_chars, n_bpe_tokens, tokens_per_word,
+    chars_per_token — tokens-per-byte is a standard curation quality
+    signal (gibberish and out-of-vocabulary text encode badly).
+    Rows-only (the encode applies 40 ordered merges per word —
+    iterative, not ANSI-expressible); hand-computed closed form pinned
+    in tests/test_tokenizer.py::test_bpe_encode_closed_form, plan
+    (one Arrow kernel, zero shuffle) in
+    tests/test_tokenizer.py::test_bpe_encode_plan_is_projection."""
+    from cs598vectordb_spark.operators import tokenizer
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = spark.read.parquet(_export_bpe_merges(spark, sf_dir))
+    return tokenizer.bpe_encode_stats(docs, merges)

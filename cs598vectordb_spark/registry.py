@@ -233,6 +233,10 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     ),
     "hard_negatives": "tests/test_knn.py::test_hard_negatives_excludes_near_dups",
     "corpus_topics": "tests/test_dedup_text.py::test_corpus_topics",
+    # BPE tokenizer family (r12) — iterative training / ordered-merge
+    # application, not ANSI-expressible by design
+    "bpe_merges": "tests/test_tokenizer.py::test_bpe_train_classic_corpus",
+    "bpe_token_stats": "tests/test_tokenizer.py::test_bpe_encode_closed_form",
     "export_training_set": "tests/test_dedup_text.py::test_export_training_set",
     "curation_funnel_report": (
         "tests/test_dedup_text.py::test_curation_funnel_report"
