@@ -682,8 +682,13 @@ def exact_substring_stats(
     at fixture scale the window is strictly fewer stages. Docs
     shorter than k emit nothing and keep a zero row via the left
     join."""
+    # NULL text folds to the empty-token path (zero row) — without the
+    # coalesce, _ws arrives in the kernel as None and len() raises
+    # (repetition_scores guards identically; the replaced Catalyst form
+    # fell through its size(NULL) >= k WHEN to the empty array)
     tok_expr = F.filter(
-        tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
+        tokens(normalize_ws(F.coalesce(F.col(text_col), F.lit("")))),
+        lambda w: F.length(w) > 0,
     )
     id_type = docs.schema[id_col].dataType.simpleString()
     base = docs.select(F.col(id_col), tok_expr.alias("_ws"))

@@ -54,10 +54,18 @@ def bpe_word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over whitespace tokens of normalized text — the
     corpus-scale pass. Partial (map-side) aggregation makes the
     exchange carry one row per distinct word per input partition."""
-    w = F.explode(
-        F.filter(tokens(normalize_ws(F.col(text_col))), lambda t: F.length(t) > 0)
-    ).alias("word")
+    w = F.explode(_token_col(text_col)).alias("word")
     return docs.select(w).groupBy("word").agg(F.count(F.lit(1)).alias("count"))
+
+
+def _token_col(text_col: str) -> F.Column:
+    """NULL-safe filtered token array: NULL text folds to the empty
+    path (explode emits nothing; the encode kernel sees [] not None —
+    the repetition_scores coalesce guard)."""
+    return F.filter(
+        tokens(normalize_ws(F.coalesce(F.col(text_col), F.lit("")))),
+        lambda t: F.length(t) > 0,
+    )
 
 
 def _merge_word(syms: list, left: str, right: str, merged: str) -> list:
@@ -153,17 +161,14 @@ def bpe_encode_stats(
     encodes once per batch."""
     from cs598vectordb_spark.operators.textops import _r
 
-    ranked = sorted(
-        ((int(r["rank"]), r["left"], r["right"]) for r in merges.collect())
-    )
-    rank_of = {(l, rr): k for k, l, rr in ranked}
+    # ranks need not be contiguous (callers may filter the table), so
+    # the lookup is rank -> pair, never a position into a sorted list
+    rank_of = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
+    }
+    pair_at = {k: p for p, k in rank_of.items()}
     id_type = docs.schema[id_col].dataType.simpleString()
-    base = docs.select(
-        F.col(id_col),
-        F.filter(
-            tokens(normalize_ws(F.col(text_col))), lambda t: F.length(t) > 0
-        ).alias("_ws"),
-    )
+    base = docs.select(F.col(id_col), _token_col(text_col).alias("_ws"))
 
     def kern(batches):
         import pandas as pd
@@ -178,20 +183,8 @@ def bpe_encode_stats(
                         best = rk
                 if best is None:
                     break
-                _, pl, pr = ranked[best]
-                out, i = [], 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == pl
-                        and syms[i + 1] == pr
-                    ):
-                        out.append(pl + pr)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
+                pl, pr = pair_at[best]
+                syms = _merge_word(syms, pl, pr, pl + pr)
             return len(syms)
 
         for pdf in batches:

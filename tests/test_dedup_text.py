@@ -743,6 +743,7 @@ def test_exact_substring_stats(spark, sf_dir):
         (1, f"totally different opening {quote} closing remarks one"),
         (2, "no shared content in this document at all nine words"),
         (3, "short doc"),
+        (4, None),  # NULL text keeps a zero row, never a kernel crash
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in textops.exact_substring_stats(docs, k=10).collect()}
@@ -752,7 +753,8 @@ def test_exact_substring_stats(spark, sf_dir):
     assert (got[1].n_kgrams, got[1].n_shared) == (7, 1)
     assert got[0].shared_frac == 0.1
     assert (got[2].n_kgrams, got[2].n_shared) == (1, 0)
-    assert (got[3].n_kgrams, got[3].n_shared, got[3].shared_frac) == (0, 0, 0.0)
+    for d in (3, 4):
+        assert (got[d].n_kgrams, got[d].n_shared, got[d].shared_frac) == (0, 0, 0.0)
 
     corpus = load_table(spark, sf_dir, "documents")
     out = textops.exact_substring_stats(corpus, k=10)

@@ -5,20 +5,11 @@ zero-shuffle encode plan shape."""
 
 from __future__ import annotations
 
-import io
-from contextlib import redirect_stdout
-
 import pytest
 from pyspark.sql import functions as F
 
 from cs598vectordb_spark.operators import tokenizer as tk
-
-
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from tests.test_plans import plan_of
 
 
 CLASSIC = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
@@ -51,16 +42,29 @@ def test_bpe_encode_closed_form(spark, classic_merges):
     """Applying the classic merges to 'low lower newest' by hand:
     low→[low,</w>]=2 tokens (lo then low; (w,</w>) never learned),
     lower→[low,e,r,</w>]=4, newest→[n,e,w,est</w>]=4 — 10 BPE tokens
-    over 3 words / 14 chars. The empty document keeps an all-zero
-    row (not NULL, not dropped)."""
+    over 3 words / 14 chars. Empty AND NULL documents keep all-zero
+    rows (not NULL, not dropped, not a kernel crash)."""
     docs = spark.createDataFrame(
-        [(0, "low lower newest"), (1, "")], "doc_id long, text string"
+        [(0, "low lower newest"), (1, ""), (2, None)],
+        "doc_id long, text string",
     )
     got = {r.doc_id: r for r in tk.bpe_encode_stats(docs, classic_merges).collect()}
     assert (got[0].n_words, got[0].n_chars, got[0].n_bpe_tokens) == (3, 14, 10)
     assert got[0].tokens_per_word == 3.3333
     assert got[0].chars_per_token == 1.4
-    assert (got[1].n_words, got[1].n_bpe_tokens, got[1].tokens_per_word) == (0, 0, 0.0)
+    for d in (1, 2):
+        assert (got[d].n_words, got[d].n_bpe_tokens, got[d].tokens_per_word) == (
+            0, 0, 0.0,
+        )
+
+    # rank GAPS must not shift the pair lookup: filtering the table to
+    # ranks [0, 2, 3, 4] removes (es,t), so newest stops at
+    # [n,e,w,es,t,</w>] -> no (est,</w>) either... est never forms, and
+    # (t,</w>) was never learned: n e w es t </w> = 6 tokens;
+    # low/lower still merge through (l,o),(lo,w) = 2 and 4.
+    gappy = classic_merges.filter(F.col("rank") != 1)
+    got = {r.doc_id: r for r in tk.bpe_encode_stats(docs, gappy).collect()}
+    assert (got[0].n_words, got[0].n_bpe_tokens) == (3, 12)
 
 
 def test_bpe_merges_fixture_invariants(spark, sf_dir):
