@@ -670,7 +670,10 @@ def exact_substring_stats(
     kernel form ships 16-byte (doc, long) rows and counts document
     frequency with a hash-keyed WINDOW over the single kernel output
     (no join-back, so the kernel is evaluated exactly once — plan
-    pinned). 'Exact' survives the hash in the only sense that
+    pinned); measured 36 MB/s end to end on the same 153 MB corpus in
+    the quiet-host bench record (9.6 MB/s under a fully saturated
+    host) — 9× the string form at matched conditions, roughly half
+    extraction kernel and half gh-window + doc rollup. 'Exact' survives the hash in the only sense that
     matters: tokens are hashed individually and combined positionally
     (distinct odd multipliers P^j mod 2^64), so two windows collide
     only by 64-bit accident (~n²/2⁶⁵ expected false-shares — ~10⁻⁴ at

@@ -158,7 +158,10 @@ def bpe_encode_stats(
     table is collected once (n_merges rows — a model artifact, not
     payload) and closed over by the Arrow kernel; a per-batch word
     memo collapses the corpus's Zipf head so each distinct word
-    encodes once per batch."""
+    encodes once per batch. Measured 129 MB/s end to end in the
+    quiet-host bench record (full-output parquet write, 153 MB replica
+    corpus, 40 merges — bench detail text_ops.bpe_encode; 15 MB/s on a
+    fully saturated host); zero shuffle, scales like the scan."""
     from cs598vectordb_spark.operators.textops import _r
 
     # ranks need not be contiguous (callers may filter the table), so

@@ -113,6 +113,20 @@ def test_bpe_token_stats_fixture(spark, sf_dir):
     assert tot.t < tot.nomerge
 
 
+def test_bpe_word_freqs_plan_single_shuffle(spark, sf_dir):
+    """The trainer's one corpus-scale stage: a word-keyed aggregation
+    with map-side partial combine — exactly one exchange, no window,
+    no join, no Python."""
+    from cs598vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(tk.bpe_word_freqs(docs))
+    assert plan.count("Exchange") == 2, plan  # one node: tree + detail
+    assert "hashpartitioning(word" in plan, plan
+    assert "Window" not in plan and "Join" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_bpe_encode_plan_is_projection(spark, sf_dir):
     """Encode is scan-shaped: ONE Arrow kernel node (two formatted-plan
     mentions), zero Exchange, no join — the merge table rides in the
