@@ -905,11 +905,15 @@ def main() -> int:
     # once and cached under /tmp; build seconds are recorded by the run
     # that builds. r12 quiet-host record: exact 217 QPS; fused IVF-PQ
     # nprobe=8 mult=10 → 266 QPS @ recall 0.80; layered2 graph 6×10
-    # beam=32 → 196 QPS @ recall 0.979 — a 6-config sweep showed the
-    # graph probe's wall is a ~4.7 s per-batch stage constant (recall
-    # 0.85→0.98 moves it <7%), so its crossover needs stage fusion,
-    # not tuning. Host load moves the exact GEMM ~2× between runs;
-    # the fused IVF-PQ family crossed in every recorded run.
+    # beam=32 → 196 QPS @ recall 0.979. The graph probe's ~4.7 s wall
+    # is a per-batch constant localized by experiment: configs move it
+    # <7%, beam=8/rounds=1 is no faster than beam=32/rounds=4, and the
+    # bare segment scan is 0.6 s — the cost is the Arrow
+    # transfer/decode of the full segment payload into the Python walk
+    # workers, so the remedy is worker-side segment reads with a
+    # decoded-array cache (see SURVEY §8), not tuning or stage fusion.
+    # Host load moves the exact GEMM ~2× between runs; the fused
+    # IVF-PQ family crossed in every recorded run.
     from cs598vectordb_spark.operators.graph import (
         build_layered_graph2,
         knn_graph_layered2,
