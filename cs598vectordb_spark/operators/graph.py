@@ -653,6 +653,54 @@ def build_layered_graph(
     return LayeredGraphIndex(segments, ivf.centroids, nlist, degree, codec)
 
 
+def _beam_walk_block(
+    ids: np.ndarray,
+    X: np.ndarray,
+    nbr_pos: list,
+    sq_x: np.ndarray,
+    bQ: np.ndarray,
+    bq_ids: np.ndarray,
+    qsel: np.ndarray,
+    k: int,
+    beam: int,
+    rounds: int,
+    n_entry: int,
+) -> tuple[list, list, list]:
+    """Best-first beam walk of ONE decoded segment for a block of
+    queries — the numpy kernel shared verbatim by the Arrow-payload
+    probe (`_walk_probed_segments`) and the worker-served probe
+    (`_walk_served_segments`), so the two serving modes are identical
+    by construction. Deterministic: entry points are evenly spaced
+    positions, ties broken by (dist, vec_id)."""
+    c = len(ids)
+    entries = np.unique(np.linspace(0, c - 1, min(n_entry, c)).astype(np.int64))
+    out_q, out_id, out_d = [], [], []
+    for j in qsel:
+        q = bQ[j]
+        sq_q = float(q @ q)
+        dist = np.full(c, np.inf)
+        cand = entries
+        dist[cand] = np.maximum(sq_x[cand] - 2.0 * (X[cand] @ q) + sq_q, 0.0)
+        for _ in range(rounds):
+            scored = np.flatnonzero(np.isfinite(dist))
+            b_eff = min(beam, len(scored))
+            top = scored[np.argpartition(dist[scored], b_eff - 1)[:b_eff]]
+            new = np.unique(np.concatenate([nbr_pos[p] for p in top]))
+            new = new[~np.isfinite(dist[new])]
+            if len(new) == 0:
+                break
+            dist[new] = np.maximum(sq_x[new] - 2.0 * (X[new] @ q) + sq_q, 0.0)
+        scored = np.flatnonzero(np.isfinite(dist))
+        k_eff = min(k, len(scored))
+        top = scored[np.argpartition(dist[scored], k_eff - 1)[:k_eff]]
+        order = np.lexsort((ids[top], dist[top]))
+        top = top[order]
+        out_q.append(np.full(len(top), bq_ids[j], dtype=np.int64))
+        out_id.append(ids[top])
+        out_d.append(dist[top])
+    return out_q, out_id, out_d
+
+
 def _walk_probed_segments(
     segments: DataFrame,
     key_col: str,
@@ -711,31 +759,9 @@ def _walk_probed_segments(
 
         nbr_pos = [to_pos(n) for n in pdf["nbr_ids"]]
         sq_x = np.square(X).sum(axis=1)
-        entries = np.unique(np.linspace(0, c - 1, min(n_entry, c)).astype(np.int64))
-        out_q, out_id, out_d = [], [], []
-        for j in qsel:
-            q = bQ[j]
-            sq_q = float(q @ q)
-            dist = np.full(c, np.inf)
-            cand = entries
-            dist[cand] = np.maximum(sq_x[cand] - 2.0 * (X[cand] @ q) + sq_q, 0.0)
-            for _ in range(rounds):
-                scored = np.flatnonzero(np.isfinite(dist))
-                b_eff = min(beam, len(scored))
-                top = scored[np.argpartition(dist[scored], b_eff - 1)[:b_eff]]
-                new = np.unique(np.concatenate([nbr_pos[p] for p in top]))
-                new = new[~np.isfinite(dist[new])]
-                if len(new) == 0:
-                    break
-                dist[new] = np.maximum(sq_x[new] - 2.0 * (X[new] @ q) + sq_q, 0.0)
-            scored = np.flatnonzero(np.isfinite(dist))
-            k_eff = min(k, len(scored))
-            top = scored[np.argpartition(dist[scored], k_eff - 1)[:k_eff]]
-            order = np.lexsort((ids[top], dist[top]))
-            top = top[order]
-            out_q.append(np.full(len(top), bq_ids[j], dtype=np.int64))
-            out_id.append(ids[top])
-            out_d.append(dist[top])
+        out_q, out_id, out_d = _beam_walk_block(
+            ids, X, nbr_pos, sq_x, bQ, bq_ids, qsel, k, beam, rounds, n_entry
+        )
         return pd.DataFrame(
             {
                 "q_id": np.concatenate(out_q),
@@ -748,6 +774,154 @@ def _walk_probed_segments(
         segments.filter(F.col(key_col).isin(sorted(probed)))
         .groupBy(key_col)
         .applyInPandas(walk, "q_id long, vec_id long, dist double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
+    )
+
+
+# ---- worker-side segment serving (r13) -----------------------------------
+# The pinned/cold probes ship every probed segment's full payload
+# (embeddings + adjacency) through Arrow into the Python walk workers on
+# EVERY batch. At 1M×128 that transfer/decode is a ~4.4 s per-batch
+# constant the r12 localization experiment proved configs cannot move
+# (6 configs shift the wall <7%; the bare segment scan is 0.6 s — see
+# bench.py's large_base_1m comment). Serving mode inverts the dataflow:
+# the probe ships only the probed (segment_id) list plus the broadcast
+# query block, and each Python worker pyarrow-reads its segments'
+# files DIRECTLY from the materialized index path (a shared
+# filesystem / object-store prefix at cluster scale), caching the
+# decoded arrays in the reused worker process across batches. First
+# touch pays one column-pruned parquet read per segment; steady state
+# pays zero transfer. Reference analog: hnswlib/faiss serve from a
+# resident native structure (/root/reference/dynamic_script_faiss.py:53-57,
+# logs/dynamic_updates_hnswlib.txt) — this is the Spark-native
+# equivalent, with a byte-capped per-worker LRU instead of a mandatory
+# full-residency requirement, so an index larger than worker memory
+# degrades to re-reads instead of OOM.
+
+_SEG_CACHE: dict = {}  # (seg_dir, sid) -> (ids, X_src, nbr_pos, sq_x, bytes)
+_SEG_CACHE_LRU: list = []  # keys, least-recent first
+_SEG_CACHE_BYTES = [0]
+
+
+def _seg_cache_cap() -> int:
+    """Per-worker decoded-segment cache budget (bytes). Sized so the
+    32-thread local mode stays far under box memory even if every
+    worker eventually caches disjoint+overlapping segment sets; on a
+    real cluster, set to a fraction of executor Python memory."""
+    return int(os.environ.get("CS598_SEG_CACHE_MB", "512")) << 20
+
+
+def _served_segment(seg_dir: str, sid: int, id_col: str, vec_col: str):
+    """Decode one materialized segment into the walk kernel's arrays,
+    LRU-cached in this worker process. Embeddings are cached in their
+    SOURCE dtype (float32 for array<float> layouts — half the bytes)
+    and upcast to float64 per walk, which is lossless, so served
+    results are bit-identical to the Arrow-payload path."""
+    key = (seg_dir, int(sid))
+    hit = _SEG_CACHE.get(key)
+    if hit is not None:
+        _SEG_CACHE_LRU.remove(key)
+        _SEG_CACHE_LRU.append(key)
+        return hit
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(seg_dir, f"segment_id={sid}"),
+        columns=[id_col, vec_col, "nbr_ids"],
+    )
+    ids_raw = tbl.column(id_col).to_numpy()
+    c = len(ids_raw)
+    emb = tbl.column(vec_col).combine_chunks()
+    X = emb.flatten().to_numpy(zero_copy_only=False).reshape(c, -1)
+    order = np.argsort(ids_raw, kind="stable")
+    ids = np.ascontiguousarray(ids_raw[order], dtype=np.int64)
+    X = np.ascontiguousarray(X[order])
+    nbr = tbl.column("nbr_ids").combine_chunks()
+    nflat = nbr.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    noff = nbr.offsets.to_numpy()
+    # neighbor global-id -> sorted local position; ids absent from the
+    # segment (dangling edges after deletes) are masked, as in the
+    # Arrow-path to_pos
+    p = np.searchsorted(ids, nflat)
+    p_clip = np.minimum(p, c - 1)
+    valid = ids[p_clip] == nflat
+    nbr_pos = [
+        p_clip[s:e][valid[s:e]]
+        for s, e in ((noff[o], noff[o + 1]) for o in order)
+    ]
+    sq_x = np.square(np.ascontiguousarray(X, dtype=np.float64)).sum(axis=1)
+    nbytes = (
+        ids.nbytes + X.nbytes + sq_x.nbytes
+        + sum(a.nbytes for a in nbr_pos)
+    )
+    entry = (ids, X, nbr_pos, sq_x, nbytes)
+    cap = _seg_cache_cap()
+    if nbytes <= cap:
+        while _SEG_CACHE_BYTES[0] + nbytes > cap and _SEG_CACHE_LRU:
+            old = _SEG_CACHE_LRU.pop(0)
+            _SEG_CACHE_BYTES[0] -= _SEG_CACHE.pop(old)[4]
+        _SEG_CACHE[key] = entry
+        _SEG_CACHE_LRU.append(key)
+        _SEG_CACHE_BYTES[0] += nbytes
+    return entry
+
+
+def _walk_served_segments(
+    spark,
+    seg_dir: str,
+    probed: dict[int, np.ndarray],
+    q_ids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    beam: int,
+    rounds: int,
+    n_entry: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Serving-mode probe tail: the plan's input is the tiny probed
+    (segment_id) list — ONE int row per probed segment — and the walk
+    kernel pulls segment payloads worker-side via `_served_segment`.
+    Same query broadcast, same `_beam_walk_block`, same window merge as
+    `_walk_probed_segments`; only the payload transport differs."""
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast((q_ids, Q, probed))
+    sids = sorted(int(s) for s in probed)
+    width = max(1, min(len(sids), 2 * spark.sparkContext.defaultParallelism))
+    sdf = spark.createDataFrame([(s,) for s in sids], "segment_id int")
+
+    def serve(batches):
+        bq_ids, bQ, bprobed = bc.value
+        for pdf in batches:
+            for sid in pdf["segment_id"].tolist():
+                qsel = bprobed.get(int(sid))
+                if qsel is None or len(qsel) == 0:
+                    continue
+                ids, Xs, nbr_pos, sq_x, _ = _served_segment(
+                    seg_dir, int(sid), id_col, vec_col
+                )
+                X = np.ascontiguousarray(Xs, dtype=np.float64)
+                out_q, out_id, out_d = _beam_walk_block(
+                    ids, X, nbr_pos, sq_x, bQ, bq_ids, qsel,
+                    k, beam, rounds, n_entry,
+                )
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "q_id": np.concatenate(out_q),
+                            "vec_id": np.concatenate(out_id),
+                            "dist": np.concatenate(out_d),
+                        }
+                    )
+
+    local = sdf.repartition(width, "segment_id").mapInPandas(
+        serve, "q_id long, vec_id long, dist double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
     return (
@@ -824,6 +998,7 @@ class LayeredGraph2Index:
         nlist1: int,
         nlist2: int,
         degree: int,
+        serve_dir: str | None = None,  # worker-served mode (open_layered2)
     ):
         self.segments = segments
         self.l1_centroids = l1_centroids
@@ -831,6 +1006,7 @@ class LayeredGraph2Index:
         self.nlist1 = nlist1
         self.nlist2 = nlist2
         self.degree = degree
+        self.serve_dir = serve_dir
 
     def close(self) -> None:
         self.segments.unpersist()
@@ -970,10 +1146,27 @@ def knn_graph_layered2(
     for j in range(nq):
         for key in keys[order[j]][np.isfinite(d2[j, order[j]])]:
             probed.setdefault(int(key), []).append(j)
+    probed_np = {
+        key: np.asarray(js, dtype=np.int64) for key, js in probed.items()
+    }
+    if index.serve_dir is not None:
+        return _walk_served_segments(
+            index.segments.sparkSession,
+            index.serve_dir,
+            probed_np,
+            q_ids,
+            Q,
+            k,
+            beam,
+            rounds,
+            n_entry,
+            id_col,
+            vec_col,
+        )
     return _walk_probed_segments(
         index.segments,
         "segment_id",
-        {key: np.asarray(js, dtype=np.int64) for key, js in probed.items()},
+        probed_np,
         q_ids,
         Q,
         None,
@@ -1462,25 +1655,34 @@ def materialize_layered2(
     return open_layered2(spark, path, pinned=pinned)
 
 
-def open_layered2(spark, path: str, pinned: bool = True) -> LayeredGraph2Index:
+def open_layered2(
+    spark, path: str, pinned: bool = True, served: bool = False
+) -> LayeredGraph2Index:
     """Re-open a materialized layered2 index: L1 sidecar to the driver
     (nlist1 rows), L2 table stays a distributed relation.
 
-    Two serving modes for the segment table:
+    Three serving modes for the segment table:
 
     * ``pinned=True`` (default) — one-time repartition on segment_id +
       persist, so every subsequent probe's groupBy is exchange-free.
       The right mode when the index FITS executor storage and serves
       many batches (the resident-index regime, like hnswlib holding
-      the graph in RAM).
+      the graph in RAM). Still pays the Arrow payload transfer into
+      the Python walk workers per batch.
     * ``pinned=False`` — the raw partitioned-parquet relation. A probe
       then PARTITION-PRUNES the scan to the probed segment_ids
       (segments/segment_id=K/ directories) and shuffles only those
-      rows into the walk kernel. The 100 TB mode: an index larger than
-      cluster memory is touched only where the probe list points —
-      executed scan rows measured in bench detail (probe_scan_rows),
-      plan shape pinned in tests/test_plans.py. Results are identical
-      to pinned mode (same kernel, same rows — pinned in
+      rows into the walk kernel. The larger-than-memory mode: an index
+      bigger than cluster storage is touched only where the probe list
+      points — executed scan rows measured in bench detail
+      (probe_scan_rows), plan shape pinned in tests/test_plans.py.
+    * ``served=True`` — worker-side segment serving: the probe plan's
+      input is the tiny probed (segment_id) list and Python workers
+      pyarrow-read + LRU-cache their segments' decoded arrays straight
+      from this path (see the serving-mode comment above
+      `_served_segment`). The high-QPS repeated-batch mode: steady
+      state ships zero payload per batch. Results are identical across
+      all three modes (same kernel, same rows — pinned in
       tests/test_index.py)."""
     meta = spark.read.parquet(os.path.join(path, "l1"))
     rows = meta.orderBy("l1_id").collect()
@@ -1494,7 +1696,8 @@ def open_layered2(spark, path: str, pinned: bool = True) -> LayeredGraph2Index:
     )
     l2 = spark.read.parquet(os.path.join(path, "l2"))
     segs = spark.read.parquet(os.path.join(path, "segments"))
-    if pinned:
+    serve_dir = os.path.join(path, "segments") if served else None
+    if pinned and not served:
         segs = segs.repartition(nlist1 * nlist2, "segment_id").persist()
         segs.count()
-    return LayeredGraph2Index(segs, l1, l2, nlist1, nlist2, degree)
+    return LayeredGraph2Index(segs, l1, l2, nlist1, nlist2, degree, serve_dir)

@@ -888,6 +888,41 @@ def q_knn_graph2_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_graph2_served")
+def q_knn_graph2_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index of record in WORKER-SERVED mode (r13): the probe plan
+    ships only the probed (segment_id) list + the query broadcast, and
+    reused Python workers pyarrow-read and LRU-cache their segments'
+    decoded arrays straight from the materialized index path — zero
+    per-batch payload transfer at steady state (the Spark-native
+    analog of hnswlib's resident graph, /root/reference/
+    dynamic_script_faiss.py:53-57). Results are bit-identical to the
+    pinned probe (pinned in tests/test_index.py::
+    test_graph2_served_matches_pinned) → rows-only by the same
+    graph-structure-dependence as knn_graph2_materialized."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.graph import (
+        knn_graph_layered2,
+        open_layered2,
+    )
+
+    def build():
+        graph2_materialized_for(spark, sf_dir)  # ensure artifacts exist
+        path = _os.path.join(
+            "/tmp/cs598_spark_io",
+            _os.path.basename(sf_dir.rstrip("/")),
+            "graph2_mat_4x4_pinned",
+        )
+        return open_layered2(spark, path, served=True)
+
+    _, q = _setup(spark, sf_dir)
+    opened = _warm(spark, ("layered_graph2_served", sf_dir, 4, 4), build)
+    return knn_graph_layered2(opened, q, _K, nprobe1=4, nprobe2=12, beam=32).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
 @register("knn_graph2_filtered")
 def q_knn_graph2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN on the hierarchical index — the post-filter-with-

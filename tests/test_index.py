@@ -672,6 +672,41 @@ def test_graph2_cold_serving_prunes_partitions(spark, sf_dir, tmp_path):
     pinned.segments.unpersist()
 
 
+def test_graph2_served_matches_pinned(spark, sf_dir, tmp_path):
+    """Worker-served mode (r13) must return results BIT-IDENTICAL to
+    the pinned probe — same kernel, same rows, same dists — on both the
+    cold (worker pyarrow read) and warm (worker LRU cache hit) paths,
+    and its plan input must be the tiny segment-id list, not the
+    segment payload (no scan of the segments parquet)."""
+    from cs598vectordb_spark.operators.graph import (
+        knn_graph_layered2,
+        materialize_layered2,
+        open_layered2,
+    )
+    from cs598vectordb_spark.queries_index import layered_graph2_for
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    fresh = layered_graph2_for(spark, sf_dir, nlist1=8, nlist2=8)
+    pinned = materialize_layered2(fresh, str(tmp_path / "g2served"))
+    served = open_layered2(spark, str(tmp_path / "g2served"), served=True)
+    assert served.serve_dir is not None
+    assert served.segments.storageLevel.useMemory is False
+
+    kw = dict(k=K, nprobe1=2, nprobe2=6, beam=32)
+    a = knn_graph_layered2(pinned, q, **kw).orderBy("q_id", "rank").collect()
+    cold = knn_graph_layered2(served, q, **kw)
+    # the served plan reads only the probed segment-id LIST — the
+    # segments parquet never appears as a scan relation
+    plan = cold._jdf.queryExecution().executedPlan().toString()
+    assert "segments" not in plan, plan
+    b = cold.orderBy("q_id", "rank").collect()
+    c = knn_graph_layered2(served, q, **kw).orderBy("q_id", "rank").collect()
+    assert a == b, "served (cold) differs from pinned"
+    assert a == c, "served (cache-hit) differs from pinned"
+    pinned.segments.unpersist()
+
+
 def test_graph2_filtered_ann(spark, sf_dir):
     """Filtered ANN (post-filter with expansion) on the hierarchical
     index: every result satisfies the predicate, per-query results never
