@@ -89,6 +89,7 @@ def bpe_train(
     n_merges: int = 40,
     text_col: str = "text",
     min_pair_count: int = 2,
+    min_word_count: int = 1,
 ) -> DataFrame:
     """Learn `n_merges` BPE merges on the corpus; returns
     (rank, left, right, pair_count) in merge order. Stops early when
@@ -100,6 +101,18 @@ def bpe_train(
 
     The collect is the bounded frequency TABLE (distinct words), not
     corpus payload — the module docstring's pca_spectrum precedent.
+    "Bounded by the language" holds for natural text but NOT for
+    adversarial/web corpora (URLs, hex hashes, code identifiers can
+    make the distinct-word table grow with the corpus), so
+    `min_word_count` caps the collect the way production trainers do:
+    words rarer than the threshold are dropped BEFORE the collect (a
+    pushed-down HAVING on the count aggregate — the 100 TB guard).
+    This is an explicit, documented vocabulary-truncation parameter,
+    not silent behavior: a dropped word can still influence merges
+    only through pairs it shares with surviving words, and on natural
+    corpora the head carries virtually all pair mass (classic-corpus
+    merges pinned unchanged under the guard in
+    tests/test_tokenizer.py::test_bpe_train_min_word_count_guard).
     Per merge, only words indexed as containing the merged pair are
     rewritten and their pair counts delta-updated; ties break on
     (left, right) lexicographic order, pinned by the classic
@@ -107,7 +120,10 @@ def bpe_train(
     from collections import Counter, defaultdict
 
     spark = docs.sparkSession
-    rows = bpe_word_freqs(docs, text_col).collect()
+    freqs = bpe_word_freqs(docs, text_col)
+    if min_word_count > 1:
+        freqs = freqs.filter(F.col("count") >= int(min_word_count))
+    rows = freqs.collect()
     words = [(list(r["word"]) + [BPE_END], int(r["count"])) for r in rows]
 
     pair_counts: Counter = Counter()
@@ -144,6 +160,100 @@ def bpe_train(
     )
 
 
+def _encode_token_count(word: str, rank_of: dict) -> int:
+    """Token count of one word under a merge table — the rank-indexed
+    (heap + linked-list) encoder. The r12 first cut rescanned every
+    adjacent pair per merge step (O(L) scans × up to L−1 applied
+    merges per word — fine at 40 merges where few apply, quadratic at
+    a production 8k–50k merge vocabulary where most of the word folds
+    up). Here candidate pairs sit in a min-heap keyed (rank, position)
+    over a linked list of live symbols: each pop merges one occurrence
+    and pushes at most two new neighbor pairs — O((L + merges_applied)
+    · log L), vocabulary-size-independent.
+
+    Semantics are IDENTICAL to the scan form (pinned exhaustively in
+    tests/test_tokenizer.py::test_bpe_encode_heap_matches_scan): the
+    (rank, position) key applies the lowest-rank pair's occurrences
+    left to right non-overlapping before any higher rank, and a pair
+    CREATED by a merge always carries a higher rank than the merge
+    that created it on any trained table (a merge can only be learned
+    after its operands exist), so heap order equals rescan order."""
+    import heapq
+
+    syms = list(word) + [BPE_END]
+    n = len(syms)
+    if n <= 1:
+        return n
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    heap = []
+    for i in range(n - 1):
+        rk = rank_of.get((syms[i], syms[i + 1]))
+        if rk is not None:
+            heap.append((rk, i, syms[i], syms[i + 1]))
+    heapq.heapify(heap)
+    count = n
+    while heap:
+        rk, i, left, right = heapq.heappop(heap)
+        if not alive[i] or syms[i] != left:
+            continue
+        j = nxt[i]
+        if j == -1 or syms[j] != right:
+            continue  # stale entry: the right symbol was consumed
+        syms[i] = left + right
+        alive[j] = False
+        nj = nxt[j]
+        nxt[i] = nj
+        if nj != -1:
+            prv[nj] = i
+        count -= 1
+        p = prv[i]
+        if p != -1:
+            rk2 = rank_of.get((syms[p], syms[i]))
+            if rk2 is not None:
+                heapq.heappush(heap, (rk2, p, syms[p], syms[i]))
+        if nj != -1:
+            rk2 = rank_of.get((syms[i], syms[nj]))
+            if rk2 is not None:
+                heapq.heappush(heap, (rk2, i, syms[i], syms[nj]))
+    return count
+
+
+def bpe_word_token_map(docs: DataFrame, merges: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n_tokens) for every distinct corpus word under the merge
+    table — the encode fully materialized over the vocabulary. This is
+    the oracle bridge for bpe_token_stats (the DSIR bucket-map
+    pattern, queries_text.dsir_bucket_map_path): greedy ordered merges
+    are iterative and not ANSI-expressible, so the engine exports this
+    map and the DuckDB twin replays the per-document AGGREGATION
+    relationally against it. One distinct-word shuffle + one Arrow
+    projection; bounded by the vocabulary, never corpus payload."""
+    rank_of = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
+    }
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            words = pdf["word"].tolist()
+            yield pd.DataFrame(
+                {
+                    "word": words,
+                    "n_tokens": [_encode_token_count(w, rank_of) for w in words],
+                }
+            )
+
+    return (
+        docs.select(F.explode(_token_col(text_col)).alias("word"))
+        .distinct()
+        .mapInPandas(kern, "word string, n_tokens long")
+    )
+
+
 def bpe_encode_stats(
     docs: DataFrame,
     merges: DataFrame,
@@ -152,24 +262,24 @@ def bpe_encode_stats(
 ) -> DataFrame:
     """Per-document statistics under a learned merge table:
     (doc_id, n_words, n_chars, n_bpe_tokens, tokens_per_word,
-    chars_per_token). Applies merges in rank order per word (find the
-    lowest-rank adjacent pair, merge its occurrences left-to-right,
-    repeat), exactly the training fold's greedy semantics. The merge
-    table is collected once (n_merges rows — a model artifact, not
-    payload) and closed over by the Arrow kernel; a per-batch word
-    memo collapses the corpus's Zipf head so each distinct word
-    encodes once per batch. Measured 129 MB/s end to end in the
-    quiet-host bench record (full-output parquet write, 153 MB replica
-    corpus, 40 merges — bench detail text_ops.bpe_encode; 15 MB/s on a
-    fully saturated host); zero shuffle, scales like the scan."""
+    chars_per_token). Applies merges in rank order per word via the
+    rank-indexed heap encoder (`_encode_token_count` — identical
+    greedy semantics to the training fold, vocabulary-size-
+    independent per-word cost). The merge table is collected once
+    (n_merges rows — a model artifact, not payload) and closed over by
+    the Arrow kernel; a per-batch word memo collapses the corpus's
+    Zipf head so each distinct word encodes once per batch. Measured
+    129 MB/s end to end in the r12 quiet-host bench record at 40
+    merges (full-output parquet write, 153 MB replica corpus — bench
+    detail text_ops.bpe_encode; the r13 bench point re-records at
+    2,000 merges); zero shuffle, scales like the scan."""
     from cs598vectordb_spark.operators.textops import _r
 
     # ranks need not be contiguous (callers may filter the table), so
-    # the lookup is rank -> pair, never a position into a sorted list
+    # the lookup is by pair key, never a position into a sorted list
     rank_of = {
         (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
     }
-    pair_at = {k: p for p, k in rank_of.items()}
     id_type = docs.schema[id_col].dataType.simpleString()
     base = docs.select(F.col(id_col), _token_col(text_col).alias("_ws"))
 
@@ -177,18 +287,7 @@ def bpe_encode_stats(
         import pandas as pd
 
         def encode(word: str) -> int:
-            syms = list(word) + [BPE_END]
-            while len(syms) > 1:
-                best = None
-                for i in range(len(syms) - 1):
-                    rk = rank_of.get((syms[i], syms[i + 1]))
-                    if rk is not None and (best is None or rk < best):
-                        best = rk
-                if best is None:
-                    break
-                pl, pr = pair_at[best]
-                syms = _merge_word(syms, pl, pr, pl + pr)
-            return len(syms)
+            return _encode_token_count(word, rank_of)
 
         for pdf in batches:
             if not len(pdf):

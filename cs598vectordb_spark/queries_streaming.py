@@ -230,15 +230,25 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup(spark, sf_dir, _io_dir(sf_dir, "stream_dedup"), n_splits=3)
 
 
-@register("stream_quality_gate")
+def _quality_gate_oracle() -> str:
+    from cs598vectordb_spark.queries_text import _repetition_oracle
+
+    return f"SELECT * FROM ({_repetition_oracle()}) WHERE NOT repetitive"
+
+
+@register("stream_quality_gate", _quality_gate_oracle())
 def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-edge Gopher gate: the full repetition filter bank applied
     per micro-batch on a document file stream, keeping only
     non-repetitive docs — stateless, watermark-free, with exact
     batch/stream parity pinned in tests/test_streaming.py::
-    test_stream_quality_gate_matches_batch. Rows-only (oracle budget
-    99/100; promotable as repetition_scores' SQL + WHERE NOT
-    repetitive when a slot frees)."""
+    test_stream_quality_gate_matches_batch. ORACLE PROMOTED r13
+    (queued since r12, funded by the minhash_signatures/simhash_banded
+    retirements): the gate IS repetition_scores' bank + the
+    keep-filter, and the drained micro-batch union equals the batch
+    filter row for row (the parity pin), so the batch oracle grades
+    the stream; the DuckDB dress rehearsal is tests/test_streaming.py::
+    test_stream_quality_gate_oracle_parity."""
     from cs598vectordb_spark.streaming.jobs import stream_quality_gate
 
     return stream_quality_gate(

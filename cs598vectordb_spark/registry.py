@@ -62,75 +62,78 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Promoted r11: repetition_scores (the verdict-r10 queue; its r11
 # evidence also CHANGED — the Gopher n-gram bank added 9 columns) →
 # 99 oracled, slack 1.
-# r12 ROTATION (executed; recomputed from CORRECTNESS_r10∪r11, which
-# CORRECTED an r11 planning error: the old comment called token_counts
-# "r12-due", but token_counts was graded GREEN in r11's head, so it is
-# r13-due and retiring it frees nothing this round — the r12 due set
-# is the 49 entries green-in-r10-only (50 graded r10 − knn_exact,
-# which auto-refreshed in r11's spare slot), and fitting BOTH queued
-# births therefore needs a retirement FROM THE DUE SET):
-#   retire doc_repetition (near-duplicate-evidence class: promoted-r11
-#     repetition_scores' complete Gopher bank covers the intra-doc
-#     repetition family; doc_repetition WAS r12-due → frees a due
-#     slot) and token_counts (shared-oracle class: n_tokens_ws
-#     duplicates doc_stats' n_tokens; r13-due, so this retirement
-#     buys r13 slack instead), both with value-exact pins below;
-#   promote lm_surprisal + clean_text (the r11 queue, pure-ANSI SQL
-#     twins in queries_text.py).
-# Net: 99 − 2 + 2 = 99 oracled, slack 1. Head below = 2 births + 48
-# due = 50 exactly; no auto-fill slot this round. r13 outlook: the 50
-# r11-green entries − token_counts (retired) = 49 due, ONE spare r13
-# slot. r13 PROMOTION QUEUE — two entries carry AUTHORED, pytest-
-# verified queued oracles in queued_oracle_sql() below, ready to move
-# into their register() calls: stream_quality_gate (the repetition
-# bank + WHERE NOT repetitive; dress-rehearsed end to end vs DuckDB)
-# and dsir_logweights (features re-derived relationally + the engine's
-# (feature → bucket) parquet export, which q_dsir_logweights refreshes
-# at the grading SFs automatically). exact_substring_stats' string-key
-# twin stays the mechanical third option. Promote at most ONE without
-# a same-round retirement.
+# r12 ROTATION (executed): retired doc_repetition + token_counts
+# (value-exact pins below), promoted lm_surprisal + clean_text — both
+# graded green first time in CORRECTNESS_r12. Net 99 oracled, slack 1.
+# r13 ROTATION (executed; due set recomputed from CORRECTNESS_r11∪r12
+# per the standing caution: exactly the 50 r11-greens − token_counts
+# (retired r12) = 49 due + ONE spare slot — fitting BOTH queued births
+# therefore needs ONE retirement FROM THE DUE SET, and a second
+# retirement keeps the steady state at slack 1 instead of pinning the
+# pool at the hard 100 cap):
+#   retire minhash_signatures (shared-oracle class: its SQL was the
+#     literal `sigs` CTE embedded verbatim in the still-graded
+#     minhash_lsh_dedup / dedup_clusters / jaccard_topk oracles;
+#     r13-due → frees a due slot) and simhash_banded (near-duplicate-
+#     evidence class: same _SIMHASH_CTES as the still-graded
+#     simhash_near_dups, pair set a strict hamming≤3 subset of its
+#     hamming≤7 output; also r13-due), both with value-exact pure-
+#     Python pins below;
+#   promote dsir_logweights + stream_quality_gate (the r12 queue, both
+#     dress-rehearsed vs DuckDB in pytest before promotion);
+#   slot 50 = explicit refresh of lm_surprisal (rotation preference
+#     (b): single-green former queue entry gets its second green).
+# Net: 99 − 2 + 2 = 99 oracled, slack 1. Head below = 2 births + 47
+# due + 1 refresh = 50 exactly; no auto-fill. r14 outlook: the 50
+# r12-green entries − lm_surprisal (refreshed r13) = 49 due, ONE spare
+# slot. r14 PROMOTION QUEUE — bpe_token_stats carries an AUTHORED,
+# pytest-verified queued oracle in queued_oracle_sql() below (merge
+# table exported as a parquet sidecar, per-word token counts replayed
+# relationally); exact_substring_stats' string-key twin stays the
+# mechanical second option. Promote at most ONE without a same-round
+# retirement.
 _PRIORITY: tuple[str, ...] = (
-    # --- r12 slots 1-2: oracle births (the r11 promotion queue).
-    "lm_surprisal", "clean_text",
-    # --- the r10-green set not re-graded in round 11; newest green row
-    # is r10, so the ≤2-rounds invariant makes them due now (48 entries
-    # = 49 due − doc_repetition, retired this round; knn_exact got its
-    # r11 green via the auto-filled spare slot and is NOT due).
-    "stream_interval_join_full", "mixture_sample", "scan_fvecs",
-    "cohort_retention", "knn_exact_2k", "knn_ip", "range_search",
-    "event_value_percentiles", "distance_histogram", "chunk_documents",
-    "stream_static_enrich", "merge_upsert", "pricing_summary",
-    "dedup_exact", "bucketed_customer_orders", "shingle_cardinality_kmv",
-    "events_hourly", "props_json_extract", "range_click_burst",
-    "salted_user_stats", "decimal_revenue", "media_features",
-    "media_frame_sample", "media_summary", "stream_stateful_counts",
-    "stream_dedup", "stream_knn", "decontamination", "curate_corpus",
-    "sq8_error", "hash_split", "ngram_profile", "tfidf_keywords",
-    "semantic_doc_search", "minhash_lsh_dedup", "simhash_near_dups",
-    "embedding_near_dup", "pack_sequences", "acctbal_deciles",
-    "media_decode_wav", "media_decode_bmp", "media_resize_pixels",
-    "stream_merge_upserts", "scan_ivecs", "load_dataset", "scan_logs",
-    "stream_near_dedup", "knn_cosine",
+    # --- r13 slots 1-2: oracle births (the r12 promotion queue).
+    "dsir_logweights", "stream_quality_gate",
+    # --- the r11-green set not re-graded in round 12; newest green row
+    # is r11, so the ≤2-rounds invariant makes them due now (47 entries
+    # = 49 due − minhash_signatures − simhash_banded, both retired this
+    # round).
+    "asof_attribution", "brand_top_parts", "customer_number_extract",
+    "customer_order_gaps", "customer_order_stats", "dedup_clusters",
+    "delete_pct", "doc_stats", "events_first5_series",
+    "events_last5_summary", "fingerprints", "funnel_steps", "ingest",
+    "insert_restore", "jaccard_topk", "knn_exact", "knn_exact_pca",
+    "knn_filtered", "knn_post_delete", "lang_detect", "lineitem_rollup",
+    "local_supplier_volume", "media_decode_ppm", "media_dedup",
+    "order_priority_count", "orders_cube", "priority_customers_setops",
+    "quality_scores", "recall_low_dim", "repetition_scores",
+    "revenue_change", "sessionize", "shipping_priority",
+    "source_summary", "sq8_encode", "sql_text_surface", "status_pivot",
+    "stratified_sample", "stream_events_hourly", "stream_ingest_updates",
+    "stream_interval_join", "stream_interval_join_outer",
+    "stream_late_data", "stream_merge_upserts_cow", "stream_sessionize",
+    "stream_sink_parquet", "upsert_guard",
+    # --- slot 50: explicit refresh (single-green r12 birth).
+    "lm_surprisal",
     # ---------------- 50-slot grading boundary is here ----------------
-    # (50 filled this round: 2 births + 48 due; nothing auto-fills.)
-    # r11-green entries not re-graded this round (due back in r13, 49
-    # entries — token_counts dropped out by retirement):
-    # repetition_scores, stream_interval_join_outer, knn_exact_pca,
-    # stream_interval_join, sessionize, stream_events_hourly,
-    # funnel_steps, orders_cube, stream_merge_upserts_cow,
-    # media_decode_ppm, asof_attribution, stream_sessionize,
-    # stream_late_data, stream_sink_parquet, knn_filtered,
-    # shipping_priority, local_supplier_volume, revenue_change,
-    # order_priority_count, customer_order_stats, brand_top_parts,
-    # status_pivot, customer_number_extract, lineitem_rollup,
-    # priority_customers_setops, customer_order_gaps,
-    # minhash_signatures, jaccard_topk, doc_stats, quality_scores,
-    # fingerprints, source_summary, simhash_banded, lang_detect,
-    # stratified_sample, dedup_clusters, sq8_encode,
-    # stream_ingest_updates, media_dedup, ingest, sql_text_surface,
-    # delete_pct, insert_restore, upsert_guard, knn_post_delete,
-    # recall_low_dim, events_last5_summary, events_first5_series,
-    # knn_exact
+    # r12-green entries not re-graded this round (due back in r14, 49
+    # entries — lm_surprisal refreshed into slot 50 above):
+    # clean_text, stream_interval_join_full, mixture_sample, scan_fvecs,
+    # cohort_retention, knn_exact_2k, knn_ip, range_search,
+    # event_value_percentiles, distance_histogram, chunk_documents,
+    # stream_static_enrich, merge_upsert, pricing_summary, dedup_exact,
+    # bucketed_customer_orders, shingle_cardinality_kmv, events_hourly,
+    # props_json_extract, range_click_burst, salted_user_stats,
+    # decimal_revenue, media_features, media_frame_sample,
+    # media_summary, stream_stateful_counts, stream_dedup, stream_knn,
+    # decontamination, curate_corpus, sq8_error, hash_split,
+    # ngram_profile, tfidf_keywords, semantic_doc_search,
+    # minhash_lsh_dedup, simhash_near_dups, embedding_near_dup,
+    # pack_sequences, acctbal_deciles, media_decode_wav,
+    # media_decode_bmp, media_resize_pixels, stream_merge_upserts,
+    # scan_ivecs, load_dataset, scan_logs, stream_near_dedup,
+    # knn_cosine
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -225,7 +228,18 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # retired-oracle entries (r12) — value-exact pins
     "token_counts": "tests/test_dedup_text.py::test_token_counts_closed_form",
     "doc_repetition": "tests/test_dedup_text.py::test_doc_repetition_closed_form",
-    "dsir_logweights": "tests/test_dedup_text.py::test_dsir_closed_form",
+    # retired-oracle entries (r13) — value-exact pure-Python pins; both
+    # remain transitively DuckDB-checked through the sibling oracles
+    # that embed the same CTEs (see the rotation comment above)
+    "minhash_signatures": (
+        "tests/test_dedup_text.py::test_minhash_signatures_value_exact"
+    ),
+    "simhash_banded": (
+        "tests/test_dedup_text.py::test_simhash_banded_value_exact"
+    ),
+    # dsir_logweights + stream_quality_gate PROMOTED to oracles r13
+    # (the r12 queue); their closed-form / batch-parity pins remain as
+    # defense in depth but are no longer the primary evidence.
     "exact_substring_stats": (
         "tests/test_dedup_text.py::test_exact_substring_stats"
     ),
@@ -241,9 +255,6 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "export_training_set": "tests/test_dedup_text.py::test_export_training_set",
     "curation_funnel_report": (
         "tests/test_dedup_text.py::test_curation_funnel_report"
-    ),
-    "stream_quality_gate": (
-        "tests/test_streaming.py::test_stream_quality_gate_matches_batch"
     ),
     # repetition_scores PROMOTED to an oracle r11 (full Gopher bank in
     # DuckDB) — its known-documents pin and Counter property test remain
@@ -281,25 +292,22 @@ def queued_oracle_sql() -> dict[str, str]:
     call and re-curate _PRIORITY. tools/check_oracle.py verifies a
     queued oracle when the entry is explicitly named; pytest pins each
     end to end (the dict maps name → SQL baked for the sf0.01 grading
-    fixture)."""
+    fixture). dsir_logweights + stream_quality_gate were promoted out
+    of this queue in r13."""
     _ensure_loaded()
     from cs598vectordb_spark.queries_text import (
-        _repetition_oracle,
-        dsir_bucket_map_path,
-        dsir_oracle_sql,
+        bpe_token_map_path,
+        bpe_token_stats_oracle_sql,
     )
 
     return {
-        "dsir_logweights": dsir_oracle_sql(
-            dsir_bucket_map_path("/root/testdata/sf0.01")
-        ),
-        # the gate IS repetition_scores' bank + the keep-filter — the
-        # drained micro-batch union equals the batch filter row for row
-        # (parity pinned in tests/test_streaming.py), so the batch
-        # oracle grades the stream; dress rehearsal in
-        # tests/test_streaming.py::test_stream_quality_gate_queued_oracle
-        "stream_quality_gate": (
-            f"SELECT * FROM ({_repetition_oracle()}) WHERE NOT repetitive"
+        # encode is deterministic given a merge table; the engine
+        # exports its (word → n_tokens) vocabulary map as a parquet
+        # sidecar and the twin replays the per-document aggregation
+        # relationally — dress rehearsal in tests/test_tokenizer.py::
+        # test_bpe_token_stats_queued_oracle
+        "bpe_token_stats": bpe_token_stats_oracle_sql(
+            bpe_token_map_path("/root/testdata/sf0.01")
         ),
     }
 

@@ -1160,3 +1160,98 @@ def test_dsir_queued_oracle_matches_duckdb(spark, sf_dir):
         return sorted(tuple(c(r[i]) for i in order) for r in rows)
 
     assert canon(srows, scols) == canon(drows, dcols)
+
+
+def test_minhash_signatures_value_exact(spark, sf_dir):
+    """Value-exact pin for the ORACLE-RETIRED-r13 minhash_signatures
+    entry (shared-oracle class: its SQL is the literal `sigs` CTE
+    embedded verbatim in the minhash_lsh_dedup / dedup_clusters /
+    jaccard_topk oracles, which remain graded): every one of the k=16
+    signature values recomputed independently in pure Python — same
+    normalization (lower + whitespace split), first-occurrence-distinct
+    3-gram shingles, Horner base-31 rolling hash mod 1e9+7, affine
+    (a·h+b) mod 2^31−1 minhash — on the constructed duplicate set AND
+    the first 20 fixture documents."""
+    from cs598vectordb_spark.functions.text import MINHASH_PRIME, ROLLING_MOD
+
+    params = dedup.minhash_params(16)
+
+    def py_sig(text: str) -> list[int | None]:
+        toks = (text or "").lower().split()
+        grams = (
+            list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+            if len(toks) >= 3
+            else []
+        )
+        hs = []
+        for g in grams:
+            acc = 0
+            for ch in g:
+                acc = (acc * 31 + ord(ch)) % ROLLING_MOD
+            hs.append(acc)
+        if not hs:
+            return [None] * len(params)
+        return [min((h * a + b) % MINHASH_PRIME for h in hs) for a, b in params]
+
+    for docs in (
+        _docs_with_dups(spark),
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20),
+    ):
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        got = {
+            r.doc_id: [r[f"mh_{i}"] for i in range(16)]
+            for r in dedup.minhash_signatures(docs, 16).collect()
+        }
+        assert set(got) == set(texts)
+        for did, text in texts.items():
+            assert got[did] == py_sig(text), (did, text)
+
+
+def test_simhash_banded_value_exact(spark, sf_dir):
+    """Value-exact pin for the ORACLE-RETIRED-r13 simhash_banded entry
+    (near-duplicate-evidence class: simhash_near_dups — still graded —
+    shares the identical signature CTEs; this entry differs only by
+    threshold/banding, and the pigeonhole equivalence is separately
+    pinned by test_banded_simhash_equals_exhaustive). Signatures
+    recomputed bit-for-bit in pure Python (md5-first-8-bytes token
+    hash, count-weighted bit votes, two's-complement int64), the pair
+    set recomputed exhaustively at Hamming ≤ 3."""
+    import hashlib
+
+    def py_simhash(text: str) -> int:
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        votes = [0] * 64
+        for t in toks:
+            v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for b in range(64):
+                votes[b] += 1 if (v >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    local = _docs_with_dups(spark)
+    fixture = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    for docs in (local, fixture):
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        exp_sig = {did: py_simhash(t) for did, t in texts.items()}
+        got_sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+        assert got_sig == exp_sig
+
+    # pair set: exhaustive Hamming ≤ 3 over the Python signatures must
+    # equal the banded engine output (the registered query's config)
+    texts = {r.doc_id: r.text for r in local.select("doc_id", "text").collect()}
+    exp_sig = {did: py_simhash(t) for did, t in texts.items()}
+    ids = sorted(exp_sig)
+    exp_pairs = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin((exp_sig[a] ^ exp_sig[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                exp_pairs[(a, b)] = ham
+    got_pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_banded_pairs(local, max_hamming=3, n_bands=4).collect()
+    }
+    assert exp_pairs, "constructed set must contain a near-dup pair"
+    assert got_pairs == exp_pairs

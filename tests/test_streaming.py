@@ -671,17 +671,17 @@ def test_stream_join_state_bound(spark, sf_dir):
     assert sum(r.emitted_rows for r in rows) == matched
 
 
-def test_stream_quality_gate_queued_oracle(spark, sf_dir, tmp_path):
-    """Dress rehearsal for the QUEUED stream_quality_gate oracle
-    (registry.queued_oracle_sql): the drained micro-batch union must
-    match the DuckDB recomputation (the full repetition bank + the
-    keep-filter) row for row at sf0.001 under the driver's
-    sorted-columns value comparison. Complements the batch/stream
-    parity pin: that one proves stream == batch engine-side; this one
-    proves both == the independent relational oracle."""
+def test_stream_quality_gate_oracle_parity(spark, sf_dir, tmp_path):
+    """DuckDB parity for the stream_quality_gate oracle (PROMOTED r13
+    from the r12 queue): the drained micro-batch union must match the
+    DuckDB recomputation (the full repetition bank + the keep-filter)
+    row for row at sf0.001 under the driver's sorted-columns value
+    comparison. Complements the batch/stream parity pin: that one
+    proves stream == batch engine-side; this one proves both == the
+    independent relational oracle."""
     import duckdb
 
-    from cs598vectordb_spark.registry import queued_oracle_sql
+    import __spark_entry__ as em
     from cs598vectordb_spark.streaming.jobs import stream_quality_gate
 
     sdf = stream_quality_gate(spark, sf_dir, str(tmp_path / "gate"))
@@ -693,7 +693,7 @@ def test_stream_quality_gate_queued_oracle(spark, sf_dir, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    res = con.execute(queued_oracle_sql()["stream_quality_gate"])
+    res = con.execute(em.oracle_sql()["stream_quality_gate"])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     assert sorted(scols) == sorted(dcols)

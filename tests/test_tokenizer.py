@@ -141,3 +141,118 @@ def test_bpe_encode_plan_is_projection(spark, sf_dir):
     assert plan.count("MapInPandas") == 2, plan
     assert "Exchange" not in plan, plan
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_bpe_train_min_word_count_guard(spark):
+    """The 100-TB driver-collect guard (min_word_count): singleton noise
+    words (URL/hash-shaped junk) are dropped BEFORE the collect, and
+    the classic corpus's hand-computed merge sequence is unchanged
+    under the guard — head pair mass dominates on natural text."""
+    noise = " ".join(f"https://x{i}.example/{i:08x}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(0, CLASSIC), (1, noise)], "doc_id long, text string"
+    )
+    guarded = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in tk.bpe_train(docs, n_merges=5, min_word_count=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    clean = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in tk.bpe_train(
+            spark.createDataFrame([(0, CLASSIC)], "doc_id long, text string"),
+            n_merges=5,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert guarded == clean
+
+
+def test_bpe_encode_heap_matches_scan(spark, sf_dir):
+    """The rank-indexed heap encoder must match the r12 per-step rescan
+    form EXACTLY — checked exhaustively over every distinct word of
+    the sf fixture under a 200-merge trained table, plus the classic
+    corpus words and adjacency edge cases ('aaaa' non-overlap)."""
+    from cs598vectordb_spark.operators.tokenizer import (
+        BPE_END,
+        _encode_token_count,
+        _merge_word,
+    )
+    from cs598vectordb_spark.sources.tables import load_table
+
+    def scan_encode(word: str, rank_of: dict, pair_at: dict) -> int:
+        syms = list(word) + [BPE_END]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                rk = rank_of.get((syms[i], syms[i + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best = rk
+            if best is None:
+                break
+            pl, pr = pair_at[best]
+            syms = _merge_word(syms, pl, pr, pl + pr)
+        return len(syms)
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = tk.bpe_train(docs, n_merges=200)
+    rank_of = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merges.collect()
+    }
+    pair_at = {k: p for p, k in rank_of.items()}
+    vocab = [
+        r.word
+        for r in docs.select(
+            F.explode(tk._token_col("text")).alias("word")
+        ).distinct().collect()
+    ]
+    extra = ["low", "lower", "newest", "widest", "aaaa", "a", "", "lowest"]
+    mism = [
+        w
+        for w in vocab + extra
+        if _encode_token_count(w, rank_of) != scan_encode(w, rank_of, pair_at)
+    ]
+    assert not mism, mism[:10]
+
+
+def test_bpe_token_stats_queued_oracle(spark, sf_dir):
+    """Dress rehearsal for the QUEUED bpe_token_stats oracle
+    (registry.queued_oracle_sql, the r14 promotion candidate): the
+    Spark stats and the DuckDB twin — per-word token counts joined
+    from the engine's exported (word → n_tokens) map, aggregation and
+    rounded ratios replayed relationally — must agree row for row at
+    sf0.001 under the driver's sorted-columns value comparison."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from cs598vectordb_spark.queries_text import (
+        _export_bpe_token_map,
+        bpe_token_stats_oracle_sql,
+    )
+
+    sdf = em.queries()["bpe_token_stats"](spark, sf_dir)
+    path = _export_bpe_token_map(spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(bpe_token_stats_oracle_sql(path))
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)
