@@ -760,6 +760,30 @@ def main() -> int:
         "big_mb_per_s": round(big_mb / bpe_sec, 2),
     }
 
+    # The realistic-merge-count point (VERDICT r12 item 4): 2,000 merges
+    # trained on the SF corpus (driver loop over the bounded frequency
+    # table — train cost recorded, not cached, so the number is honest
+    # per run), applied by the rank-indexed heap encoder whose per-word
+    # cost is vocabulary-size-independent. The done-bar is big-corpus
+    # MB/s within 2× of the 40-merge rate.
+    from cs598vectordb_spark.operators.tokenizer import bpe_train
+
+    t0 = time.time()
+    merges_2k = bpe_train(docs_b, n_merges=2000)
+    n_merges_2k = merges_2k.count()
+    bpe2k_train_sec = round(max(time.time() - t0, 1e-9), 3)
+    t0 = time.time()
+    bpe_encode_stats(big_docs, merges_2k).write.mode("overwrite").parquet(
+        "/tmp/cs598_spark_io/text_meas/bpe_encode_2k_big"
+    )
+    bpe2k_sec = round(max(time.time() - t0, 1e-9), 3)
+    text_ops["bpe_encode_2k"] = {
+        "n_merges": int(n_merges_2k),
+        "train_seconds": bpe2k_train_sec,
+        "big_seconds": bpe2k_sec,
+        "big_mb_per_s": round(big_mb / bpe2k_sec, 2),
+    }
+
     # Executed partition-pruning evidence at SERVING batch size: rows
     # the probes' scans actually MATERIALIZED for a 5-query batch
     # against the parquet-materialized indexes, vs the exact kernel's
@@ -904,21 +928,30 @@ def main() -> int:
     # the reference codec m=16×8-bit, 32×32 layered2 graph) are built
     # once and cached under /tmp; build seconds are recorded by the run
     # that builds. r12 quiet-host record: exact 217 QPS; fused IVF-PQ
-    # nprobe=8 mult=10 → 266 QPS @ recall 0.80; layered2 graph 6×10
-    # beam=32 → 196 QPS @ recall 0.979. The graph probe's ~4.7 s wall
-    # is a per-batch constant localized by experiment: configs move it
-    # <7%, beam=8/rounds=1 is no faster than beam=32/rounds=4, and the
-    # bare segment scan is 0.6 s — the cost is the Arrow
-    # transfer/decode of the full segment payload into the Python walk
-    # workers, so the remedy is worker-side segment reads with a
-    # decoded-array cache (see SURVEY §8), not tuning or stage fusion.
-    # Host load moves the exact GEMM ~2× between runs; the fused
-    # IVF-PQ family crossed in every recorded run.
+    # nprobe=8 mult=10 → 266 QPS @ recall 0.80; layered2 graph (pinned,
+    # Arrow-payload) 6×10 beam=32 → 196 QPS @ recall 0.979. r12
+    # localized the graph probe's ~4.4 s per-batch constant to the
+    # Arrow transfer/decode of the full segment payload into the
+    # Python walk workers (configs moved it <7%; bare segment scan
+    # 0.6 s) — r13 built the prescribed remedy, WORKER-SERVED segment
+    # mode (open_layered2 served=True: ship only the probed segment-id
+    # list; workers pyarrow-read + LRU-cache decoded segments), first
+    # measured at 2.19 s/batch = 457 QPS @ recall 0.979 vs that
+    # session's pinned 158 QPS — the first HIGH-RECALL crossover (the
+    # r12 fused-IVF-PQ crossover was at recall 0.80 only). This block
+    # also records the recall-QPS frontier per family (5 configs each,
+    # single-pass timings) and a delete-25%→reinsert dynamic point on
+    # the fused IVF-PQ, mirroring BASELINE.md's pre/during/post rows.
+    # Host load moves the exact GEMM ~2× between runs.
     from cs598vectordb_spark.operators.graph import (
         build_layered_graph2,
         knn_graph_layered2,
         materialize_layered2,
         open_layered2,
+    )
+    from cs598vectordb_spark.operators.ivfpq import (
+        delete_from_ivfpq,
+        insert_into_ivfpq,
     )
 
     lb1m_root = "/tmp/cs598_spark_io/large_base_1m"
@@ -952,6 +985,8 @@ def main() -> int:
         with open(g2_marker, "w") as fh:
             fh.write(str(lb1m_meta["graph2_build_seconds"]))
 
+    lb1m_g2s = open_layered2(spark, g2_path, served=True)
+
     lbq1m = lb1m.filter(F.col("vec_id") < 1000).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
@@ -959,37 +994,113 @@ def main() -> int:
     ex1m.count()  # warm
     ex1m_sec = _med3(lambda: knn_exact(lb1m, lbq1m, 10).count())
 
-    def _fused1m(mult):
+    def _fused1m(nprobe=8, mult=10, idx=None):
         return knn_ivfpq_refined(
-            lb1m_idx, lb1m, lbq1m, k=10, nprobe=8, mult=mult
+            idx if idx is not None else lb1m_idx, lb1m, lbq1m,
+            k=10, nprobe=nprobe, mult=mult,
         )
 
-    def _g2probe():
+    def _g2probe(idx, nprobe1=6, nprobe2=10, beam=32):
         return knn_graph_layered2(
-            lb1m_g2, lbq1m, 10, nprobe1=6, nprobe2=10, beam=32,
+            idx, lbq1m, 10, nprobe1=nprobe1, nprobe2=nprobe2, beam=beam,
             rounds=4, n_entry=12,
         )
 
     probes_1m = {}
     for pname, mk in (("ivfpq_refined_fused", 10), ("ivfpq_refined_fused_hi", 20)):
-        _fused1m(mk).count()  # warm
-        sec = _med3(lambda mk=mk: _fused1m(mk).count())
-        rec = recall_at_k(_fused1m(mk), ex1m, 10).collect()[0]["recall"]
+        _fused1m(mult=mk).count()  # warm
+        sec = _med3(lambda mk=mk: _fused1m(mult=mk).count())
+        rec = recall_at_k(_fused1m(mult=mk), ex1m, 10).collect()[0]["recall"]
         probes_1m[pname] = {
             "nprobe": 8, "mult": mk,
             "seconds": round(sec, 3),
             "qps": round(1000 / sec, 1),
             "recall_vs_exact": rec,
         }
-    _g2probe().count()  # warm
-    g2_sec = _med3(lambda: _g2probe().count())
-    g2_rec = recall_at_k(_g2probe(), ex1m, 10).collect()[0]["recall"]
-    probes_1m["graph2"] = {
-        "nprobe1": 6, "nprobe2": 10, "beam": 32,
-        "seconds": round(g2_sec, 3),
-        "qps": round(1000 / g2_sec, 1),
-        "recall_vs_exact": g2_rec,
+    for pname, g2idx in (("graph2", lb1m_g2), ("graph2_served", lb1m_g2s)):
+        _g2probe(g2idx).count()  # warm (served: workers fill their caches)
+        sec = _med3(lambda g2idx=g2idx: _g2probe(g2idx).count())
+        rec = recall_at_k(_g2probe(g2idx), ex1m, 10).collect()[0]["recall"]
+        probes_1m[pname] = {
+            "nprobe1": 6, "nprobe2": 10, "beam": 32,
+            "seconds": round(sec, 3),
+            "qps": round(1000 / sec, 1),
+            "recall_vs_exact": rec,
+        }
+
+    # recall-QPS frontier (VERDICT r12 item 2): ~5 configs per family,
+    # single warmed pass each (the headline points above keep the
+    # med-of-3 noise policy; the frontier exists to show the CURVE), and
+    # the per-family best config at the 0.8 / 0.9 recall floors — the
+    # reference's autotune-to-target idea (dynamic_script_mrpt.py:46)
+    # applied at the scale that matters.
+    def _point(thunk, cfg):
+        thunk().count()  # warm
+        t0 = time.time()
+        thunk().count()
+        sec = max(time.time() - t0, 1e-9)
+        rec = recall_at_k(thunk(), ex1m, 10).collect()[0]["recall"]
+        return {**cfg, "seconds": round(sec, 3),
+                "qps": round(1000 / sec, 1), "recall_vs_exact": rec}
+
+    frontier = {"ivfpq_refined_fused": [], "graph2_served": []}
+    for nprobe, mult in ((8, 5), (8, 10), (8, 20), (16, 10), (16, 20)):
+        frontier["ivfpq_refined_fused"].append(_point(
+            lambda nprobe=nprobe, mult=mult: _fused1m(nprobe, mult),
+            {"nprobe": nprobe, "mult": mult},
+        ))
+    for np1, np2, beam in (
+        (4, 6, 16), (6, 10, 32), (8, 12, 32), (8, 16, 48), (12, 20, 64)
+    ):
+        frontier["graph2_served"].append(_point(
+            lambda np1=np1, np2=np2, beam=beam: _g2probe(lb1m_g2s, np1, np2, beam),
+            {"nprobe1": np1, "nprobe2": np2, "beam": beam},
+        ))
+    frontier_best = {}
+    for fam, pts in frontier.items():
+        best = {}
+        for floor in (0.8, 0.9):
+            elig = [p for p in pts if p["recall_vs_exact"] >= floor]
+            if elig:
+                best[f"recall_{floor}"] = max(elig, key=lambda p: p["qps"])
+        frontier_best[fam] = best
+
+    # dynamic protocol at SIFT1M shape (VERDICT r12 item 8): the
+    # reference's signature experiment is QPS/recall through
+    # delete-25% → reinsert (dynamic_script_faiss.py:75-117;
+    # BASELINE.md pre/post rows). Runs on the fused IVF-PQ serving
+    # config; "during" recall is measured against the exact truth of
+    # the SURVIVING base (the reference recomputes ground truth the
+    # same way), "post" against the original truth (reinsert restores
+    # the exact id set; the codec stays frozen end to end).
+    keep_1m = lb1m.filter(F.pmod(F.col("vec_id"), F.lit(4)) != 0)
+    deleted_1m = lb1m.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+    idx_del = delete_from_ivfpq(lb1m_idx, keep_1m)
+    truth_del = knn_exact(keep_1m, lbq1m, 10).persist()
+    truth_del.count()
+    _fused1m(idx=idx_del).count()  # warm
+    del_sec = _med3(lambda: _fused1m(idx=idx_del).count())
+    del_rec = recall_at_k(_fused1m(idx=idx_del), truth_del, 10).collect()[0]["recall"]
+    truth_del.unpersist()
+    idx_ins = insert_into_ivfpq(idx_del, deleted_1m)  # persists internally
+    _fused1m(idx=idx_ins).count()  # warm
+    ins_sec = _med3(lambda: _fused1m(idx=idx_ins).count())
+    ins_rec = recall_at_k(_fused1m(idx=idx_ins), ex1m, 10).collect()[0]["recall"]
+    idx_ins.codes.unpersist()
+    idx_del.codes.unpersist()
+    dynamic_1m = {
+        "backend": "ivfpq_refined_fused", "nprobe": 8, "mult": 10,
+        "delete_pct": 25,
+        "pre": {k: probes_1m["ivfpq_refined_fused"][k]
+                for k in ("seconds", "qps", "recall_vs_exact")},
+        "during": {"seconds": round(del_sec, 3),
+                   "qps": round(1000 / del_sec, 1),
+                   "recall_vs_exact": del_rec},
+        "post": {"seconds": round(ins_sec, 3),
+                 "qps": round(1000 / ins_sec, 1),
+                 "recall_vs_exact": ins_rec},
     }
+
     ex1m.unpersist()
     exact_qps_1m = round(1000 / ex1m_sec, 1)
     large_base_1m = {
@@ -999,10 +1110,19 @@ def main() -> int:
         "build_seconds": lb1m_meta,
         "exact": {"seconds": round(ex1m_sec, 3), "qps": exact_qps_1m},
         **probes_1m,
+        "frontier": frontier,
+        "frontier_best": frontier_best,
+        "dynamic": dynamic_1m,
         # the lead-task verdict, computed from THIS run's numbers
         "crossover_families": sorted(
             n for n, p in probes_1m.items()
             if p["qps"] > exact_qps_1m and p["recall_vs_exact"] >= 0.70
+        ),
+        # the r13 lead-task verdict: families beating exact AT HIGH
+        # RECALL (the reference's hnswlib operating point, ≥0.9)
+        "crossover_families_hi_recall": sorted(
+            n for n, p in probes_1m.items()
+            if p["qps"] > exact_qps_1m and p["recall_vs_exact"] >= 0.90
         ),
     }
 

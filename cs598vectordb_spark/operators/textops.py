@@ -645,7 +645,13 @@ def clean_text(
 
 
 def exact_substring_stats(
-    docs: DataFrame, k: int = 10, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_bits: int = 64,
+    skew_safe: bool = False,
+    n_salts: int = 16,
 ) -> DataFrame:
     """(doc_id, n_kgrams, n_shared, shared_frac): per-document count of
     DISTINCT k-token windows that occur verbatim in at least one OTHER
@@ -677,14 +683,30 @@ def exact_substring_stats(
     matters: tokens are hashed individually and combined positionally
     (distinct odd multipliers P^j mod 2^64), so two windows collide
     only by 64-bit accident (~n²/2⁶⁵ expected false-shares — ~10⁻⁴ at
-    one BILLION distinct grams); at 100 TB widen to the docstring'd
-    128-bit variant (two independent multiplier sets) if that ever
-    bites. Per-gram skew (a boilerplate window present in every doc)
-    concentrates one hash key in one window partition — the 100 TB
-    hatch is the salted two-level count-then-broadcast-join form;
-    at fixture scale the window is strictly fewer stages. Docs
-    shorter than k emit nothing and keep a zero row via the left
-    join."""
+    one BILLION distinct grams). Docs shorter than k emit nothing and
+    keep a zero row via the left join.
+
+    The two 100 TB hatches (designed r12, flag-gated code since r13;
+    fixture-scale outputs pinned identical to the default in
+    tests/test_dedup_text.py::test_exact_substring_hatches):
+
+    * ``hash_bits=128`` — a second independent multiplier family
+      (xxhash prime2) gives each window a (gh, gh2) pair; every
+      downstream key is the pair, squaring the accidental-collision
+      exponent (~n²/2¹²⁹) for corpora past a billion distinct grams.
+    * ``skew_safe=True`` — replaces the df WINDOW with a salted
+      two-level AGGREGATE. A boilerplate gram present in every
+      document concentrates one window-partition key; the hatch
+      first aggregates on (gh, salt = doc-hash mod n_salts) — map-side
+      partial agg plus a reduce bounded to 1/n_salts of the hot key —
+      then on gh alone (≤ n_salts rows per gram). The designed
+      count-then-broadcast-join turned out unnecessary: a gram with
+      df == 1 has exactly one owner doc, so per-doc UNIQUE counts come
+      from min(doc) of the df==1 grams and n_shared = n_kgrams −
+      n_unique — no join back on the (skewed) gram key at all, and the
+      final rollups key on doc_id, which is uniform. Plan shape (no
+      Window operator) asserted in the same test on a synthetic
+      every-doc-shares-one-gram corpus."""
     # NULL text folds to the empty-token path (zero row) — without the
     # coalesce, _ws arrives in the kernel as None and len() raises
     # (repetition_scores guards identically; the replaced Catalyst form
@@ -697,6 +719,8 @@ def exact_substring_stats(
     base = docs.select(F.col(id_col), tok_expr.alias("_ws"))
     kk = int(k)
 
+    wide = int(hash_bits) == 128
+
     def kern(batches):
         import numpy as np
         import pandas as pd
@@ -704,9 +728,15 @@ def exact_substring_stats(
         # P odd => every multiplier P^j mod 2^64 is odd (invertible):
         # permuting or swapping tokens across positions always moves
         # the hash. Same constant family as splitmix64's increment.
+        # Q (xxhash prime2, also odd) seeds the independent second
+        # family for the 128-bit hatch.
         P = 0x9E3779B97F4A7C15
+        Q = 0xC2B2AE3D27D4EB4F
         pows = np.array(
             [pow(P, j, 1 << 64) for j in range(kk)], dtype=np.uint64
+        )
+        pows2 = np.array(
+            [pow(Q, j, 1 << 64) for j in range(kk)], dtype=np.uint64
         )
         for pdf in batches:
             if not len(pdf):
@@ -722,7 +752,7 @@ def exact_substring_stats(
             # batch's, not each document's
             th_all = pd.util.hash_array(np.concatenate(arrs))
             offs = np.concatenate(([0], np.cumsum(lens)))
-            ids, hashes = [], []
+            ids, hashes, hashes2 = [], [], []
             with np.errstate(over="ignore"):
                 for i, did in enumerate(pdf[id_col]):
                     L = int(lens[i])
@@ -732,29 +762,71 @@ def exact_substring_stats(
                     acc = th[: L - kk + 1] * pows[0]
                     for j in range(1, kk):
                         acc = acc + th[j : L - kk + 1 + j] * pows[j]
-                    gh = np.unique(acc)
+                    if wide:
+                        acc2 = th[: L - kk + 1] * pows2[0]
+                        for j in range(1, kk):
+                            acc2 = acc2 + th[j : L - kk + 1 + j] * pows2[j]
+                        # per-doc distinct on the PAIR
+                        order = np.lexsort((acc2, acc))
+                        a, a2 = acc[order], acc2[order]
+                        keep = np.ones(len(a), dtype=bool)
+                        keep[1:] = (a[1:] != a[:-1]) | (a2[1:] != a2[:-1])
+                        gh, gh2 = a[keep], a2[keep]
+                        hashes2.append(gh2)
+                    else:
+                        gh = np.unique(acc)
                     ids.extend([did] * len(gh))
                     hashes.append(gh)
             if not hashes:
                 continue
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "gh": np.concatenate(hashes).view(np.int64),
-                }
-            )
+            cols = {id_col: ids, "gh": np.concatenate(hashes).view(np.int64)}
+            if wide:
+                cols["gh2"] = np.concatenate(hashes2).view(np.int64)
+            yield pd.DataFrame(cols)
 
-    dgh = base.mapInPandas(kern, f"{id_col} {id_type}, gh long")
-    per = (
-        dgh.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    gh_schema = f"{id_col} {id_type}, gh long" + (", gh2 long" if wide else "")
+    gram_keys = ["gh", "gh2"] if wide else ["gh"]
+    dgh = base.mapInPandas(kern, gh_schema)
+    if skew_safe:
+        # the salted two-level aggregate (see docstring): df and the
+        # df==1 owner doc, never a window or a join on the gram key
+        lvl1 = dgh.groupBy(
+            *gram_keys,
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_salts))).alias("_salt"),
+        ).agg(
+            F.count(F.lit(1)).alias("_c"), F.min(id_col).alias("_md")
         )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_kgrams"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        lvl2 = lvl1.groupBy(*gram_keys).agg(
+            F.sum("_c").alias("df"), F.min("_md").alias("_md")
         )
-    )
+        uniq = (
+            lvl2.filter(F.col("df") == 1)
+            .groupBy(F.col("_md").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+        per = (
+            dgh.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_kgrams"))
+            .join(uniq, id_col, "left")
+            .select(
+                id_col,
+                "n_kgrams",
+                (
+                    F.col("n_kgrams") - F.coalesce("n_unique", F.lit(0))
+                ).alias("n_shared"),
+            )
+        )
+    else:
+        per = (
+            dgh.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy(*gram_keys))
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_kgrams"),
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+            )
+        )
     return (
         docs.select(id_col)
         .join(per, id_col, "left")

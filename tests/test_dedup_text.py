@@ -1255,3 +1255,48 @@ def test_simhash_banded_value_exact(spark, sf_dir):
     }
     assert exp_pairs, "constructed set must contain a near-dup pair"
     assert got_pairs == exp_pairs
+
+
+def test_exact_substring_hatches(spark, sf_dir):
+    """The flag-gated 100 TB hatches (r13): the 128-bit two-multiplier
+    window hash and the salted two-level skew-safe aggregate must both
+    produce output IDENTICAL to the default 64-bit window form — at
+    fixture scale and on a synthetic boilerplate corpus where one
+    k-gram appears in EVERY document (the hot-key case the skew hatch
+    exists for) — and the skew-safe plan must contain no Window
+    operator (the skewed gram key never becomes a window partition or
+    join key)."""
+    from tests.test_plans import plan_of
+
+    boiler = "shared boiler plate sentence that repeats in every single document here"
+    rows = [
+        (i, f"unique words number {i} " * 3 + boiler + f" tail {i}")
+        for i in range(30)
+    ]
+    hot = spark.createDataFrame(rows, "doc_id long, text string")
+    fixture = load_table(spark, sf_dir, "documents")
+
+    for docs in (hot, fixture):
+        base = {
+            r.doc_id: (r.n_kgrams, r.n_shared, r.shared_frac)
+            for r in textops.exact_substring_stats(docs, k=10).collect()
+        }
+        assert base, "default form returned nothing"
+        for kw in (
+            dict(hash_bits=128),
+            dict(skew_safe=True),
+            dict(hash_bits=128, skew_safe=True),
+        ):
+            got = {
+                r.doc_id: (r.n_kgrams, r.n_shared, r.shared_frac)
+                for r in textops.exact_substring_stats(docs, k=10, **kw).collect()
+            }
+            assert got == base, kw
+
+    # the hot corpus actually exercises sharing, and the skew-safe plan
+    # has no Window operator
+    hot_stats = {r.doc_id: r.n_shared for r in
+                 textops.exact_substring_stats(hot, k=10).collect()}
+    assert all(v > 0 for v in hot_stats.values())
+    plan = plan_of(textops.exact_substring_stats(hot, k=10, skew_safe=True))
+    assert "Window" not in plan, plan
