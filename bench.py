@@ -219,6 +219,76 @@ def _x10_corpus(spark, sf_dir: str) -> str:
     return _xn_corpus(spark, sf_dir, 10)
 
 
+def _wordbank_corpus(
+    spark,
+    n_docs: int = 20_000,
+    words_per_doc: int = 120,
+    vocab: int = 30_000,
+    replicas: int = 8,
+) -> str:
+    """Synthetic large-vocabulary corpus for the realistic-merge-count
+    BPE point (VERDICT r12 item 4): the sf fixture's documents draw
+    from a 31-word vocabulary whose full merge closure is 107 merges —
+    no graded corpus can exercise a production-sized merge table, so
+    asking the trainer for 2,000 merges there silently early-stops.
+    The word bank is `vocab` seeded pseudo-words (4–12 lowercase
+    letters from xxhash64 — pure codegen, no RNG, same discipline as
+    _large_base) drawn per document position with a cubed-uniform skew
+    (Zipf-ish head, so merges are earned by frequency, not uniform).
+    documents.parquet is the train split; documents_big.parquet is the
+    ×replicas encode-throughput split (~170 MB at the defaults —
+    replica methodology identical to _xn_corpus)."""
+    out = (
+        f"/tmp/cs598_spark_io/wordbank_{n_docs}x{words_per_doc}"
+        f"_v{vocab}_r{replicas}"
+    )
+    marker = os.path.join(out, "_WB_OK")
+    if not os.path.exists(marker):
+        from pyspark.sql import functions as F
+
+        def word(doc: F.Column, j) -> F.Column:
+            u = F.pmod(F.xxhash64(doc, j, F.lit("w")), F.lit(1_000_000)) / 1.0e6
+            wid = F.floor(u * u * u * vocab).cast("long")
+            ln = (F.pmod(F.xxhash64(wid, F.lit("len")), F.lit(9)) + 4).cast("int")
+            return F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), ln),
+                    lambda i: F.char(
+                        F.pmod(F.xxhash64(wid, i, F.lit("ch")), F.lit(26)) + 97
+                    ),
+                ),
+                "",
+            )
+
+        base = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                    lambda j: word(F.col("id"), j),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        base.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "documents.parquet")
+        )
+        big = (
+            spark.read.parquet(os.path.join(out, "documents.parquet"))
+            .crossJoin(spark.range(replicas).select(F.col("id").alias("_rep")))
+            .select(
+                (F.col("doc_id") * replicas + F.col("_rep")).alias("doc_id"),
+                "text",
+            )
+        )
+        big.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, "documents_big.parquet")
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return out
+
+
 def _large_base(
     spark, n: int = 100_000, dim: int = 128, centers: int = 256
 ) -> str:
@@ -362,6 +432,10 @@ def main() -> int:
         # are the graph paths of record.
         "knn_graph_layered",
         "knn_graph_layered2",
+        # the r13 worker-served mode (probes pull cached decoded
+        # segments worker-side instead of shipping the payload per
+        # batch — the 1M crossover path; see large_base_1m detail)
+        "knn_graph2_served",
         "knn_graph_sq8",
         "recall_low_dim",
         "knn_post_delete",
@@ -760,28 +834,39 @@ def main() -> int:
         "big_mb_per_s": round(big_mb / bpe_sec, 2),
     }
 
-    # The realistic-merge-count point (VERDICT r12 item 4): 2,000 merges
-    # trained on the SF corpus (driver loop over the bounded frequency
-    # table — train cost recorded, not cached, so the number is honest
-    # per run), applied by the rank-indexed heap encoder whose per-word
-    # cost is vocabulary-size-independent. The done-bar is big-corpus
-    # MB/s within 2× of the 40-merge rate.
+    # The realistic-merge-count point (VERDICT r12 item 4): 2,000
+    # merges need a corpus that can SUPPORT them — the sf fixture draws
+    # from a 31-word vocabulary whose full merge closure is 107 merges
+    # (measured; the trainer early-stops there honestly) — so this
+    # point trains on the seeded 30k-pseudo-word bank and encodes its
+    # ~170 MB replica split with the rank-indexed heap encoder. Train
+    # cost is the driver loop over the 30k-word frequency table,
+    # recorded per run (not cached). The done-bar is big-corpus MB/s
+    # within 2× of the 40-merge fixture rate.
     from cs598vectordb_spark.operators.tokenizer import bpe_train
 
+    wb_dir = _wordbank_corpus(spark)
+    wb_train = spark.read.parquet(os.path.join(wb_dir, "documents.parquet"))
+    wb_big = spark.read.parquet(os.path.join(wb_dir, "documents_big.parquet"))
+    wb_big_mb = (
+        wb_big.agg(F.sum(F.octet_length("text"))).collect()[0][0] or 0
+    ) / 1048576
     t0 = time.time()
-    merges_2k = bpe_train(docs_b, n_merges=2000)
+    merges_2k = bpe_train(wb_train, n_merges=2000, min_word_count=2)
     n_merges_2k = merges_2k.count()
     bpe2k_train_sec = round(max(time.time() - t0, 1e-9), 3)
     t0 = time.time()
-    bpe_encode_stats(big_docs, merges_2k).write.mode("overwrite").parquet(
+    bpe_encode_stats(wb_big, merges_2k).write.mode("overwrite").parquet(
         "/tmp/cs598_spark_io/text_meas/bpe_encode_2k_big"
     )
     bpe2k_sec = round(max(time.time() - t0, 1e-9), 3)
     text_ops["bpe_encode_2k"] = {
         "n_merges": int(n_merges_2k),
+        "corpus": "wordbank_30k_vocab",
         "train_seconds": bpe2k_train_sec,
+        "big_corpus_mb": round(wb_big_mb, 2),
         "big_seconds": bpe2k_sec,
-        "big_mb_per_s": round(big_mb / bpe2k_sec, 2),
+        "big_mb_per_s": round(wb_big_mb / bpe2k_sec, 2),
     }
 
     # Executed partition-pruning evidence at SERVING batch size: rows
@@ -1149,7 +1234,7 @@ def main() -> int:
             for n in (
                 "knn_ivf_materialized", "knn_ivf2", "knn_pq_refined",
                 "knn_ivfpq", "knn_sq8", "knn_ivf_sq8", "knn_graph_layered",
-                "knn_graph_layered2", "knn_graph_sq8",
+                "knn_graph_layered2", "knn_graph2_served", "knn_graph_sq8",
             )
         },
         "cold_pass_per_query": cold,

@@ -461,8 +461,24 @@ def delete_from_ivfpq(
     """IVF-PQ delete: one semi-join against the surviving keys — codes of
     deleted rows drop out of their lists; centroids and codebooks are
     untouched (the frozen-codec discipline every native engine follows:
-    FAISS remove_ids edits lists, never retrains)."""
-    codes = index.codes.join(keep.select(id_col), id_col, "semi").persist()
+    FAISS remove_ids edits lists, never retrains).
+
+    The surviving codes are re-grouped onto their list id before the
+    persist: a shuffled semi-join hash-partitions on the JOIN key
+    (vec_id), scattering every list across all shuffle partitions, and
+    the fused probe's ADC cut is per (query, list, fragment) — the r13
+    1M dynamic point first measured that fragmentation as recall 1.0
+    at 2× the wall (the probe had silently degenerated to exact over
+    the probed lists). One list-keyed exchange restores the index's
+    physical contract; it is the same cost class as the join's own
+    shuffle. At 100 TB a tombstone-mask delete (broadcast the deleted
+    ids, filter in place, zero data movement) is the documented
+    alternative when delete batches are small."""
+    codes = (
+        index.codes.join(keep.select(id_col), id_col, "semi")
+        .repartition(index.nlist, "centroid_id")
+        .persist()
+    )
     codes.count()
     return IvfPqIndex(codes, index.centroids, index.cb, index.nlist, None)
 
@@ -521,6 +537,14 @@ def insert_into_ivfpq(
         schema += f", {vec_col} array<float>"
         cols.append(vec_col)
     encoded = delta.select(id_col, vec_col).mapInPandas(encode, schema)
-    codes = index.codes.select(*cols).unionByName(encoded).persist()
+    # re-group onto the list id: a bare union leaves arrivals in their
+    # own partitions and (after an upstream shuffled delete) survivors
+    # scattered by vec_id — see delete_from_ivfpq's fragmentation note
+    codes = (
+        index.codes.select(*cols)
+        .unionByName(encoded)
+        .repartition(index.nlist, "centroid_id")
+        .persist()
+    )
     codes.count()
     return IvfPqIndex(codes, index.centroids, index.cb, index.nlist, None)

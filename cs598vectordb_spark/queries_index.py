@@ -275,6 +275,9 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         ("ivf2_build", lambda: ivf2_index_for(spark, sf_dir)),
         ("layered_graph_sq8_build", lambda: layered_graph_sq8_for(spark, sf_dir)),
         ("layered_graph2_build", lambda: layered_graph2_for(spark, sf_dir)),
+        # the served headline probe reads these on-disk artifacts; build
+        # them here so its timed number is probe-only like the others
+        ("graph2_materialize", lambda: graph2_materialized_for(spark, sf_dir)),
     ):
         t0 = _time.time()
         fn()
