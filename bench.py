@@ -1259,6 +1259,18 @@ def main() -> int:
             # times on this host swing 35-50% with external load
             "load_avg": load_avg,
             "lsh_selectivity": lsh_sel,
+            # the 1M headline, inline so the round record carries it
+            # (full block incl. frontier + dynamic in bench detail)
+            "large_1m": {
+                "exact_qps": exact_qps_1m,
+                "graph2_served_qps": probes_1m["graph2_served"]["qps"],
+                "graph2_served_recall": probes_1m["graph2_served"][
+                    "recall_vs_exact"
+                ],
+                "hi_recall_crossover": large_base_1m[
+                    "crossover_families_hi_recall"
+                ],
+            },
             "graph2_autotune_best": g2_best,
             "cold_pass_seconds": round(sum(cold.values()), 3),
             "steady_pass_seconds": [round(sum(p.values()), 3) for p in steady],

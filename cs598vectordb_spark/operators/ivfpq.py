@@ -476,11 +476,24 @@ def delete_from_ivfpq(
     alternative when delete batches are small."""
     codes = (
         index.codes.join(keep.select(id_col), id_col, "semi")
-        .repartition(index.nlist, "centroid_id")
+        .repartition(_regroup_width(index), "centroid_id")
         .persist()
     )
     codes.count()
     return IvfPqIndex(codes, index.centroids, index.cb, index.nlist, None)
+
+
+def _regroup_width(index: IvfPqIndex) -> int:
+    """Partition count for re-grouped (post-update) code tables: hash on
+    centroid_id keeps every list whole either way, but one partition
+    PER list (nlist=1024 → 1024 cached partitions) made every probe pay
+    ~1024 near-empty task launches — the r13 dynamic point measured the
+    post-insert probe at 2.6× the pre wall from scheduling alone. Cap
+    at 4× parallelism; several whole lists share a partition, and at
+    the 1M/1024 shape a partition still fits one Arrow batch so the
+    per-(query, list) ADC cut stays fragment-free."""
+    par = index.codes.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(index.nlist, 4 * par))
 
 
 def insert_into_ivfpq(
@@ -543,7 +556,7 @@ def insert_into_ivfpq(
     codes = (
         index.codes.select(*cols)
         .unionByName(encoded)
-        .repartition(index.nlist, "centroid_id")
+        .repartition(_regroup_width(index), "centroid_id")
         .persist()
     )
     codes.count()
