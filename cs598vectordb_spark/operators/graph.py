@@ -316,12 +316,14 @@ class LayeredGraphIndex:
         nlist: int,
         degree: int,
         codec=None,
+        serve_dir: str | None = None,  # worker-served mode (open_layered)
     ):
         self.segments = segments  # (centroid_id, vec_id, embedding|codes, nbr_ids)
         self.centroids = centroids
         self.nlist = nlist
         self.degree = degree
         self.codec = codec  # operators.sq.SqCodec or None
+        self.serve_dir = serve_dir
 
     def close(self) -> None:
         """Release the persisted segment table. Maintenance ops
@@ -816,12 +818,23 @@ def _seg_cache_cap() -> int:
     return int(os.environ.get("CS598_SEG_CACHE_MB", "512")) << 20
 
 
-def _served_segment(seg_dir: str, sid: int, id_col: str, vec_col: str):
+def _served_segment(
+    seg_dir: str,
+    key_col: str,
+    sid: int,
+    id_col: str,
+    data_col: str,
+    codec_arrs=None,
+):
     """Decode one materialized segment into the walk kernel's arrays,
-    LRU-cached in this worker process. Embeddings are cached in their
-    SOURCE dtype (float32 for array<float> layouts — half the bytes)
-    and upcast to float64 per walk, which is lossless, so served
-    results are bit-identical to the Arrow-payload path."""
+    LRU-cached in this worker process. The payload column is cached in
+    its SOURCE dtype — float32 for array<float> layouts (half the
+    bytes), int8/int16 for SQ8 code layouts (the compressed-graph
+    memory win survives serving) — and upcast/reconstructed to float64
+    per walk, which replays the Arrow path's own math exactly, so
+    served results are bit-identical to the payload-shipping path.
+    `codec_arrs` (mins, ranges) is only used to precompute sq_x over
+    the reconstructed values."""
     key = (seg_dir, int(sid))
     hit = _SEG_CACHE.get(key)
     if hit is not None:
@@ -831,12 +844,12 @@ def _served_segment(seg_dir: str, sid: int, id_col: str, vec_col: str):
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
-        os.path.join(seg_dir, f"segment_id={sid}"),
-        columns=[id_col, vec_col, "nbr_ids"],
+        os.path.join(seg_dir, f"{key_col}={sid}"),
+        columns=[id_col, data_col, "nbr_ids"],
     )
     ids_raw = tbl.column(id_col).to_numpy()
     c = len(ids_raw)
-    emb = tbl.column(vec_col).combine_chunks()
+    emb = tbl.column(data_col).combine_chunks()
     X = emb.flatten().to_numpy(zero_copy_only=False).reshape(c, -1)
     order = np.argsort(ids_raw, kind="stable")
     ids = np.ascontiguousarray(ids_raw[order], dtype=np.int64)
@@ -854,7 +867,11 @@ def _served_segment(seg_dir: str, sid: int, id_col: str, vec_col: str):
         p_clip[s:e][valid[s:e]]
         for s, e in ((noff[o], noff[o + 1]) for o in order)
     ]
-    sq_x = np.square(np.ascontiguousarray(X, dtype=np.float64)).sum(axis=1)
+    X64 = np.ascontiguousarray(X, dtype=np.float64)
+    if codec_arrs is not None:
+        mns, rngs = codec_arrs
+        X64 = mns[None, :] + X64 / 255.0 * rngs[None, :]
+    sq_x = np.square(X64).sum(axis=1)
     nbytes = (
         ids.nbytes + X.nbytes + sq_x.nbytes
         + sum(a.nbytes for a in nbr_pos)
@@ -874,9 +891,11 @@ def _served_segment(seg_dir: str, sid: int, id_col: str, vec_col: str):
 def _walk_served_segments(
     spark,
     seg_dir: str,
+    key_col: str,
     probed: dict[int, np.ndarray],
     q_ids: np.ndarray,
     Q: np.ndarray,
+    codec,
     k: int,
     beam: int,
     rounds: int,
@@ -888,25 +907,33 @@ def _walk_served_segments(
     (segment_id) list — ONE int row per probed segment — and the walk
     kernel pulls segment payloads worker-side via `_served_segment`.
     Same query broadcast, same `_beam_walk_block`, same window merge as
-    `_walk_probed_segments`; only the payload transport differs."""
+    `_walk_probed_segments`; only the payload transport differs. With
+    a codec (SQ8 segments) the worker caches the int8 codes — the
+    compressed index's 4× memory advantage carries into the serving
+    cache — and reconstructs per walk."""
     import pandas as pd
 
-    bc = spark.sparkContext.broadcast((q_ids, Q, probed))
+    codec_arrs = (codec.mins, codec.ranges) if codec is not None else None
+    data_col = "codes" if codec is not None else vec_col
+    bc = spark.sparkContext.broadcast((q_ids, Q, probed, codec_arrs))
     sids = sorted(int(s) for s in probed)
     width = max(1, min(len(sids), 2 * spark.sparkContext.defaultParallelism))
-    sdf = spark.createDataFrame([(s,) for s in sids], "segment_id int")
+    sdf = spark.createDataFrame([(s,) for s in sids], f"{key_col} int")
 
     def serve(batches):
-        bq_ids, bQ, bprobed = bc.value
+        bq_ids, bQ, bprobed, barrs = bc.value
         for pdf in batches:
-            for sid in pdf["segment_id"].tolist():
+            for sid in pdf[key_col].tolist():
                 qsel = bprobed.get(int(sid))
                 if qsel is None or len(qsel) == 0:
                     continue
                 ids, Xs, nbr_pos, sq_x, _ = _served_segment(
-                    seg_dir, int(sid), id_col, vec_col
+                    seg_dir, key_col, int(sid), id_col, data_col, barrs
                 )
                 X = np.ascontiguousarray(Xs, dtype=np.float64)
+                if barrs is not None:
+                    mns, rngs = barrs
+                    X = mns[None, :] + X / 255.0 * rngs[None, :]
                 out_q, out_id, out_d = _beam_walk_block(
                     ids, X, nbr_pos, sq_x, bQ, bq_ids, qsel,
                     k, beam, rounds, n_entry,
@@ -920,7 +947,7 @@ def _walk_served_segments(
                         }
                     )
 
-    local = sdf.repartition(width, "segment_id").mapInPandas(
+    local = sdf.repartition(width, key_col).mapInPandas(
         serve, "q_id long, vec_id long, dist double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
@@ -960,10 +987,29 @@ def knn_graph_layered(
     for j, row in enumerate(nearest):
         for cid in row:
             probed.setdefault(int(cid), []).append(j)
+    probed_np = {
+        cid: np.asarray(js, dtype=np.int64) for cid, js in probed.items()
+    }
+    if getattr(index, "serve_dir", None) is not None:
+        return _walk_served_segments(
+            index.segments.sparkSession,
+            index.serve_dir,
+            "centroid_id",
+            probed_np,
+            q_ids,
+            Q,
+            index.codec,
+            k,
+            beam,
+            rounds,
+            n_entry,
+            id_col,
+            vec_col,
+        )
     return _walk_probed_segments(
         index.segments,
         "centroid_id",
-        {cid: np.asarray(js, dtype=np.int64) for cid, js in probed.items()},
+        probed_np,
         q_ids,
         Q,
         index.codec,
@@ -1153,9 +1199,11 @@ def knn_graph_layered2(
         return _walk_served_segments(
             index.segments.sparkSession,
             index.serve_dir,
+            "segment_id",
             probed_np,
             q_ids,
             Q,
+            None,
             k,
             beam,
             rounds,
@@ -1374,12 +1422,21 @@ def materialize_layered(index: LayeredGraphIndex, path: str) -> LayeredGraphInde
     return open_layered(spark, path)
 
 
-def open_layered(spark, path: str) -> LayeredGraphIndex:
+def open_layered(spark, path: str, served: bool = False) -> LayeredGraphIndex:
     """Re-open a materialized layered index. The one-time repartition on
     centroid_id restores the hash partitioning the walk kernel's
     exchange-free plan relies on (parquet scans do not advertise a
     partitioning); after the persist, probes are identical to a
-    freshly built index."""
+    freshly built index.
+
+    ``served=True`` opens in WORKER-SERVED mode (see open_layered2):
+    probes ship only the probed centroid-id list and workers
+    pyarrow-read + LRU-cache their segments from this path. For an SQ8
+    index the worker cache holds the int8 CODES — the compressed
+    index's 4× memory advantage carries into serving — and the walk
+    reconstructs per batch; results are bit-identical to the pinned
+    probe either way (pinned in tests/test_index.py::
+    test_graph_sq8_served_matches_pinned)."""
     meta = spark.read.parquet(os.path.join(path, "centroids"))
     rows = meta.orderBy("centroid_id").collect()
     centroids = np.ascontiguousarray(
@@ -1394,11 +1451,13 @@ def open_layered(spark, path: str) -> LayeredGraphIndex:
             np.asarray(rows[0]["codec_mins"], dtype=np.float64),
             np.asarray(rows[0]["codec_ranges"], dtype=np.float64),
         )
-    segs = (
-        spark.read.parquet(os.path.join(path, "segments"))
-        .repartition(nlist, "centroid_id")
-        .persist()
-    )
+    segs = spark.read.parquet(os.path.join(path, "segments"))
+    if served:
+        return LayeredGraphIndex(
+            segs, centroids, nlist, degree, codec,
+            serve_dir=os.path.join(path, "segments"),
+        )
+    segs = segs.repartition(nlist, "centroid_id").persist()
     segs.count()
     return LayeredGraphIndex(segs, centroids, nlist, degree, codec)
 

@@ -926,6 +926,41 @@ def q_knn_graph2_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_graph_sq8_served")
+def q_knn_graph_sq8_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worker-served probe over the COMPRESSED (SQ8) layered index:
+    workers pyarrow-read and LRU-cache the int8 CODES — the
+    compressed-graph 4× memory trade carries into the serving cache —
+    and reconstruct per walk. Bit-identical to the pinned SQ8 probe
+    (tests/test_index.py::test_graph_sq8_served_matches_pinned) →
+    rows-only like the rest of the graph family."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.graph import (
+        knn_graph_layered,
+        materialize_layered,
+        open_layered,
+    )
+
+    def build():
+        path = _os.path.join(
+            "/tmp/cs598_spark_io",
+            _os.path.basename(sf_dir.rstrip("/")),
+            "graph_sq8_mat_16",
+        )
+        pinned = materialize_layered(
+            layered_graph_sq8_for(spark, sf_dir), path
+        )
+        pinned.segments.unpersist()  # serving mode reads the files
+        return open_layered(spark, path, served=True)
+
+    _, q = _setup(spark, sf_dir)
+    opened = _warm(spark, ("layered_graph_sq8_served", sf_dir), build)
+    return knn_graph_layered(opened, q, _K, nprobe=6, beam=32).select(
+        "q_id", "rank", "vec_id"
+    )
+
+
 @register("knn_graph2_filtered")
 def q_knn_graph2_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN on the hierarchical index — the post-filter-with-

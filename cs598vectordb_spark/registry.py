@@ -192,6 +192,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "knn_graph_layered2": "tests/test_index.py::test_layered_graph2_recall_and_plan",
     "knn_graph2_materialized": "tests/test_index.py::test_layered2_materialize_roundtrip",
     "knn_graph2_served": "tests/test_index.py::test_graph2_served_matches_pinned",
+    "knn_graph_sq8_served": (
+        "tests/test_index.py::test_graph_sq8_served_matches_pinned"
+    ),
     "knn_graph2_filtered": "tests/test_index.py::test_graph2_filtered_ann",
     "graph2_autotune": "tests/test_index.py::test_graph2_autotune_frontier",
     # workloads (W1/W2/W3) + metrics artifacts

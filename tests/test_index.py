@@ -707,6 +707,35 @@ def test_graph2_served_matches_pinned(spark, sf_dir, tmp_path):
     pinned.segments.unpersist()
 
 
+def test_graph_sq8_served_matches_pinned(spark, sf_dir, tmp_path):
+    """Worker-served mode over the COMPRESSED (SQ8) layered index: the
+    worker cache holds int8 codes (the 4× memory trade survives
+    serving) and the walk reconstructs per batch — results must be
+    bit-identical to the pinned probe on cold and cache-hit paths."""
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph,
+        knn_graph_layered,
+        materialize_layered,
+        open_layered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    idx = build_layered_graph(emb, nlist=8, degree=16, compress=True)
+    pinned = materialize_layered(idx, str(tmp_path / "gsq8"))
+    served = open_layered(spark, str(tmp_path / "gsq8"), served=True)
+    assert served.serve_dir is not None and served.codec is not None
+
+    kw = dict(k=K, nprobe=3, beam=24, rounds=3)
+    a = knn_graph_layered(pinned, q, **kw).orderBy("q_id", "rank").collect()
+    b = knn_graph_layered(served, q, **kw).orderBy("q_id", "rank").collect()
+    c = knn_graph_layered(served, q, **kw).orderBy("q_id", "rank").collect()
+    assert a == b, "served (cold) differs from pinned on the SQ8 index"
+    assert a == c, "served (cache-hit) differs from pinned on the SQ8 index"
+    idx.segments.unpersist()
+    pinned.segments.unpersist()
+
+
 def test_graph2_filtered_ann(spark, sf_dir):
     """Filtered ANN (post-filter with expansion) on the hierarchical
     index: every result satisfies the predicate, per-query results never
