@@ -862,12 +862,13 @@ def q_exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr cross-document duplication signal (Lee et al. 2021):
     per doc, the distinct 10-token windows shared verbatim with another
     document — catches the long-quote/boilerplate class whole-document
-    near-dup methods miss. Rows-only (oracle budget 99/100; the output
-    columns are hash-free COUNTS, so the SQL twin recomputes them with
-    literal string grams — still promotable when a slot frees, the
-    r12 hashed join key notwithstanding); planted-substring closed
-    form + fixture invariants pinned in
-    tests/test_dedup_text.py::test_exact_substring_stats."""
+    near-dup methods miss. Rows-only with a QUEUED oracle since r13
+    (exact_substring_oracle_sql below: the literal-string k-gram twin,
+    value-verified at sf0.001 AND sf0.01 — an r14 promotion
+    candidate); planted-substring closed form + fixture invariants
+    pinned in tests/test_dedup_text.py::test_exact_substring_stats,
+    flag-gated 100 TB hatches pinned in
+    tests/test_dedup_text.py::test_exact_substring_hatches."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.exact_substring_stats(docs, k=10)
 
@@ -1376,6 +1377,43 @@ def _export_bpe_merges(
     with open(marker, "w") as fh:
         fh.write(stamp)
     return out
+
+
+def exact_substring_oracle_sql(k: int = 10) -> str:
+    """The exact_substring_stats oracle twin (QUEUED r13): the engine
+    keys on 64-bit positional window hashes for shuffle-row width; the
+    twin recomputes the SAME statistics on LITERAL k-gram strings —
+    distinct k-token windows per doc, document frequency, the df≥2
+    share — so a pass here verifies both the window semantics AND that
+    the hash introduced no collisions at the grading scale. Pure ANSI
+    over the shared tokenization CTE; value-verified at sf0.001 by
+    tests/test_dedup_text.py::test_exact_substring_queued_oracle."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(tokens, t -> len(t) > 0) AS toks
+  FROM ({_TOKENS_CTE})
+),
+g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {k} + 2),
+                  i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS gram
+    FROM base WHERE len(toks) >= {k}
+  )
+),
+df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+per AS (
+  SELECT g.doc_id, COUNT(*) AS n_kgrams,
+         SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM g JOIN df USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_kgrams, 0) AS BIGINT) AS n_kgrams,
+       CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared,
+       ROUND(CAST(COALESCE(per.n_shared, 0) AS DOUBLE)
+             / GREATEST(COALESCE(per.n_kgrams, 0), 1), {_R}) AS shared_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
 
 
 def bpe_token_map_path(sf_dir: str) -> str:

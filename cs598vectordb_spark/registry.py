@@ -86,12 +86,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Net: 99 − 2 + 2 = 99 oracled, slack 1. Head below = 2 births + 47
 # due + 1 refresh = 50 exactly; no auto-fill. r14 outlook: the 50
 # r12-green entries − lm_surprisal (refreshed r13) = 49 due, ONE spare
-# slot. r14 PROMOTION QUEUE — bpe_token_stats carries an AUTHORED,
-# pytest-verified queued oracle in queued_oracle_sql() below (merge
-# table exported as a parquet sidecar, per-word token counts replayed
-# relationally); exact_substring_stats' string-key twin stays the
-# mechanical second option. Promote at most ONE without a same-round
-# retirement.
+# slot. r14 PROMOTION QUEUE — TWO entries carry AUTHORED,
+# pytest-verified queued oracles in queued_oracle_sql() below:
+# bpe_token_stats (the engine's (word → n_tokens) map exported as a
+# parquet sidecar, per-document aggregation replayed relationally) and
+# exact_substring_stats (literal-string k-gram recomputation of the
+# hash-keyed window stats — semantics + collision-freedom in one
+# check). Promote at most ONE without a same-round retirement.
 _PRIORITY: tuple[str, ...] = (
     # --- r13 slots 1-2: oracle births (the r12 promotion queue).
     "dsir_logweights", "stream_quality_gate",
@@ -301,6 +302,7 @@ def queued_oracle_sql() -> dict[str, str]:
     from cs598vectordb_spark.queries_text import (
         bpe_token_map_path,
         bpe_token_stats_oracle_sql,
+        exact_substring_oracle_sql,
     )
 
     return {
@@ -312,6 +314,11 @@ def queued_oracle_sql() -> dict[str, str]:
         "bpe_token_stats": bpe_token_stats_oracle_sql(
             bpe_token_map_path("/root/testdata/sf0.01")
         ),
+        # literal-string k-gram recomputation of the hash-keyed window
+        # stats — verifies semantics AND collision-freedom; dress
+        # rehearsal in tests/test_dedup_text.py::
+        # test_exact_substring_queued_oracle
+        "exact_substring_stats": exact_substring_oracle_sql(k=10),
     }
 
 

@@ -1300,3 +1300,39 @@ def test_exact_substring_hatches(spark, sf_dir):
     assert all(v > 0 for v in hot_stats.values())
     plan = plan_of(textops.exact_substring_stats(hot, k=10, skew_safe=True))
     assert "Window" not in plan, plan
+
+
+def test_exact_substring_queued_oracle(spark, sf_dir):
+    """Dress rehearsal for the QUEUED exact_substring_stats oracle
+    (registry.queued_oracle_sql): the engine's hash-keyed window stats
+    must match the DuckDB literal-string k-gram recomputation row for
+    row at sf0.001 — verifying both the window semantics and that the
+    64-bit positional hash introduced no collisions at this scale."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from cs598vectordb_spark.registry import queued_oracle_sql
+
+    sdf = em.queries()["exact_substring_stats"](spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(queued_oracle_sql()["exact_substring_stats"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)
