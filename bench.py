@@ -1103,7 +1103,9 @@ def main() -> int:
             "recall_vs_exact": rec,
         }
     for pname, g2idx in (("graph2", lb1m_g2), ("graph2_served", lb1m_g2s)):
+        t0 = time.time()
         _g2probe(g2idx).count()  # warm (served: workers fill their caches)
+        cold_sec = time.time() - t0
         sec = _med3(lambda g2idx=g2idx: _g2probe(g2idx).count())
         rec = recall_at_k(_g2probe(g2idx), ex1m, 10).collect()[0]["recall"]
         probes_1m[pname] = {
@@ -1112,6 +1114,11 @@ def main() -> int:
             "qps": round(1000 / sec, 1),
             "recall_vs_exact": rec,
         }
+        if pname == "graph2_served":
+            # first-batch wall incl. worker pyarrow reads — evidences
+            # that the serving cache's fill cost is one cheap column-
+            # pruned parquet read, not a second copy of the r12 tax
+            probes_1m[pname]["cold_seconds"] = round(cold_sec, 3)
 
     # recall-QPS frontier (VERDICT r12 item 2): ~5 configs per family,
     # single warmed pass each (the headline points above keep the

@@ -891,6 +891,26 @@ def q_knn_graph2_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph2_served_for(spark: SparkSession, sf_dir: str):
+    """The materialized layered2 index opened in WORKER-SERVED mode,
+    built once per (session, sf_dir) — shared by the batch and
+    streaming served queries."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.graph import open_layered2
+
+    def build():
+        graph2_materialized_for(spark, sf_dir)  # ensure artifacts exist
+        path = _os.path.join(
+            "/tmp/cs598_spark_io",
+            _os.path.basename(sf_dir.rstrip("/")),
+            "graph2_mat_4x4_pinned",
+        )
+        return open_layered2(spark, path, served=True)
+
+    return _warm(spark, ("layered_graph2_served", sf_dir, 4, 4), build)
+
+
 @register("knn_graph2_served")
 def q_knn_graph2_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index of record in WORKER-SERVED mode (r13): the probe plan
@@ -903,24 +923,10 @@ def q_knn_graph2_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned probe (pinned in tests/test_index.py::
     test_graph2_served_matches_pinned) → rows-only by the same
     graph-structure-dependence as knn_graph2_materialized."""
-    import os as _os
-
-    from cs598vectordb_spark.operators.graph import (
-        knn_graph_layered2,
-        open_layered2,
-    )
-
-    def build():
-        graph2_materialized_for(spark, sf_dir)  # ensure artifacts exist
-        path = _os.path.join(
-            "/tmp/cs598_spark_io",
-            _os.path.basename(sf_dir.rstrip("/")),
-            "graph2_mat_4x4_pinned",
-        )
-        return open_layered2(spark, path, served=True)
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2
 
     _, q = _setup(spark, sf_dir)
-    opened = _warm(spark, ("layered_graph2_served", sf_dir, 4, 4), build)
+    opened = graph2_served_for(spark, sf_dir)
     return knn_graph_layered2(opened, q, _K, nprobe1=4, nprobe2=12, beam=32).select(
         "q_id", "rank", "vec_id"
     )
@@ -1065,6 +1071,35 @@ def q_stream_knn_graph2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("q_id", "rank", "vec_id")
 
     work = _os.path.join(_io_dir(sf_dir, "stream_knn_graph2"), "run")
+    return stream_knn(spark, sf_dir, work, n_splits=3, k=_K, probe=probe)
+
+
+@register("stream_knn_graph2_served")
+def q_stream_knn_graph2_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online serving over the WORKER-SERVED index — the steady-state
+    regime serving mode exists for: query micro-batches arrive and
+    probe an index whose decoded segment payloads persist in the
+    REUSED worker processes across micro-batches, so every batch after
+    the first ships zero index payload (hnswlib's resident-graph loop,
+    dynamic_script_faiss.py:31-43, re-expressed with a bounded worker
+    cache instead of mandatory full residency). Per-query independence
+    makes the drained union equal the batch served probe row for row —
+    pinned in tests/test_streaming.py::
+    test_stream_knn_graph2_served_matches_batch → rows-only."""
+    import os as _os
+
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2
+    from cs598vectordb_spark.queries_sources import _io_dir
+    from cs598vectordb_spark.streaming.jobs import stream_knn
+
+    idx = graph2_served_for(spark, sf_dir)
+
+    def probe(batch_df: DataFrame) -> DataFrame:
+        return knn_graph_layered2(
+            idx, batch_df, k=_K, nprobe1=4, nprobe2=12, beam=32
+        ).select("q_id", "rank", "vec_id")
+
+    work = _os.path.join(_io_dir(sf_dir, "stream_knn_graph2_served"), "run")
     return stream_knn(spark, sf_dir, work, n_splits=3, k=_K, probe=probe)
 
 

@@ -214,6 +214,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "multi_tenant_graph_sq8": "tests/test_index.py::test_multi_tenant_rows_and_throughput",
     # streaming-serving + streaming sketches
     "stream_knn_graph2": "tests/test_streaming.py::test_stream_knn_graph2_recall",
+    "stream_knn_graph2_served": (
+        "tests/test_streaming.py::test_stream_knn_graph2_served_matches_batch"
+    ),
     "multi_tenant_stream_graph2": "tests/test_updates_metrics.py::test_multi_tenant_stream_graph2_summary",
     "dynamic_cow_graph2": "tests/test_streaming.py::test_cow_dynamic_protocol_recovers_recall",
     "stream_drop_duplicates": "tests/test_streaming.py::test_stream_drop_duplicates_exactly_once",

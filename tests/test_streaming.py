@@ -708,3 +708,32 @@ def test_stream_quality_gate_oracle_parity(spark, sf_dir, tmp_path):
         return sorted(tuple(c(r[i]) for i in order) for r in rows)
 
     assert canon(srows, scols) == canon(drows, dcols)
+
+
+def test_stream_knn_graph2_served_matches_batch(spark, sf_dir):
+    """Streaming over the WORKER-SERVED index: the drained micro-batch
+    union must equal the batch served probe row for row (per-query
+    independence makes serving order irrelevant), which transitively
+    equals the pinned probe via test_graph2_served_matches_pinned —
+    the steady-state online-serving regime the worker cache exists
+    for."""
+    import __spark_entry__ as em
+
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2
+    from cs598vectordb_spark.queries_index import graph2_served_for
+    from cs598vectordb_spark.sources.tables import (
+        load_table,
+        queries_from_embeddings,
+    )
+
+    got = em.queries()["stream_knn_graph2_served"](spark, sf_dir)
+    srows = sorted(tuple(r) for r in got.collect())
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 100)
+    idx = graph2_served_for(spark, sf_dir)
+    batch = knn_graph_layered2(
+        idx, q, k=10, nprobe1=4, nprobe2=12, beam=32
+    ).select("q_id", "rank", "vec_id")
+    brows = sorted(tuple(r) for r in batch.collect())
+    assert srows == brows and len(srows) == 1000
