@@ -834,8 +834,13 @@ def _served_segment(
     per walk, which replays the Arrow path's own math exactly, so
     served results are bit-identical to the payload-shipping path.
     `codec_arrs` (mins, ranges) is only used to precompute sq_x over
-    the reconstructed values."""
-    key = (seg_dir, int(sid))
+    the reconstructed values. The cache key carries the partition
+    directory's mtime so an index REBUILT in place at the same path
+    (mode("overwrite") refreshes the directory timestamp) can never be
+    served from a stale worker cache — the superseded entry just ages
+    out of the LRU."""
+    part = os.path.join(seg_dir, f"{key_col}={sid}")
+    key = (seg_dir, int(sid), os.path.getmtime(part))
     hit = _SEG_CACHE.get(key)
     if hit is not None:
         _SEG_CACHE_LRU.remove(key)
@@ -843,10 +848,7 @@ def _served_segment(
         return hit
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(seg_dir, f"{key_col}={sid}"),
-        columns=[id_col, data_col, "nbr_ids"],
-    )
+    tbl = pq.read_table(part, columns=[id_col, data_col, "nbr_ids"])
     ids_raw = tbl.column(id_col).to_numpy()
     c = len(ids_raw)
     emb = tbl.column(data_col).combine_chunks()
@@ -1753,6 +1755,10 @@ def open_layered2(
         int(rows[0]["nlist2"]),
         int(rows[0]["degree"]),
     )
+    # NOT persisted on purpose: an A/B at 1M measured the per-probe L2
+    # parquet re-scan (nlist1·nlist2 rows, page-cached) as indistin-
+    # guishable from a pinned copy (2.10 vs 2.16 s med-3 same-session),
+    # so the open stays side-effect-free
     l2 = spark.read.parquet(os.path.join(path, "l2"))
     segs = spark.read.parquet(os.path.join(path, "segments"))
     serve_dir = os.path.join(path, "segments") if served else None

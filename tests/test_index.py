@@ -707,6 +707,41 @@ def test_graph2_served_matches_pinned(spark, sf_dir, tmp_path):
     pinned.segments.unpersist()
 
 
+def test_graph2_served_survives_in_place_rebuild(spark, sf_dir, tmp_path):
+    """An index REBUILT in place at the same path must never be served
+    from a stale worker cache: the cache key carries the segment
+    directory's mtime, so after an overwrite the old decoded arrays
+    can only age out, never answer. Probe A fills the caches; the
+    rebuild swaps in a different graph (half the base); probe B must
+    match the fresh pinned index exactly."""
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph2,
+        knn_graph_layered2,
+        materialize_layered2,
+        open_layered2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 5)
+    path = str(tmp_path / "g2swap")
+    kw = dict(k=K, nprobe1=2, nprobe2=6, beam=32)
+
+    a = materialize_layered2(build_layered_graph2(emb, 4, 4, degree=16), path)
+    served_a = open_layered2(spark, path, served=True)
+    r_a = knn_graph_layered2(served_a, q, **kw).orderBy("q_id", "rank").collect()
+    a.segments.unpersist()
+
+    emb2 = emb.filter(F.col("vec_id") % 2 == 0)
+    b = materialize_layered2(build_layered_graph2(emb2, 4, 4, degree=16), path)
+    served_b = open_layered2(spark, path, served=True)
+    got = knn_graph_layered2(served_b, q, **kw).orderBy("q_id", "rank").collect()
+    want = knn_graph_layered2(b, q, **kw).orderBy("q_id", "rank").collect()
+    assert got == want, "served results diverged from the rebuilt index"
+    assert got != r_a, "rebuild on half the base must change results"
+    assert all(r.vec_id % 2 == 0 for r in got), "stale odd-id rows served"
+    b.segments.unpersist()
+
+
 def test_graph_sq8_served_matches_pinned(spark, sf_dir, tmp_path):
     """Worker-served mode over the COMPRESSED (SQ8) layered index: the
     worker cache holds int8 codes (the 4× memory trade survives
