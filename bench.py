@@ -1028,6 +1028,13 @@ def main() -> int:
     # single-pass timings) and a delete-25%→reinsert dynamic point on
     # the fused IVF-PQ, mirroring BASELINE.md's pre/during/post rows.
     # Host load moves the exact GEMM ~2× between runs.
+    # Baseline-fairness check (r13): applying the SAME worker-served
+    # trick to the EXACT kernel measured 3× SLOWER than the shipping
+    # form (13.6 vs 4.1 s same-session med-3) — exact at this shape is
+    # GEMM/memory-bandwidth-bound (a 31k×1000 float64 distance block
+    # per chunk), not transfer-bound, so the exact baseline is already
+    # its fastest form and the graph's crossover comes from skipping
+    # ~97% of the distance work, not from a caching asymmetry.
     from cs598vectordb_spark.operators.graph import (
         build_layered_graph2,
         knn_graph_layered2,
