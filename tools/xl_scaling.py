@@ -9,7 +9,13 @@ O(N) prediction holds within noise); graph2_served 5.06 s = 197.5 QPS
 @ recall 0.916 (cold cache-fill pass 6.70 s under the default 512 MB
 per-worker cap, i.e. the index no longer fits one worker's cache and
 the LRU-churn regime still wins). Crossover ratio: 1.7x at 1M ->
-3.3x at 4M. Not part of bench.py: the one-time 4M build would bill
+3.3x at 4M (and 3.9x at the best swept config: nprobe1=8 nprobe2=12
+beam=32 -> 4.18 s = 239 QPS @ recall 0.916). A follow-up sweep showed
+the 4M recall ceiling (~0.92) is the 32x32 COARSE LAYER's granularity
+at 4x the rows, not the walk: widening to nprobe2=16/beam=48 buys
+only +0.008 recall for -33% QPS, so the right knob at bigger N is
+more segments (64x64), i.e. a rebuild - the same nlist-scaling rule
+IVF follows. Not part of bench.py: the one-time 4M build would bill
 ~200 s to every fresh-machine bench run for a point whose direction
 this recorded experiment already pins; re-run manually when the probe
 architecture changes. Results land in /tmp/xl4m.json."""
