@@ -44,23 +44,24 @@ def _norm_dashboard(back: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "scan_fvecs",
-    """
-SELECT vec_id,
-       CAST(len(embedding) AS INTEGER) AS dim,
-       ROUND(sqrt(list_sum(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
-FROM embeddings
-""",
-)
+@register("scan_fvecs")
 def q_scan_fvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: embeddings → sharded fvecs files → binaryFile+mapInPandas scan.
 
     float32 survives the round-trip bit-exactly, so the per-vector L2 norm
-    (accumulated left-to-right in double, same as the oracle's list_sum)
-    hash-matches the parquet originals (ref reader:
-    dynamic_script_faiss.py:14-15).
+    (accumulated left-to-right in double) matches the parquet originals
+    (ref reader: dynamic_script_faiss.py:14-15).
+
+    ORACLE RETIRED r14 (slot budget, shared-evidence class (2), funding
+    the bpe_token_stats/exact_substring_stats promotions): the shard
+    writer/reader is shared with the STILL-GRADED scan_ivecs modulo a
+    float32 view-cast (sources/vecfiles.py:245-249), the decode
+    round-trip is bit-exact-pinned
+    (tests/test_sources.py::test_fvecs_roundtrip_multishard), and the
+    norm dashboard carries a pure-Python value-exact recomputation pin
+    (tests/test_sources.py::test_scan_fvecs_value_exact). The v2 /
+    stream twins remain frame-equality-pinned against this entry's
+    shared _norm_dashboard projection.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     path = _io_dir(sf_dir, "fvecs")

@@ -857,17 +857,23 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.clean_text(docs)
 
 
-@register("exact_substring_stats")
+@register(
+    "exact_substring_stats",
+    oracle_builder=lambda sf_dir: exact_substring_oracle_sql(k=10),
+)
 def q_exact_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr cross-document duplication signal (Lee et al. 2021):
     per doc, the distinct 10-token windows shared verbatim with another
     document — catches the long-quote/boilerplate class whole-document
-    near-dup methods miss. Rows-only with a QUEUED oracle since r13
-    (exact_substring_oracle_sql below: the literal-string k-gram twin,
-    value-verified at sf0.001 AND sf0.01 — an r14 promotion
-    candidate); planted-substring closed form + fixture invariants
-    pinned in tests/test_dedup_text.py::test_exact_substring_stats,
-    flag-gated 100 TB hatches pinned in
+    near-dup methods miss. ORACLE PROMOTED r14 (queued since r13,
+    funded by the scan_fvecs retirement): the engine keys on 64-bit
+    positional window hashes, the DuckDB twin recomputes the same
+    statistics on LITERAL k-gram strings — one check verifies window
+    semantics AND hash collision-freedom at the grading scale (dress
+    rehearsal tests/test_dedup_text.py::test_exact_substring_queued_oracle).
+    Planted-substring closed form + fixture invariants pinned in
+    tests/test_dedup_text.py::test_exact_substring_stats, flag-gated
+    100 TB hatches pinned in
     tests/test_dedup_text.py::test_exact_substring_hatches."""
     docs = load_table(spark, sf_dir, "documents")
     return textops.exact_substring_stats(docs, k=10)
@@ -910,10 +916,10 @@ def dsir_oracle_sql(bucket_map_path: str, n_buckets: int = 10_000) -> str:
     joined from the engine's exported (feature → bucket) parquet —
     xxhash64 is the one primitive DuckDB cannot recompute; everything
     downstream (totals, Laplace-smoothed bucket probabilities, the
-    per-doc weight sum) is pure SQL. QUEUED, not registered: the gate's
-    50 r12 slots are committed (registry._PRIORITY), so this string
-    lives in registry._QUEUED_ORACLES until a slot frees; the path is
-    baked for the grading SF at promotion time. Value-verified end to
+    per-doc weight sum) is pure SQL. REGISTERED via oracle_builder
+    (promoted r13): the static oracle_sql() contract bakes the grading
+    SF's sidecar path; registry.oracle_sql_for re-bakes under an
+    SPARK_GRAFT_ORACLE_SF override (ADVICE r13). Value-verified end to
     end (Spark vs DuckDB at sf0.001) by
     tests/test_dedup_text.py::test_dsir_queued_oracle_matches_duckdb
     and runnable via tools/check_oracle.py (queued fallback)."""
@@ -963,7 +969,7 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 @register(
     "dsir_logweights",
-    dsir_oracle_sql(dsir_bucket_map_path("/root/testdata/sf0.01")),
+    oracle_builder=lambda sf_dir: dsir_oracle_sql(dsir_bucket_map_path(sf_dir)),
 )
 def q_dsir_logweights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) with the English slice
@@ -1380,7 +1386,8 @@ def _export_bpe_merges(
 
 
 def exact_substring_oracle_sql(k: int = 10) -> str:
-    """The exact_substring_stats oracle twin (QUEUED r13): the engine
+    """The exact_substring_stats oracle twin (queued r13, REGISTERED
+    r14): the engine
     keys on 64-bit positional window hashes for shuffle-row width; the
     twin recomputes the SAME statistics on LITERAL k-gram strings —
     distinct k-token windows per doc, document frequency, the df≥2
@@ -1454,8 +1461,9 @@ def _export_bpe_token_map(spark: SparkSession, sf_dir: str) -> str:
 
 
 def bpe_token_stats_oracle_sql(token_map_path: str) -> str:
-    """The bpe_token_stats oracle twin (QUEUED r13, the r14 promotion
-    candidate): the greedy ordered-merge encode is iterative — not
+    """The bpe_token_stats oracle twin (queued r13, REGISTERED r14 via
+    oracle_builder — registry.oracle_sql_for re-bakes the sidecar path
+    under an SF override): the greedy ordered-merge encode is iterative — not
     ANSI-expressible — so the engine exports its (word → n_tokens)
     vocabulary map (the dsir_bucket_map_path precedent, where xxhash64
     was the unexportable primitive) and DuckDB replays everything
@@ -1508,17 +1516,24 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_export_bpe_merges(spark, sf_dir)).orderBy("rank")
 
 
-@register("bpe_token_stats")
+@register(
+    "bpe_token_stats",
+    oracle_builder=lambda sf_dir: bpe_token_stats_oracle_sql(
+        bpe_token_map_path(sf_dir)
+    ),
+)
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics under the corpus-trained BPE
     vocabulary: n_words, n_chars, n_bpe_tokens, tokens_per_word,
     chars_per_token — tokens-per-byte is a standard curation quality
     signal (gibberish and out-of-vocabulary text encode badly).
-    Rows-only (the encode applies ordered merges per word — iterative,
-    not ANSI-expressible directly), with a QUEUED oracle since r13:
-    the query exports the (word → n_tokens) vocabulary map sidecar
-    that bpe_token_stats_oracle_sql's DuckDB twin joins (see
-    registry.queued_oracle_sql — the r14 promotion candidate).
+    ORACLE PROMOTED r14 (queued since r13, funded by the scan_fvecs
+    retirement): the greedy ordered-merge encode is iterative — not
+    ANSI-expressible — so the query exports its (word → n_tokens)
+    vocabulary map sidecar and bpe_token_stats_oracle_sql's DuckDB
+    twin replays the per-document aggregation relationally (the
+    dsir_logweights bridge pattern; dress rehearsal
+    tests/test_tokenizer.py::test_bpe_token_stats_queued_oracle).
     Hand-computed closed form pinned
     in tests/test_tokenizer.py::test_bpe_encode_closed_form, plan
     (one Arrow kernel, zero shuffle) in

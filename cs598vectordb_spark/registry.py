@@ -17,18 +17,45 @@ from cs598vectordb_spark.config import DEFAULT_K, DEFAULT_N_QUERIES, SMOKE_N_QUE
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The SF the external gate grades at; sidecar-backed oracles bake their
+# export paths for this fixture in the static oracle_sql() contract.
+GRADING_SF = "/root/testdata/sf0.01"
+
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+# name -> fn(sf_dir) -> SQL, for oracles whose text embeds an SF-derived
+# sidecar path (dsir_logweights, bpe_token_stats). The static _ORACLES
+# string is the builder baked at GRADING_SF (what the driver runs);
+# oracle_sql_for() re-bakes for tools/check_oracle.py under an
+# SPARK_GRAFT_ORACLE_SF override so the twin joins the RIGHT-scale
+# sidecar instead of falsely failing (ADVICE r13).
+_ORACLE_BUILDERS: dict[str, Callable[[str], str]] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None = None,
+    oracle_builder: Callable[[str], str] | None = None,
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
+        if oracle_builder is not None:
+            # baked lazily (_bake_builders) so a builder may reference
+            # helpers defined later in its registering module
+            _ORACLE_BUILDERS[name] = oracle_builder
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
 
     return deco
+
+
+def _bake_builders() -> None:
+    """Materialize builder-backed oracles at GRADING_SF into _ORACLES
+    (once, after every registering module has fully imported)."""
+    for name, builder in _ORACLE_BUILDERS.items():
+        if name not in _ORACLES:
+            _ORACLES[name] = builder(GRADING_SF)
 
 
 # The external correctness gate grades the FIRST ~50 registered entries
@@ -83,58 +110,70 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 #     dress-rehearsed vs DuckDB in pytest before promotion);
 #   slot 50 = explicit refresh of lm_surprisal (rotation preference
 #     (b): single-green former queue entry gets its second green).
-# Net: 99 − 2 + 2 = 99 oracled, slack 1. Head below = 2 births + 47
-# due + 1 refresh = 50 exactly; no auto-fill. r14 outlook: the 50
-# r12-green entries − lm_surprisal (refreshed r13) = 49 due, ONE spare
-# slot. r14 PROMOTION QUEUE — TWO entries carry AUTHORED,
-# pytest-verified queued oracles in queued_oracle_sql() below:
-# bpe_token_stats (the engine's (word → n_tokens) map exported as a
-# parquet sidecar, per-document aggregation replayed relationally) and
-# exact_substring_stats (literal-string k-gram recomputation of the
-# hash-keyed window stats — semantics + collision-freedom in one
-# check). Promote at most ONE without a same-round retirement.
+# Net: 99 − 2 + 2 = 99 oracled, slack 1. r13 head was 2 births + 47
+# due + 1 lm_surprisal refresh = 50 exactly; no auto-fill.
+# r14 ROTATION (executed; due set recomputed from CORRECTNESS_r12∪r13
+# per the standing caution: exactly the 50 r12-greens − lm_surprisal
+# (refreshed r13) = 49 due + ONE spare slot — fitting BOTH queued
+# births therefore needed ONE retirement FROM THE DUE SET, the plan
+# the r13 verdict ordered):
+#   retire scan_fvecs (shared-evidence class (2): S2 is S1 plus a
+#     float32 view-cast — the same write_vecs/_decode_blob shard
+#     reader as the STILL-GRADED scan_ivecs (sources/vecfiles.py:
+#     245-249), the decode round-trip is bit-exact-pinned
+#     (tests/test_sources.py::test_fvecs_roundtrip_multishard) and the
+#     norm dashboard carries a new pure-Python value-exact pin
+#     (::test_scan_fvecs_value_exact); its _norm_dashboard projection
+#     is shared verbatim with the frame-equality-pinned v2/stream
+#     twins);
+#   promote bpe_token_stats + exact_substring_stats (the r13 queue,
+#     both dress-rehearsed vs DuckDB in pytest before promotion).
+# Net: 99 − 1 + 2 = 100 oracled — the hard cap, slack 0: ANY r15+
+# birth requires a same-round retirement (candidates by policy class:
+# scan_ivecs once scan_fvecs' pin has aged in, media_decode_wav vs
+# _bmp near-duplicate evidence, closed-form metrics entries). Head
+# below = 2 births + 48 due = 50 exactly; no auto-fill. r15 outlook:
+# the 50 r13-green entries = 50 due, ZERO spare slots.
 _PRIORITY: tuple[str, ...] = (
-    # --- r13 slots 1-2: oracle births (the r12 promotion queue).
-    "dsir_logweights", "stream_quality_gate",
-    # --- the r11-green set not re-graded in round 12; newest green row
-    # is r11, so the ≤2-rounds invariant makes them due now (47 entries
-    # = 49 due − minhash_signatures − simhash_banded, both retired this
-    # round).
-    "asof_attribution", "brand_top_parts", "customer_number_extract",
-    "customer_order_gaps", "customer_order_stats", "dedup_clusters",
-    "delete_pct", "doc_stats", "events_first5_series",
-    "events_last5_summary", "fingerprints", "funnel_steps", "ingest",
-    "insert_restore", "jaccard_topk", "knn_exact", "knn_exact_pca",
-    "knn_filtered", "knn_post_delete", "lang_detect", "lineitem_rollup",
-    "local_supplier_volume", "media_decode_ppm", "media_dedup",
-    "order_priority_count", "orders_cube", "priority_customers_setops",
-    "quality_scores", "recall_low_dim", "repetition_scores",
-    "revenue_change", "sessionize", "shipping_priority",
-    "source_summary", "sq8_encode", "sql_text_surface", "status_pivot",
-    "stratified_sample", "stream_events_hourly", "stream_ingest_updates",
-    "stream_interval_join", "stream_interval_join_outer",
-    "stream_late_data", "stream_merge_upserts_cow", "stream_sessionize",
-    "stream_sink_parquet", "upsert_guard",
-    # --- slot 50: explicit refresh (single-green r12 birth).
-    "lm_surprisal",
+    # --- r14 slots 1-2: oracle births (the r13 promotion queue).
+    "bpe_token_stats", "exact_substring_stats",
+    # --- the r12-green set not re-graded in round 13; newest green row
+    # is r12, so the ≤2-rounds invariant makes them due now (48 entries
+    # = 49 due − scan_fvecs, retired this round).
+    "acctbal_deciles", "bucketed_customer_orders", "chunk_documents",
+    "clean_text", "cohort_retention", "curate_corpus",
+    "decimal_revenue", "decontamination", "dedup_exact",
+    "distance_histogram", "embedding_near_dup",
+    "event_value_percentiles", "events_hourly", "hash_split",
+    "knn_cosine", "knn_exact_2k", "knn_ip", "load_dataset",
+    "media_decode_bmp", "media_decode_wav", "media_features",
+    "media_frame_sample", "media_resize_pixels", "media_summary",
+    "merge_upsert", "minhash_lsh_dedup", "mixture_sample",
+    "ngram_profile", "pack_sequences", "pricing_summary",
+    "props_json_extract", "range_click_burst", "range_search",
+    "salted_user_stats", "scan_ivecs", "scan_logs",
+    "semantic_doc_search", "shingle_cardinality_kmv",
+    "simhash_near_dups", "sq8_error", "stream_dedup",
+    "stream_interval_join_full", "stream_knn", "stream_merge_upserts",
+    "stream_near_dedup", "stream_stateful_counts",
+    "stream_static_enrich", "tfidf_keywords",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r12-green entries not re-graded this round (due back in r14, 49
-    # entries — lm_surprisal refreshed into slot 50 above):
-    # clean_text, stream_interval_join_full, mixture_sample, scan_fvecs,
-    # cohort_retention, knn_exact_2k, knn_ip, range_search,
-    # event_value_percentiles, distance_histogram, chunk_documents,
-    # stream_static_enrich, merge_upsert, pricing_summary, dedup_exact,
-    # bucketed_customer_orders, shingle_cardinality_kmv, events_hourly,
-    # props_json_extract, range_click_burst, salted_user_stats,
-    # decimal_revenue, media_features, media_frame_sample,
-    # media_summary, stream_stateful_counts, stream_dedup, stream_knn,
-    # decontamination, curate_corpus, sq8_error, hash_split,
-    # ngram_profile, tfidf_keywords, semantic_doc_search,
-    # minhash_lsh_dedup, simhash_near_dups, embedding_near_dup,
-    # pack_sequences, acctbal_deciles, media_decode_wav,
-    # media_decode_bmp, media_resize_pixels, stream_merge_upserts,
-    # scan_ivecs, load_dataset, scan_logs, stream_near_dedup,
-    # knn_cosine
+    # r13-green entries not re-graded this round (due back in r15, all
+    # 50: dsir_logweights, stream_quality_gate, asof_attribution,
+    # brand_top_parts, customer_number_extract, customer_order_gaps,
+    # customer_order_stats, dedup_clusters, delete_pct, doc_stats,
+    # events_first5_series, events_last5_summary, fingerprints,
+    # funnel_steps, ingest, insert_restore, jaccard_topk, knn_exact,
+    # knn_exact_pca, knn_filtered, knn_post_delete, lang_detect,
+    # lineitem_rollup, local_supplier_volume, media_decode_ppm,
+    # media_dedup, order_priority_count, orders_cube,
+    # priority_customers_setops, quality_scores, recall_low_dim,
+    # repetition_scores, revenue_change, sessionize, shipping_priority,
+    # source_summary, sq8_encode, sql_text_surface, status_pivot,
+    # stratified_sample, stream_events_hourly, stream_ingest_updates,
+    # stream_interval_join, stream_interval_join_outer,
+    # stream_late_data, stream_merge_upserts_cow, stream_sessionize,
+    # stream_sink_parquet, upsert_guard, lm_surprisal)
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -247,18 +286,22 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # dsir_logweights + stream_quality_gate PROMOTED to oracles r13
     # (the r12 queue); their closed-form / batch-parity pins remain as
     # defense in depth but are no longer the primary evidence.
-    "exact_substring_stats": (
-        "tests/test_dedup_text.py::test_exact_substring_stats"
-    ),
+    # exact_substring_stats + bpe_token_stats PROMOTED to oracles r14
+    # (the r13 queue, funded by the scan_fvecs retirement); their
+    # closed-form pins remain as defense in depth.
+    # retired-oracle entry (r14) — bit-exact decode round-trip + pure-
+    # Python norm-dashboard recomputation; the shard reader is shared
+    # with the still-graded scan_ivecs (sources/vecfiles.py:245-249)
+    "scan_fvecs": "tests/test_sources.py::test_scan_fvecs_value_exact",
     "media_audio_frames": (
         "tests/test_multimodal.py::test_audio_frame_features_closed_form"
     ),
     "hard_negatives": "tests/test_knn.py::test_hard_negatives_excludes_near_dups",
     "corpus_topics": "tests/test_dedup_text.py::test_corpus_topics",
     # BPE tokenizer family (r12) — iterative training / ordered-merge
-    # application, not ANSI-expressible by design
+    # application, not ANSI-expressible by design (bpe_token_stats
+    # graduated to a sidecar-bridged oracle r14)
     "bpe_merges": "tests/test_tokenizer.py::test_bpe_train_classic_corpus",
-    "bpe_token_stats": "tests/test_tokenizer.py::test_bpe_encode_closed_form",
     "export_training_set": "tests/test_dedup_text.py::test_export_training_set",
     "curation_funnel_report": (
         "tests/test_dedup_text.py::test_curation_funnel_report"
@@ -300,29 +343,28 @@ def queued_oracle_sql() -> dict[str, str]:
     queued oracle when the entry is explicitly named; pytest pins each
     end to end (the dict maps name → SQL baked for the sf0.01 grading
     fixture). dsir_logweights + stream_quality_gate were promoted out
-    of this queue in r13."""
+    of this queue in r13; bpe_token_stats + exact_substring_stats in
+    r14 (the queue is empty — and the pool sits at the hard 100-entry
+    cap, so the NEXT authored oracle parks here until a retirement
+    frees a slot)."""
     _ensure_loaded()
-    from cs598vectordb_spark.queries_text import (
-        bpe_token_map_path,
-        bpe_token_stats_oracle_sql,
-        exact_substring_oracle_sql,
-    )
+    return {}
 
-    return {
-        # encode is deterministic given a merge table; the engine
-        # exports its (word → n_tokens) vocabulary map as a parquet
-        # sidecar and the twin replays the per-document aggregation
-        # relationally — dress rehearsal in tests/test_tokenizer.py::
-        # test_bpe_token_stats_queued_oracle
-        "bpe_token_stats": bpe_token_stats_oracle_sql(
-            bpe_token_map_path("/root/testdata/sf0.01")
-        ),
-        # literal-string k-gram recomputation of the hash-keyed window
-        # stats — verifies semantics AND collision-freedom; dress
-        # rehearsal in tests/test_dedup_text.py::
-        # test_exact_substring_queued_oracle
-        "exact_substring_stats": exact_substring_oracle_sql(k=10),
-    }
+
+def oracle_sql_for(sf_dir: str) -> dict[str, str]:
+    """oracle_sql() with sidecar-backed oracles RE-BAKED for `sf_dir`:
+    dsir_logweights / bpe_token_stats embed the path of an engine-
+    exported parquet sidecar, and the static strings bake GRADING_SF's
+    path (what the driver runs). A local gate run at another scale
+    (SPARK_GRAFT_ORACLE_SF) must join that scale's sidecar or the twin
+    falsely fails on a wrong-SF map (ADVICE r13). Non-parameterized
+    oracles pass through verbatim."""
+    _ensure_loaded()
+    out = dict(oracle_sql())
+    for name, builder in _ORACLE_BUILDERS.items():
+        if name in out:
+            out[name] = builder(sf_dir)
+    return out
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,4 +394,5 @@ def _ensure_loaded() -> None:
     from cs598vectordb_spark import queries_multimodal  # noqa: F401
     from cs598vectordb_spark import queries_streaming  # noqa: F401
 
+    _bake_builders()
     _LOADED = True

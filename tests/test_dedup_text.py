@@ -1303,15 +1303,14 @@ def test_exact_substring_hatches(spark, sf_dir):
 
 
 def test_exact_substring_queued_oracle(spark, sf_dir):
-    """Dress rehearsal for the QUEUED exact_substring_stats oracle
-    (registry.queued_oracle_sql): the engine's hash-keyed window stats
+    """Dress rehearsal for the exact_substring_stats oracle (PROMOTED
+    r14; graded live since): the engine's hash-keyed window stats
     must match the DuckDB literal-string k-gram recomputation row for
     row at sf0.001 — verifying both the window semantics and that the
     64-bit positional hash introduced no collisions at this scale."""
     import duckdb
 
     import __spark_entry__ as em
-    from cs598vectordb_spark.registry import queued_oracle_sql
 
     sdf = em.queries()["exact_substring_stats"](spark, sf_dir)
     con = duckdb.connect()
@@ -1319,7 +1318,7 @@ def test_exact_substring_queued_oracle(spark, sf_dir):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
-    res = con.execute(queued_oracle_sql()["exact_substring_stats"])
+    res = con.execute(em.oracle_sql()["exact_substring_stats"])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
     scols = sdf.columns

@@ -257,11 +257,46 @@ def test_scan_formats_roundtrips_losslessly(spark, sf_dir):
     assert (got["csv"].n, got["csv"].sum_vec_id, got["csv"].sum_label) == (want.n, want.s, want.l)
 
 
+def test_scan_fvecs_value_exact(spark, sf_dir):
+    """Value-exact pure-Python pin for the RETIRED scan_fvecs oracle
+    (r14 slot budget — see registry._PRIORITY): every (vec_id, dim,
+    norm) row of the fvecs round-trip dashboard is recomputed bit for
+    bit from the parquet originals — float32 components upcast to
+    double, squared and accumulated LEFT TO RIGHT, sqrt, HALF_UP-
+    rounded at 4 decimals — exactly the retired DuckDB twin's
+    arithmetic (and Spark's own F.round semantics: BigDecimal.valueOf
+    uses the shortest decimal repr, as does Python's repr)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import __spark_entry__ as em
+
+    got = {
+        r["vec_id"]: (r["dim"], r["norm"])
+        for r in em.queries()["scan_fvecs"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    assert len(got) == len(emb) > 0
+    for r in emb:
+        acc = 0.0
+        for x in r["embedding"]:
+            acc += float(x) * float(x)
+        want = float(
+            Decimal(repr(math.sqrt(acc))).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP
+            )
+        )
+        dim, norm = got[r["vec_id"]]
+        assert dim == len(r["embedding"])
+        assert norm == want, (r["vec_id"], norm, want)
+
+
 def test_fvecs_datasource_matches_reader(spark, sf_dir):
     """Evidence pin for the rows-only scan_fvecs_v2 entry: the
     registered Python Data Source must return the SAME frame as the
-    binaryFile+mapInPandas reader (which faces scan_fvecs' DuckDB
-    oracle) — both dtypes, with per-shard partitioning."""
+    binaryFile+mapInPandas reader (whose norm dashboard carries the
+    retired scan_fvecs oracle's value-exact pin) — both dtypes, with
+    per-shard partitioning."""
     from cs598vectordb_spark.sources.fvecs_datasource import register
     from cs598vectordb_spark.sources.tables import load_table
     from cs598vectordb_spark.sources.vecfiles import (

@@ -83,7 +83,14 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     qs = entrymod.queries()
-    oracles = dict(entrymod.oracle_sql())
+    # oracle_sql_for, not the driver's static oracle_sql(): sidecar-
+    # backed oracles (dsir_logweights, bpe_token_stats) embed the
+    # grading fixture's export path, and an SPARK_GRAFT_ORACLE_SF
+    # override must join THAT scale's sidecar (ADVICE r13). At the
+    # default sf0.01 the two calls return identical strings.
+    from cs598vectordb_spark.registry import oracle_sql_for, queued_oracle_sql
+
+    oracles = dict(oracle_sql_for(SF_DIR))
     # QUEUED oracles (authored + value-verified, awaiting a grading
     # slot — registry.queued_oracle_sql): verified here ONLY when the
     # entry is explicitly named, so the default all-queries sweep keeps
@@ -91,8 +98,6 @@ def main() -> int:
     # the default grading SF's sidecar paths — skip under an SF
     # override rather than fail on a missing export.
     if only and SF_DIR.rstrip("/").endswith("sf0.01"):
-        from cs598vectordb_spark.registry import queued_oracle_sql
-
         for qname, qsql in queued_oracle_sql().items():
             if qname in only and qname not in oracles:
                 print(f"  {qname:28s} (using QUEUED oracle)")
