@@ -730,7 +730,9 @@ def _walk_probed_segments(
     spark = segments.sparkSession
     codec_arrs = (codec.mins, codec.ranges) if codec is not None else None
     data_col = "codes" if codec is not None else vec_col
-    bc = spark.sparkContext.broadcast((q_ids, Q, probed, codec_arrs))
+    # pooled: repeated probes (streams, tenant loops) must not
+    # accumulate per-call broadcasts — see _pooled_broadcast
+    bc = _pooled_broadcast(spark, (q_ids, Q, probed, codec_arrs))
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         bq_ids, bQ, bprobed, bcodec = bc.value
@@ -794,8 +796,7 @@ def _walk_probed_segments(
 # bench.py's large_base_1m comment). Serving mode inverts the dataflow:
 # the probe ships only the probed (segment_id) list plus the broadcast
 # query block, and each Python worker pyarrow-reads its segments'
-# files DIRECTLY from the materialized index path (a shared
-# filesystem / object-store prefix at cluster scale), caching the
+# files DIRECTLY from the materialized index path, caching the
 # decoded arrays in the reused worker process across batches. First
 # touch pays one column-pruned parquet read per segment; steady state
 # pays zero transfer. Reference analog: hnswlib/faiss serve from a
@@ -804,10 +805,67 @@ def _walk_probed_segments(
 # equivalent, with a byte-capped per-worker LRU instead of a mandatory
 # full-residency requirement, so an index larger than worker memory
 # degrades to re-reads instead of OOM.
+#
+# Filesystem scope: the worker reads use local-path pyarrow + os.stat,
+# which serves any SHARED POSIX filesystem (NFS/Lustre/local). An
+# object-store (s3://) prefix would need the reads routed through
+# pyarrow.fs and has no partition-dir mtime — which is why staleness
+# keying prefers the _EPOCH sidecar (written by materialize_*, works
+# on any store) and falls back to mtime only where the sidecar is
+# absent (pre-epoch indexes on POSIX paths).
 
 _SEG_CACHE: dict = {}  # (seg_dir, sid) -> (ids, X_src, nbr_pos, sq_x, bytes)
 _SEG_CACHE_LRU: list = []  # keys, least-recent first
 _SEG_CACHE_BYTES = [0]
+
+_EPOCH_FILE = "_EPOCH"
+
+
+def _write_epoch(seg_path: str) -> None:
+    """Stamp a freshly (re)materialized segment directory with a unique
+    epoch id. The served-mode worker cache keys on this file's CONTENTS,
+    so an index rebuilt in place at the same path can never be answered
+    from a stale worker cache — including on stores with no directory
+    mtime (object stores), where the r13 mtime key was undefined.
+    The leading underscore keeps every parquet/Spark reader ignoring it."""
+    import uuid
+
+    with open(os.path.join(seg_path, _EPOCH_FILE), "w") as fh:
+        fh.write(uuid.uuid4().hex)
+
+
+def _read_epoch(seg_dir: str) -> str | None:
+    """The segment directory's epoch stamp, or None for indexes
+    materialized before the epoch discipline (mtime fallback)."""
+    try:
+        with open(os.path.join(seg_dir, _EPOCH_FILE)) as fh:
+            return fh.read().strip() or None
+    except OSError:
+        return None
+
+
+# Bounded pool of live probe broadcasts. Every probe call broadcasts its
+# (queries, probed-map, codec) block; a long-running served stream (one
+# probe per micro-batch) would otherwise accumulate broadcasts for the
+# life of the stream (ADVICE r13). Eviction uses unpersist(), NOT
+# destroy(): an evicted broadcast still referenced by an in-flight
+# concurrent probe (multi_tenant's N client threads) is simply re-sent
+# to executors on next access — correctness is unaffected, the worst
+# case re-pays one O(nq·dim) transfer.
+_PROBE_BC_POOL: list = []
+_PROBE_BC_CAP = 16
+
+
+def _pooled_broadcast(spark, payload):
+    bc = spark.sparkContext.broadcast(payload)
+    _PROBE_BC_POOL.append(bc)
+    while len(_PROBE_BC_POOL) > _PROBE_BC_CAP:
+        old = _PROBE_BC_POOL.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # sc already stopped / broadcast gone — nothing to free
+    return bc
 
 
 def _seg_cache_cap() -> int:
@@ -825,6 +883,7 @@ def _served_segment(
     id_col: str,
     data_col: str,
     codec_arrs=None,
+    epoch: str | None = None,
 ):
     """Decode one materialized segment into the walk kernel's arrays,
     LRU-cached in this worker process. The payload column is cached in
@@ -834,13 +893,18 @@ def _served_segment(
     per walk, which replays the Arrow path's own math exactly, so
     served results are bit-identical to the payload-shipping path.
     `codec_arrs` (mins, ranges) is only used to precompute sq_x over
-    the reconstructed values. The cache key carries the partition
-    directory's mtime so an index REBUILT in place at the same path
-    (mode("overwrite") refreshes the directory timestamp) can never be
-    served from a stale worker cache — the superseded entry just ages
-    out of the LRU."""
+    the reconstructed values. Staleness: the cache key carries the
+    index's `epoch` stamp (the _EPOCH sidecar materialize_* rewrites
+    on every overwrite — store-agnostic), falling back to the
+    partition directory's mtime for pre-epoch indexes, so an index
+    REBUILT in place at the same path can never be served from a stale
+    worker cache — the superseded entry just ages out of the LRU."""
     part = os.path.join(seg_dir, f"{key_col}={sid}")
-    key = (seg_dir, int(sid), os.path.getmtime(part))
+    key = (
+        seg_dir,
+        int(sid),
+        epoch if epoch is not None else os.path.getmtime(part),
+    )
     hit = _SEG_CACHE.get(key)
     if hit is not None:
         _SEG_CACHE_LRU.remove(key)
@@ -917,20 +981,31 @@ def _walk_served_segments(
 
     codec_arrs = (codec.mins, codec.ranges) if codec is not None else None
     data_col = "codes" if codec is not None else vec_col
-    bc = spark.sparkContext.broadcast((q_ids, Q, probed, codec_arrs))
+    bc = _pooled_broadcast(spark, (q_ids, Q, probed, codec_arrs))
     sids = sorted(int(s) for s in probed)
     width = max(1, min(len(sids), 2 * spark.sparkContext.defaultParallelism))
     sdf = spark.createDataFrame([(s,) for s in sids], f"{key_col} int")
 
     def serve(batches):
         bq_ids, bQ, bprobed, barrs = bc.value
+        epoch = _read_epoch(seg_dir)  # once per task, not per segment
         for pdf in batches:
             for sid in pdf[key_col].tolist():
                 qsel = bprobed.get(int(sid))
                 if qsel is None or len(qsel) == 0:
                     continue
+                # a probed centroid with ZERO assigned vectors has no
+                # partition directory (open_layered's probed keys come
+                # from ALL k-means centroids, and _kmeans_fit never
+                # reseeds empty clusters) — skip it like the Arrow
+                # path's empty-segment semantics, don't fail the job
+                # (ADVICE r13 medium). layered2 keys derive from the
+                # assignment itself, so this branch is l1-path-only.
+                if not os.path.isdir(os.path.join(seg_dir, f"{key_col}={sid}")):
+                    continue
                 ids, Xs, nbr_pos, sq_x, _ = _served_segment(
-                    seg_dir, key_col, int(sid), id_col, data_col, barrs
+                    seg_dir, key_col, int(sid), id_col, data_col, barrs,
+                    epoch=epoch,
                 )
                 X = np.ascontiguousarray(Xs, dtype=np.float64)
                 if barrs is not None:
@@ -1060,10 +1135,33 @@ class LayeredGraph2Index:
         self.segments.unpersist()
 
 
+def default_grid2(n: int, target_segment_rows: int = 1024) -> tuple[int, int]:
+    """The layered2 coarse-layer sizing rule, IVF's nlist discipline made
+    a default instead of folklore (VERDICT r13 item 4): segment COUNT
+    scales linearly with n so segment SIZE stays ~target_segment_rows —
+    the walk kernel's per-segment compute and the served cache's
+    per-entry footprint are then scale-invariant, and recall stops
+    being capped by coarse-layer granularity (the measured r13 failure:
+    a 32×32 grid correct at 1M capped 4M recall at ~0.92; widening the
+    walk bought +0.008 for −33% QPS because the ceiling was the
+    LAYER, not the walk — the fix is 64×64, exactly what this rule
+    picks). Square grid: nlist1 = nlist2 = ceil-to-even sqrt(n/target),
+    keeping the driver-sized L1 at sqrt(#segments) rows (1M → 32×32,
+    4M → 64×64, 100× → grows as sqrt on each level, never a
+    driver-memory problem)."""
+    import math
+
+    n_segments = max(1, n // max(target_segment_rows, 1))
+    side = max(2, int(math.ceil(math.sqrt(n_segments))))
+    if side % 2:
+        side += 1
+    return side, side
+
+
 def build_layered_graph2(
     base: DataFrame,
-    nlist1: int = 4,
-    nlist2: int = 4,
+    nlist1: int | None = 4,
+    nlist2: int | None = 4,
     degree: int = 16,
     exact_segment_rows: int = 16_384,
     id_col: str = "vec_id",
@@ -1074,7 +1172,16 @@ def build_layered_graph2(
     driver-collected at build — operators/ivf2.py), then one
     applyInPandas pass builds each (l1,l2) sub-cell's kNN subgraph, and
     the segment table persists hash-partitioned on the composite
-    segment id so probes reach the walk kernel exchange-free."""
+    segment id so probes reach the walk kernel exchange-free.
+
+    Pass ``nlist1=None``/``nlist2=None`` to size the coarse layer by
+    the default_grid2 rule (segments ∝ n, ~1k rows per segment) — the
+    scale-correct default; the explicit 4×4 keeps fixture-scale tests
+    and existing callers unchanged."""
+    if nlist1 is None or nlist2 is None:
+        auto1, auto2 = default_grid2(base.count())
+        nlist1 = auto1 if nlist1 is None else nlist1
+        nlist2 = auto2 if nlist2 is None else nlist2
     import pandas as pd
     from pyspark.sql.types import (
         ArrayType,
@@ -1407,6 +1514,7 @@ def materialize_layered(index: LayeredGraphIndex, path: str) -> LayeredGraphInde
     index.segments.write.mode("overwrite").partitionBy("centroid_id").parquet(
         os.path.join(path, "segments")
     )
+    _write_epoch(os.path.join(path, "segments"))
     # plain-Python rows + explicit schema: no type inference and no Arrow
     # dependency (ndarray cells crash the non-Arrow inference fallback if
     # the session's Arrow conversion is degraded for any reason)
@@ -1698,6 +1806,7 @@ def materialize_layered2(
     index.segments.write.mode("overwrite").partitionBy("segment_id").parquet(
         os.path.join(path, "segments")
     )
+    _write_epoch(os.path.join(path, "segments"))
     index.l2_table.write.mode("overwrite").parquet(os.path.join(path, "l2"))
     rows = [
         (

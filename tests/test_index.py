@@ -3,6 +3,8 @@ invariants (the reference's accepted evidence, SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -709,12 +711,17 @@ def test_graph2_served_matches_pinned(spark, sf_dir, tmp_path):
 
 def test_graph2_served_survives_in_place_rebuild(spark, sf_dir, tmp_path):
     """An index REBUILT in place at the same path must never be served
-    from a stale worker cache: the cache key carries the segment
-    directory's mtime, so after an overwrite the old decoded arrays
-    can only age out, never answer. Probe A fills the caches; the
-    rebuild swaps in a different graph (half the base); probe B must
-    match the fresh pinned index exactly."""
+    from a stale worker cache: the cache key carries the index's
+    _EPOCH sidecar (rewritten by every materialize — store-agnostic,
+    r14; mtime is only the fallback for pre-epoch indexes), so after
+    an overwrite the old decoded arrays can only age out, never
+    answer. Probe A fills the caches; the rebuild swaps in a different
+    graph (half the base); probe B must match the fresh pinned index
+    exactly."""
+    import os
+
     from cs598vectordb_spark.operators.graph import (
+        _read_epoch,
         build_layered_graph2,
         knn_graph_layered2,
         materialize_layered2,
@@ -727,12 +734,19 @@ def test_graph2_served_survives_in_place_rebuild(spark, sf_dir, tmp_path):
     kw = dict(k=K, nprobe1=2, nprobe2=6, beam=32)
 
     a = materialize_layered2(build_layered_graph2(emb, 4, 4, degree=16), path)
+    epoch_a = _read_epoch(os.path.join(path, "segments"))
+    assert epoch_a, "materialize must stamp the _EPOCH sidecar"
     served_a = open_layered2(spark, path, served=True)
     r_a = knn_graph_layered2(served_a, q, **kw).orderBy("q_id", "rank").collect()
     a.segments.unpersist()
 
     emb2 = emb.filter(F.col("vec_id") % 2 == 0)
     b = materialize_layered2(build_layered_graph2(emb2, 4, 4, degree=16), path)
+    epoch_b = _read_epoch(os.path.join(path, "segments"))
+    assert epoch_b and epoch_b != epoch_a, (
+        "in-place rebuild must rewrite the epoch stamp — it is the "
+        "served cache's staleness key"
+    )
     served_b = open_layered2(spark, path, served=True)
     got = knn_graph_layered2(served_b, q, **kw).orderBy("q_id", "rank").collect()
     want = knn_graph_layered2(b, q, **kw).orderBy("q_id", "rank").collect()
@@ -740,6 +754,44 @@ def test_graph2_served_survives_in_place_rebuild(spark, sf_dir, tmp_path):
     assert got != r_a, "rebuild on half the base must change results"
     assert all(r.vec_id % 2 == 0 for r in got), "stale odd-id rows served"
     b.segments.unpersist()
+
+
+def test_served_skips_missing_segment_dir(spark, sf_dir, tmp_path):
+    """A probed segment with NO partition directory must be skipped,
+    not crash the probe job (ADVICE r13 medium): open_layered's probed
+    keys come from ALL k-means centroids and an empty cluster writes no
+    directory — the Arrow path silently yields nothing for it, and the
+    served path must match that semantics. Simulated by deleting one
+    partition dir that every probe touches, then asserting the served
+    probe equals the pinned probe over the same surviving segments."""
+    import shutil
+
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph,
+        knn_graph_layered,
+        materialize_layered,
+        open_layered,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 5)
+    path = str(tmp_path / "gmiss")
+    idx = build_layered_graph(emb, nlist=4, degree=16)
+    pinned = materialize_layered(idx, path)
+    pinned.segments.unpersist()
+    idx.segments.unpersist()
+    shutil.rmtree(os.path.join(path, "segments", "centroid_id=1"))
+
+    served = open_layered(spark, path, served=True)
+    fresh = open_layered(spark, path)  # re-reads the mutilated parquet
+    kw = dict(k=K, nprobe=4, beam=24, rounds=3)  # nprobe=nlist: 1 is probed
+    got = knn_graph_layered(served, q, **kw).orderBy("q_id", "rank").collect()
+    want = knn_graph_layered(fresh, q, **kw).orderBy("q_id", "rank").collect()
+    assert got == want and len(got) > 0, (
+        "served probe over a missing segment dir must match the Arrow "
+        "path's empty-segment semantics"
+    )
+    fresh.segments.unpersist()
 
 
 def test_graph_sq8_served_matches_pinned(spark, sf_dir, tmp_path):
@@ -795,3 +847,36 @@ def test_graph2_filtered_ann(spark, sf_dir):
     rec = recall_at_k(got, truth, K).collect()[0][0]
     assert rec >= 0.5, rec
     got.unpersist()
+
+
+def test_default_grid2_scales_with_n(spark, sf_dir):
+    """The layered2 coarse-layer sizing rule (VERDICT r13 item 4): the
+    default segment count scales LINEARLY with n (side as its sqrt) so
+    per-segment rows stay ~1k at any scale — pinned at the two measured
+    design points (1M → 32×32, the proven crossover grid; 4M → 64×64,
+    the prescribed fix for the measured ~0.92 recall ceiling) and
+    monotone across five decades. A None grid wires the rule into the
+    builder."""
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph2,
+        default_grid2,
+    )
+
+    assert default_grid2(1_000_000) == (32, 32)
+    assert default_grid2(4_000_000) == (64, 64)
+    assert default_grid2(500) == (2, 2)  # fixture floor
+    sides = [
+        default_grid2(n)[0]
+        for n in (10_000, 100_000, 1_000_000, 10_000_000, 100_000_000)
+    ]
+    assert sides == sorted(sides) and sides[-1] > sides[0]
+    # segment size stays ~target across scales (within the even-side
+    # rounding): n / side² within [0.5, 1.5]× of 1024 once n >> target
+    for n in (1_000_000, 10_000_000, 100_000_000):
+        side = default_grid2(n)[0]
+        assert 0.5 * 1024 <= n / side**2 <= 1.5 * 1024, (n, side)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_layered_graph2(emb, nlist1=None, nlist2=None, degree=8)
+    assert (idx.nlist1, idx.nlist2) == default_grid2(emb.count())
+    idx.segments.unpersist()

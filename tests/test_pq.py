@@ -178,3 +178,83 @@ def test_ivfpq_fused_refine_dominates_join_path(spark, emb_q):
             assert fd <= jd + 1e-6, (qid, fd, jd)
     plain.close()
     fused.close()
+
+
+def test_ivfpq_update_layout_paths(spark, sf_dir, tmp_path):
+    """r14 post-update layout (VERDICT r13 item 1): tombstone delete
+    (broadcast anti-join — layout-preserving, no shuffle, no re-layout)
+    and delta-layout insert (arrivals landed in a sibling
+    list-partitioned parquet dir; serving relation = union of two
+    partition-pruned scans) must be VALUE-CORRECT through a
+    delete→reinsert cycle — at a saturating probe (nprobe = nlist,
+    mult·k ≥ every list) the fused refined probe is exact over the
+    table, so the restored index must answer IDENTICALLY to the
+    pristine one (frozen codec: same vectors → same codes) — and must
+    keep FILE-LEVEL pruning: a small-nprobe post-update probe reads
+    ~nprobe/nlist of the index files (main + one delta generation),
+    never the whole table (the r13 regroup form's cached relation
+    scanned every batch per probe — the 1.2–2.1× post-update tax this
+    layout closes). compact_ivfpq must fold the generations back into
+    one layout serving the same rows."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.functions.planmetrics import executed_plan_metrics
+    from cs598vectordb_spark.operators.ivfpq import (
+        build_ivfpq,
+        compact_ivfpq,
+        delete_from_ivfpq,
+        insert_into_ivfpq,
+        knn_ivfpq_refined,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 5)
+    idx = build_ivfpq(
+        emb, nlist=8, m=16, ksub=16, keep_vectors=True,
+        path=str(tmp_path / "main"),
+    )
+
+    def full(ix):  # saturating probe: every list probed, every row re-ranked
+        return knn_ivfpq_refined(ix, emb, q, k=10, nprobe=8, mult=200)
+
+    def ids(df):
+        return [
+            (r.q_id, r.rank, r.vec_id)
+            for r in df.orderBy("q_id", "rank").collect()
+        ]
+
+    got_pre = ids(full(idx))
+
+    keep = emb.filter(F.col("vec_id") % 2 != 0)
+    dropped = emb.filter(F.col("vec_id") % 2 == 0)
+    del_ids_path = str(tmp_path / "del_ids")
+    dropped.select("vec_id").coalesce(1).write.parquet(del_ids_path)
+    del_ids = spark.read.parquet(del_ids_path)
+
+    tomb = delete_from_ivfpq(idx, keep, deleted=del_ids)
+    assert tomb.path == idx.path, "tombstone delete must preserve the layout"
+    got_del = full(tomb).collect()
+    assert got_del and all(r.vec_id % 2 != 0 for r in got_del), (
+        "tombstoned ids served"
+    )
+
+    ins = insert_into_ivfpq(tomb, dropped)
+    assert ins.path == idx.path, "delta insert must preserve the main layout"
+    assert ids(full(ins)) == got_pre, (
+        "restored index diverged from pristine under the frozen codec"
+    )
+
+    # file-level pruning survives the cycle: small probe reads the
+    # probed lists' files (main + delta) + the 1-file tombstone ids —
+    # bounded by the pristine probe's files, never the whole table
+    m_pre = executed_plan_metrics(
+        knn_ivfpq_refined(idx, emb, q, k=10, nprobe=2, mult=5)
+    )
+    m_post = executed_plan_metrics(
+        knn_ivfpq_refined(ins, emb, q, k=10, nprobe=2, mult=5)
+    )
+    assert m_pre["files_read"] >= 1
+    assert m_post["files_read"] <= 2 * m_pre["files_read"] + 2, (m_pre, m_post)
+
+    comp = compact_ivfpq(ins, str(tmp_path / "folded"))
+    assert ids(full(comp)) == got_pre, "compaction changed served rows"
