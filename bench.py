@@ -13,6 +13,7 @@ queries/sec for the batch, dynamic_script_faiss.py:37).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -1172,24 +1173,54 @@ def main() -> int:
     # the SURVIVING base (the reference recomputes ground truth the
     # same way), "post" against the original truth (reinsert restores
     # the exact id set; the codec stays frozen end to end).
+    #
+    # r14: the update ops are now LAYOUT-PRESERVING (VERDICT r13 item
+    # 1) — delete is a broadcast tombstone anti-join over the pristine
+    # list-partitioned parquet (ids materialized once to a small
+    # sidecar so the per-probe broadcast build reads 250k longs, not
+    # a 1M-row filter), insert lands encoded arrivals in a sibling
+    # list-partitioned delta directory and serves the union of two
+    # partition-pruned scans. The r13 regroup form left the updated
+    # table a cached hash-partitioned relation that scanned every
+    # batch per probe: post measured 1.2–2.1× the pristine wall; the
+    # done-bar here is post within ~10% of pre at equal recall
+    # (reference bar: hnswlib post ≈ pre, 5,745 vs 5,718).
+    import shutil as _shutil
+
     keep_1m = lb1m.filter(F.pmod(F.col("vec_id"), F.lit(4)) != 0)
     deleted_1m = lb1m.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
-    idx_del = delete_from_ivfpq(lb1m_idx, keep_1m)
+    # clear delta generations orphaned by earlier runs against the
+    # same cached index (each run writes a fresh generation)
+    _cpath = lb1m_idx.path
+    for _d in sorted(glob.glob(f"{_cpath}__delta*")):
+        _shutil.rmtree(_d, ignore_errors=True)
+    del_ids_path = os.path.join(lb1m_root, "deleted_ids")
+    deleted_1m.select("vec_id").repartition(4).write.mode("overwrite").parquet(
+        del_ids_path
+    )
+    t0 = time.time()
+    idx_del = delete_from_ivfpq(
+        lb1m_idx, keep_1m, deleted=spark.read.parquet(del_ids_path)
+    )
+    del_maint_s = time.time() - t0  # lazy tombstone: ~0 by design
     truth_del = knn_exact(keep_1m, lbq1m, 10).persist()
     truth_del.count()
     _fused1m(idx=idx_del).count()  # warm
     del_sec = _med3(lambda: _fused1m(idx=idx_del).count())
     del_rec = recall_at_k(_fused1m(idx=idx_del), truth_del, 10).collect()[0]["recall"]
-    truth_del.unpersist()
-    idx_ins = insert_into_ivfpq(idx_del, deleted_1m)  # persists internally
+    t0 = time.time()
+    idx_ins = insert_into_ivfpq(idx_del, deleted_1m)  # writes the delta layout
+    ins_maint_s = time.time() - t0
     _fused1m(idx=idx_ins).count()  # warm
     ins_sec = _med3(lambda: _fused1m(idx=idx_ins).count())
     ins_rec = recall_at_k(_fused1m(idx=idx_ins), ex1m, 10).collect()[0]["recall"]
-    idx_ins.codes.unpersist()
-    idx_del.codes.unpersist()
     dynamic_1m = {
         "backend": "ivfpq_refined_fused", "nprobe": 8, "mult": 10,
         "delete_pct": 25,
+        "layout": "tombstone+delta (file-pruned)",
+        "maintenance_seconds": {
+            "delete": round(del_maint_s, 3), "insert": round(ins_maint_s, 3),
+        },
         "pre": {k: probes_1m["ivfpq_refined_fused"][k]
                 for k in ("seconds", "qps", "recall_vs_exact")},
         "during": {"seconds": round(del_sec, 3),
@@ -1199,6 +1230,122 @@ def main() -> int:
                  "qps": round(1000 / ins_sec, 1),
                  "recall_vs_exact": ins_rec},
     }
+
+    # dynamic protocol on the HEADLINE index (graph2_served — VERDICT
+    # r13 item 2): the reference runs its signature delete→reinsert
+    # cycle on its BEST backend (dynamic_script_faiss.py:75-117); ours
+    # now wins at high recall, so its update story must be measured at
+    # the same scale. COW discipline: maintenance runs on the pinned
+    # in-memory index, each settled snapshot MATERIALIZES to the
+    # dynamic path and is served worker-side from disk — the post
+    # phase overwrites that path IN PLACE, exercising the _EPOCH cache
+    # invalidation at 1M (fixture-scale pin:
+    # test_graph2_served_survives_in_place_rebuild). post_matches_
+    # pinned records row-equality of the post-rebuild served probe vs
+    # the freshly pinned index — the staleness check as data.
+    from cs598vectordb_spark.operators.graph import (
+        delete_from_layered2,
+        insert_into_layered2,
+    )
+
+    g2dyn_path = os.path.join(lb1m_root, "graph2_dyn")
+    t0 = time.time()
+    g2_del = delete_from_layered2(lb1m_g2, keep_1m)
+    materialize_layered2(g2_del, g2dyn_path, pinned=False)
+    g2_del_maint_s = time.time() - t0
+    srv_del = open_layered2(spark, g2dyn_path, served=True)
+    _g2probe(srv_del).count()  # warm (workers fill caches for this epoch)
+    g2_del_sec = _med3(lambda: _g2probe(srv_del).count())
+    g2_del_rec = recall_at_k(_g2probe(srv_del), truth_del, 10).collect()[0][
+        "recall"
+    ]
+    truth_del.unpersist()
+    t0 = time.time()
+    g2_ins = insert_into_layered2(g2_del, deleted_1m)
+    materialize_layered2(g2_ins, g2dyn_path, pinned=False)  # in-place overwrite
+    g2_ins_maint_s = time.time() - t0
+    g2_del.segments.unpersist()
+    srv_post = open_layered2(spark, g2dyn_path, served=True)
+    _g2probe(srv_post).count()  # warm
+    g2_post_sec = _med3(lambda: _g2probe(srv_post).count())
+    g2_post_rec = recall_at_k(_g2probe(srv_post), ex1m, 10).collect()[0][
+        "recall"
+    ]
+    # the post-rebuild served probe must match the fresh pinned index
+    # row for row — a stale worker cache would diverge here
+    pinned_post = open_layered2(spark, g2dyn_path, pinned=True)
+    srv_rows = sorted(
+        (r.q_id, r.rank, r.vec_id) for r in _g2probe(srv_post).collect()
+    )
+    pin_rows = sorted(
+        (r.q_id, r.rank, r.vec_id) for r in _g2probe(pinned_post).collect()
+    )
+    pinned_post.segments.unpersist()
+    g2_ins.segments.unpersist()
+    dynamic_graph2_1m = {
+        "backend": "graph2_served", "nprobe1": 6, "nprobe2": 10, "beam": 32,
+        "delete_pct": 25,
+        "maintenance_seconds": {
+            "delete_and_materialize": round(g2_del_maint_s, 1),
+            "insert_repair_and_materialize": round(g2_ins_maint_s, 1),
+        },
+        "pre": {k: probes_1m["graph2_served"][k]
+                for k in ("seconds", "qps", "recall_vs_exact")},
+        "during": {"seconds": round(g2_del_sec, 3),
+                   "qps": round(1000 / g2_del_sec, 1),
+                   "recall_vs_exact": g2_del_rec},
+        "post": {"seconds": round(g2_post_sec, 3),
+                 "qps": round(1000 / g2_post_sec, 1),
+                 "recall_vs_exact": g2_post_rec},
+        "post_matches_pinned": bool(srv_rows == pin_rows),
+    }
+
+    # multi-tenant scaling at 1M on the served index (VERDICT r13 item
+    # 5): the reference's second experiment (multi_tenant_script.py:
+    # 121-180) — N ∈ {10..50} concurrent clients, each probing a
+    # 200-query batch against ONE shared worker-served index, sum-QPS
+    # as the throughput curve (reference analog: plots/
+    # scaling_behavior.pdf). This is the regime serving mode exists
+    # for: tenants share warmed worker segment caches, so added
+    # clients cost walk compute, not payload transfer. Recall is a
+    # shared-index property (same queries, same config) — computed
+    # once, not per client, so the timed region is probes only.
+    from concurrent.futures import ThreadPoolExecutor as _MTPool
+
+    q_mt = lb1m.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    truth_mt = knn_exact(lb1m, q_mt, 10).persist()
+    truth_mt.count()
+
+    def _mt_probe():
+        return knn_graph_layered2(
+            lb1m_g2s, q_mt, 10, nprobe1=6, nprobe2=10, beam=32,
+            rounds=4, n_entry=12,
+        )
+
+    _mt_probe().count()  # warm the shared caches once
+    mt_recall = recall_at_k(_mt_probe(), truth_mt, 10).collect()[0]["recall"]
+    truth_mt.unpersist()
+
+    def _mt_client(i: int) -> float:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"mt{i}")
+        try:
+            t0 = time.time()
+            _mt_probe().count()
+            return max(time.time() - t0, 1e-9)
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    multi_tenant_1m = {"n_queries_per_client": 200, "recall_vs_exact": mt_recall}
+    for n_clients in (10, 20, 30, 40, 50):
+        with _MTPool(max_workers=n_clients) as pool:
+            walls = list(pool.map(_mt_client, range(n_clients)))
+        multi_tenant_1m[str(n_clients)] = {
+            "sum_qps": round(sum(200.0 / w for w in walls), 1),
+            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
+            "wall_s": round(max(walls), 3),
+        }
 
     ex1m.unpersist()
     exact_qps_1m = round(1000 / ex1m_sec, 1)
@@ -1212,6 +1359,8 @@ def main() -> int:
         "frontier": frontier,
         "frontier_best": frontier_best,
         "dynamic": dynamic_1m,
+        "dynamic_graph2": dynamic_graph2_1m,
+        "multi_tenant": multi_tenant_1m,
         # the lead-task verdict, computed from THIS run's numbers
         "crossover_families": sorted(
             n for n, p in probes_1m.items()
@@ -1284,6 +1433,14 @@ def main() -> int:
                 "hi_recall_crossover": large_base_1m[
                     "crossover_families_hi_recall"
                 ],
+                # the r14 done-bars, inline: post/pre wall ratio of the
+                # layout-preserving IVF-PQ update cycle (bar ≈1.1), and
+                # the graph2_served post-update QPS
+                "ivfpq_dyn_post_over_pre": round(
+                    dynamic_1m["post"]["seconds"]
+                    / max(dynamic_1m["pre"]["seconds"], 1e-9), 2
+                ),
+                "graph2_dyn_post_qps": dynamic_graph2_1m["post"]["qps"],
             },
             "graph2_autotune_best": g2_best,
             "cold_pass_seconds": round(sum(cold.values()), 3),
