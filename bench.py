@@ -1214,12 +1214,31 @@ def main() -> int:
     _fused1m(idx=idx_ins).count()  # warm
     ins_sec = _med3(lambda: _fused1m(idx=idx_ins).count())
     ins_rec = recall_at_k(_fused1m(idx=idx_ins), ex1m, 10).collect()[0]["recall"]
+    # the LSM tail: compaction folds main+delta back to one file per
+    # list — the post-compaction probe is the "post ≈ pre" statement at
+    # IDENTICAL layout and fragment count (the delta-serving post row
+    # above carries one extra fragment per list, so its ADC cut is
+    # wider: more exact re-rank work bought as HIGHER recall — compare
+    # recall columns, not walls alone)
+    from cs598vectordb_spark.operators.ivfpq import compact_ivfpq
+
+    t0 = time.time()
+    idx_comp = compact_ivfpq(
+        idx_ins, os.path.join(lb1m_root, "ivfpq_compacted")
+    )
+    comp_maint_s = time.time() - t0
+    _fused1m(idx=idx_comp).count()  # warm
+    comp_sec = _med3(lambda: _fused1m(idx=idx_comp).count())
+    comp_rec = recall_at_k(_fused1m(idx=idx_comp), ex1m, 10).collect()[0][
+        "recall"
+    ]
     dynamic_1m = {
         "backend": "ivfpq_refined_fused", "nprobe": 8, "mult": 10,
         "delete_pct": 25,
         "layout": "tombstone+delta (file-pruned)",
         "maintenance_seconds": {
             "delete": round(del_maint_s, 3), "insert": round(ins_maint_s, 3),
+            "compact": round(comp_maint_s, 1),
         },
         "pre": {k: probes_1m["ivfpq_refined_fused"][k]
                 for k in ("seconds", "qps", "recall_vs_exact")},
@@ -1229,6 +1248,9 @@ def main() -> int:
         "post": {"seconds": round(ins_sec, 3),
                  "qps": round(1000 / ins_sec, 1),
                  "recall_vs_exact": ins_rec},
+        "post_compacted": {"seconds": round(comp_sec, 3),
+                           "qps": round(1000 / comp_sec, 1),
+                           "recall_vs_exact": comp_rec},
     }
 
     # dynamic protocol on the HEADLINE index (graph2_served — VERDICT
@@ -1338,7 +1360,7 @@ def main() -> int:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
     multi_tenant_1m = {"n_queries_per_client": 200, "recall_vs_exact": mt_recall}
-    for n_clients in (10, 20, 30, 40, 50):
+    for n_clients in (1, 10, 20, 30, 40, 50):  # 1 = the per-client baseline
         with _MTPool(max_workers=n_clients) as pool:
             walls = list(pool.map(_mt_client, range(n_clients)))
         multi_tenant_1m[str(n_clients)] = {
@@ -1433,11 +1455,17 @@ def main() -> int:
                 "hi_recall_crossover": large_base_1m[
                     "crossover_families_hi_recall"
                 ],
-                # the r14 done-bars, inline: post/pre wall ratio of the
-                # layout-preserving IVF-PQ update cycle (bar ≈1.1), and
-                # the graph2_served post-update QPS
+                # the r14 done-bars, inline: post/pre wall ratios of the
+                # layout-preserving IVF-PQ update cycle — delta-serving
+                # form (one extra fragment per list: wider cut, higher
+                # recall) and the compacted form at identical layout
+                # (bar ≈1.1) — and the graph2_served post-update QPS
                 "ivfpq_dyn_post_over_pre": round(
                     dynamic_1m["post"]["seconds"]
+                    / max(dynamic_1m["pre"]["seconds"], 1e-9), 2
+                ),
+                "ivfpq_dyn_compacted_over_pre": round(
+                    dynamic_1m["post_compacted"]["seconds"]
                     / max(dynamic_1m["pre"]["seconds"], 1e-9), 2
                 ),
                 "graph2_dyn_post_qps": dynamic_graph2_1m["post"]["qps"],
