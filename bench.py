@@ -1369,6 +1369,38 @@ def main() -> int:
             "wall_s": round(max(walls), 3),
         }
 
+    # DYNAMIC BATCHING (r14, operators/serving.py): the same tenant
+    # load with co-arriving query frames merged into one probe and
+    # split back — the model-serving remedy for the fixed-cost
+    # saturation the unbatched sweep above measures. n_probe_calls
+    # records how many merged probes actually served the herd.
+    from cs598vectordb_spark.operators.serving import (
+        DynamicBatcher,
+        layered2_probe_fn,
+    )
+
+    probe_b = layered2_probe_fn(
+        spark, lb1m_g2s, k=10, nprobe1=6, nprobe2=10, beam=32,
+        rounds=4, n_entry=12,
+    )
+    qpdf_mt = q_mt.toPandas()
+    for n_clients in (10, 50):
+        batcher = DynamicBatcher(probe_b, max_wait_ms=50.0)
+
+        def _bt_client(i: int) -> float:
+            t0 = time.time()
+            batcher.submit(qpdf_mt)
+            return max(time.time() - t0, 1e-9)
+
+        with _MTPool(max_workers=n_clients) as pool:
+            walls = list(pool.map(_bt_client, range(n_clients)))
+        multi_tenant_1m[f"batched_{n_clients}"] = {
+            "sum_qps": round(sum(200.0 / w for w in walls), 1),
+            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
+            "wall_s": round(max(walls), 3),
+            "n_probe_calls": batcher.n_probe_calls,
+        }
+
     ex1m.unpersist()
     exact_qps_1m = round(1000 / ex1m_sec, 1)
     large_base_1m = {

@@ -544,6 +544,28 @@ def q_multi_tenant_graph_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tenant_summary(m)
 
 
+@register("multi_tenant_batched")
+def q_multi_tenant_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 with DYNAMIC BATCHING (r14): concurrent tenants' query frames
+    that co-arrive within a short window merge into ONE probe of the
+    shared layered2 index and the results are split back per tenant —
+    the model-serving remedy for the measured 1M saturation (per-probe
+    fixed driver work flattens sum-QPS at ~250 while a single big
+    batch serves 536; see operators/serving.py). Summary row carries
+    n_submits vs n_probe_calls (the merge evidence) next to sum_qps /
+    latency / recall. Rows-only (wall-clock by nature); per-tenant
+    result rows pinned EQUAL to solo probes and merge accounting
+    pinned in tests/test_serving.py."""
+    from cs598vectordb_spark.operators.serving import multi_tenant_batched
+
+    emb, _ = _setup(spark, sf_dir)
+    return multi_tenant_batched(
+        spark, emb, layered_graph2_for(spark, sf_dir),
+        n_clients=8, n_queries=50,
+        probe_kwargs=dict(nprobe1=2, nprobe2=6, beam=24),
+    )
+
+
 @register("pq_reconstruction")
 def q_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ quality dashboard: mean squared reconstruction error + achieved
