@@ -83,34 +83,67 @@ if os.path.exists(comp_path):
 else:
     idx_comp = compact_ivfpq(idx_ins, comp_path)
 
+def _ipq(ix):
+    return lambda: knn_ivfpq_refined(
+        ix, lb1m, lbq, k=10, nprobe=8, mult=10
+    ).count()
+
+
 STATES = {
-    "pre": idx,
-    "during_tombstone": idx_del,
-    "post_delta": idx_ins,
-    "post_compacted": idx_comp,
+    "pre": _ipq(idx),
+    "during_tombstone": _ipq(idx_del),
+    "post_delta": _ipq(idx_ins),
+    "post_compacted": _ipq(idx_comp),
 }
 
+# the HEADLINE index's own pre/post question, same interleave: the
+# pristine served graph vs whatever settled state bench's dynamic_graph2
+# block left at graph2_dyn (post-insert rebuild after a bench run) —
+# sequential bench rows read post anywhere from 0.78× to 1.17× of pre
+# across r14 runs, which is exactly the drift class this tool exists for
+from cs598vectordb_spark.operators.graph import (  # noqa: E402
+    knn_graph_layered2,
+    open_layered2,
+)
 
-def probe(ix):
-    return knn_ivfpq_refined(ix, lb1m, lbq, k=10, nprobe=8, mult=10)
+g2_pre_path = os.path.join(lb1m_root, "graph2")
+g2_dyn_path = os.path.join(lb1m_root, "graph2_dyn")
+if os.path.exists(os.path.join(g2_pre_path, "l1")) and os.path.exists(
+    os.path.join(g2_dyn_path, "l1")
+):
+    g2_pre = open_layered2(spark, g2_pre_path, served=True)
+    g2_post = open_layered2(spark, g2_dyn_path, served=True)
 
+    def _g2(ix):
+        return lambda: knn_graph_layered2(
+            ix, lbq, 10, nprobe1=6, nprobe2=10, beam=32, rounds=4, n_entry=12
+        ).count()
 
-for name, ix in STATES.items():  # one warm pass each before any timing
-    probe(ix).count()
+    STATES["g2_pre_served"] = _g2(g2_pre)
+    STATES["g2_post_served"] = _g2(g2_post)
+
+for name, thunk in STATES.items():  # one warm pass each before any timing
+    thunk()
 
 samples: dict[str, list[float]] = {n: [] for n in STATES}
 for r in range(ROUNDS):
-    for name, ix in STATES.items():
+    for name, thunk in STATES.items():
         t0 = time.time()
-        probe(ix).count()
+        thunk()
         samples[name].append(round(max(time.time() - t0, 1e-9), 3))
 
 out["samples"] = samples
 out["median_s"] = {n: round(statistics.median(v), 3) for n, v in samples.items()}
 pre = out["median_s"]["pre"]
 out["ratio_over_pre"] = {
-    n: round(v / pre, 3) for n, v in out["median_s"].items()
+    n: round(v / pre, 3)
+    for n, v in out["median_s"].items()
+    if not n.startswith("g2_")
 }
+if "g2_pre_served" in out["median_s"]:
+    out["g2_post_over_pre"] = round(
+        out["median_s"]["g2_post_served"] / out["median_s"]["g2_pre_served"], 3
+    )
 out["load_end"] = [round(x, 2) for x in os.getloadavg()]
 with open("/tmp/dyn_ab.json", "w") as fh:
     json.dump(out, fh, indent=1)
