@@ -57,6 +57,13 @@ class DynamicBatcher:
         index probe; see tests/test_serving.py and bench.py for the
         layered2 wrapping (collect the probe's output of a frame built
         from the merged pandas batch).
+
+    CONTRACT: probe_fn must treat q_id as an OPAQUE label — echo it on
+    output rows, never derive result values from it — because the
+    batcher remaps q_ids into slot ranges before the call and unmaps
+    them after. Every real probe satisfies this (q_id only labels the
+    query vector); the property test pins the contract with a
+    payload-derived fake.
     """
 
     def __init__(

@@ -411,3 +411,64 @@ def test_repetition_scores_match_counter_reference(sents):
         assert abs(got[f"top_{ng}gram_char_frac"] - ref_top(ng)) <= 5.1e-5, ng
     for ng in GOPHER_DUP_NGRAM_THRESHOLDS:
         assert abs(got[f"dup_{ng}gram_char_frac"] - ref_dup(ng)) <= 5.1e-5, ng
+
+
+@given(
+    st.lists(  # per-tenant frame sizes (0-size frames excluded: a
+        st.integers(1, 12),  # tenant always submits at least one query)
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(1, 30),  # max_batch_queries cap
+)
+@settings(max_examples=60, deadline=None)
+def test_dynamic_batcher_partition_property(sizes, cap):
+    """DynamicBatcher is pure slot arithmetic: for ANY set of
+    concurrently-submitted tenant frames and ANY query cap, each
+    tenant gets exactly the rows a solo probe of its frame would
+    produce, no tenant sees another tenant's q_ids, and every submit
+    is answered. The fake probe derives vec_id from the query PAYLOAD
+    (slot-invariant), honoring the documented contract that q_id is an
+    opaque label — the first draft derived it from q_id and this very
+    test falsified it at the first multi-tenant chunk (slot ≥ 1 sees
+    remapped ids): the contract now lives in DynamicBatcher's
+    docstring because hypothesis found it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pandas as pd
+
+    from cs598vectordb_spark.operators.serving import DynamicBatcher
+
+    def fake_probe(qpdf):
+        key = qpdf["embedding"].map(lambda v: int(v[0]))  # payload, not q_id
+        return pd.DataFrame(
+            {
+                "q_id": qpdf["q_id"].astype("int64"),
+                "rank": 1,
+                "vec_id": key.astype("int64") * 3 + 1,
+                "dist": 0.25,
+            }
+        )
+
+    frames = []
+    start = 0
+    for n in sizes:  # disjoint q_id ranges per tenant; payload echoes id
+        frames.append(
+            pd.DataFrame(
+                {
+                    "q_id": range(start, start + n),
+                    "embedding": [[float(start + j)] for j in range(n)],
+                }
+            )
+        )
+        start += n
+
+    b = DynamicBatcher(fake_probe, max_wait_ms=30.0, max_batch_queries=cap)
+    with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+        got = list(pool.map(b.submit, frames))
+
+    assert b.n_submits == len(frames)
+    assert 1 <= b.n_probe_calls <= len(frames)
+    for f, g in zip(frames, got):
+        assert sorted(g["q_id"]) == sorted(f["q_id"])
+        assert list(g["vec_id"]) == [int(q) * 3 + 1 for q in g["q_id"]]

@@ -14,12 +14,15 @@ from cs598vectordb_spark.sources.tables import load_table
 
 
 def _fake_probe(qpdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic per-query result: top-1 = (q_id, 1, q_id*10+7, .5)."""
+    """Deterministic per-query result keyed on the PAYLOAD (q_id is an
+    opaque label under the batcher's remapping contract — see
+    DynamicBatcher's docstring): top-1 = (q_id, 1, emb[0]*10+7, .5)."""
+    key = qpdf["embedding"].map(lambda v: int(v[0]))
     return pd.DataFrame(
         {
             "q_id": qpdf["q_id"].astype("int64"),
             "rank": 1,
-            "vec_id": qpdf["q_id"].astype("int64") * 10 + 7,
+            "vec_id": key.astype("int64") * 10 + 7,
             "dist": 0.5,
         }
     )
@@ -91,7 +94,12 @@ def test_batcher_cap_chunks_whole_frames():
 
     b = DynamicBatcher(_fake_probe, max_wait_ms=200.0, max_batch_queries=8)
     frames = [
-        pd.DataFrame({"q_id": range(s, s + n), "embedding": [[0.0]] * n})
+        pd.DataFrame(
+            {
+                "q_id": range(s, s + n),
+                "embedding": [[float(s + j)] for j in range(n)],
+            }
+        )
         for s, n in ((0, 5), (100, 5), (200, 12))  # 12 > cap: solo chunk
     ]
     with ThreadPoolExecutor(max_workers=3) as pool:
