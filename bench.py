@@ -1205,21 +1205,15 @@ def main() -> int:
     del_maint_s = time.time() - t0  # lazy tombstone: ~0 by design
     truth_del = knn_exact(keep_1m, lbq1m, 10).persist()
     truth_del.count()
-    _fused1m(idx=idx_del).count()  # warm
-    del_sec = _med3(lambda: _fused1m(idx=idx_del).count())
-    del_rec = recall_at_k(_fused1m(idx=idx_del), truth_del, 10).collect()[0]["recall"]
     t0 = time.time()
     idx_ins = insert_into_ivfpq(idx_del, deleted_1m)  # writes the delta layout
     ins_maint_s = time.time() - t0
-    _fused1m(idx=idx_ins).count()  # warm
-    ins_sec = _med3(lambda: _fused1m(idx=idx_ins).count())
-    ins_rec = recall_at_k(_fused1m(idx=idx_ins), ex1m, 10).collect()[0]["recall"]
     # the LSM tail: compaction folds main+delta back to one file per
     # list — the post-compaction probe is the "post ≈ pre" statement at
     # IDENTICAL layout and fragment count (the delta-serving post row
-    # above carries one extra fragment per list, so its ADC cut is
-    # wider: more exact re-rank work bought as HIGHER recall — compare
-    # recall columns, not walls alone)
+    # carries one extra fragment per list, so its ADC cut is wider:
+    # more exact re-rank work bought as HIGHER recall — compare recall
+    # columns, not walls alone)
     from cs598vectordb_spark.operators.ivfpq import compact_ivfpq
 
     t0 = time.time()
@@ -1227,8 +1221,40 @@ def main() -> int:
         idx_ins, os.path.join(lb1m_root, "ivfpq_compacted")
     )
     comp_maint_s = time.time() - t0
-    _fused1m(idx=idx_comp).count()  # warm
-    comp_sec = _med3(lambda: _fused1m(idx=idx_comp).count())
+
+    # INTERLEAVED measurement (r14, the tools/dynamic_ab.py discipline
+    # promoted into the record): the four index states coexist
+    # (parquet-backed tombstone/delta/compacted relations over the same
+    # artifacts), so the probes rotate pre→during→post→compacted per
+    # round and every state's samples share the same host-load
+    # excursions. Sequential per-state med3 blocks minutes apart read
+    # post/pre anywhere from 0.86× to 1.77× across r14 runs on
+    # identical code — drift, not layout; the interleave reads
+    # 0.85–0.99× reproducibly.
+    def _rotate(thunks: dict, rounds: int = 3) -> dict:
+        """Interleaved per-state medians: warm every state, then probe
+        the states back-to-back per round so all samples share the same
+        load excursions."""
+        for t in thunks.values():
+            t()  # warm
+        w: dict[str, list[float]] = {k: [] for k in thunks}
+        for _ in range(rounds):
+            for k, t in thunks.items():
+                t0 = time.time()
+                t()
+                w[k].append(max(time.time() - t0, 1e-9))
+        return {k: median(v) for k, v in w.items()}
+
+    dyn_med = _rotate({
+        "pre": lambda: _fused1m(idx=lb1m_idx).count(),
+        "during": lambda: _fused1m(idx=idx_del).count(),
+        "post": lambda: _fused1m(idx=idx_ins).count(),
+        "post_compacted": lambda: _fused1m(idx=idx_comp).count(),
+    })
+    pre_sec, del_sec = dyn_med["pre"], dyn_med["during"]
+    ins_sec, comp_sec = dyn_med["post"], dyn_med["post_compacted"]
+    del_rec = recall_at_k(_fused1m(idx=idx_del), truth_del, 10).collect()[0]["recall"]
+    ins_rec = recall_at_k(_fused1m(idx=idx_ins), ex1m, 10).collect()[0]["recall"]
     comp_rec = recall_at_k(_fused1m(idx=idx_comp), ex1m, 10).collect()[0][
         "recall"
     ]
@@ -1236,12 +1262,18 @@ def main() -> int:
         "backend": "ivfpq_refined_fused", "nprobe": 8, "mult": 10,
         "delete_pct": 25,
         "layout": "tombstone+delta (file-pruned)",
+        "measurement": "interleaved rotation x3, per-state medians "
+                       "(states probed back-to-back per round so every "
+                       "sample shares the same load excursions)",
         "maintenance_seconds": {
             "delete": round(del_maint_s, 3), "insert": round(ins_maint_s, 3),
             "compact": round(comp_maint_s, 1),
         },
-        "pre": {k: probes_1m["ivfpq_refined_fused"][k]
-                for k in ("seconds", "qps", "recall_vs_exact")},
+        "pre": {"seconds": round(pre_sec, 3),
+                "qps": round(1000 / pre_sec, 1),
+                "recall_vs_exact": probes_1m["ivfpq_refined_fused"][
+                    "recall_vs_exact"
+                ]},
         "during": {"seconds": round(del_sec, 3),
                    "qps": round(1000 / del_sec, 1),
                    "recall_vs_exact": del_rec},
@@ -1276,8 +1308,14 @@ def main() -> int:
     materialize_layered2(g2_del, g2dyn_path, pinned=False)
     g2_del_maint_s = time.time() - t0
     srv_del = open_layered2(spark, g2dyn_path, served=True)
-    _g2probe(srv_del).count()  # warm (workers fill caches for this epoch)
-    g2_del_sec = _med3(lambda: _g2probe(srv_del).count())
+    # pairwise interleave vs the PRISTINE served index (the during and
+    # post phases can't coexist — post overwrites the dynamic path — so
+    # each phase rotates against pre; ratios are within-rotation)
+    rot_del = _rotate({
+        "pre": lambda: _g2probe(lb1m_g2s).count(),
+        "during": lambda: _g2probe(srv_del).count(),
+    })
+    g2_del_sec = rot_del["during"]
     g2_del_rec = recall_at_k(_g2probe(srv_del), truth_del, 10).collect()[0][
         "recall"
     ]
@@ -1288,8 +1326,11 @@ def main() -> int:
     g2_ins_maint_s = time.time() - t0
     g2_del.segments.unpersist()
     srv_post = open_layered2(spark, g2dyn_path, served=True)
-    _g2probe(srv_post).count()  # warm
-    g2_post_sec = _med3(lambda: _g2probe(srv_post).count())
+    rot_post = _rotate({
+        "pre": lambda: _g2probe(lb1m_g2s).count(),
+        "post": lambda: _g2probe(srv_post).count(),
+    })
+    g2_pre_sec, g2_post_sec = rot_post["pre"], rot_post["post"]
     g2_post_rec = recall_at_k(_g2probe(srv_post), ex1m, 10).collect()[0][
         "recall"
     ]
@@ -1307,18 +1348,29 @@ def main() -> int:
     dynamic_graph2_1m = {
         "backend": "graph2_served", "nprobe1": 6, "nprobe2": 10, "beam": 32,
         "delete_pct": 25,
+        "measurement": "pairwise interleaved rotations x3 vs the "
+                       "pristine served index; ratios are within-rotation",
         "maintenance_seconds": {
             "delete_and_materialize": round(g2_del_maint_s, 1),
             "insert_repair_and_materialize": round(g2_ins_maint_s, 1),
         },
-        "pre": {k: probes_1m["graph2_served"][k]
-                for k in ("seconds", "qps", "recall_vs_exact")},
+        "pre": {"seconds": round(g2_pre_sec, 3),
+                "qps": round(1000 / g2_pre_sec, 1),
+                "recall_vs_exact": probes_1m["graph2_served"][
+                    "recall_vs_exact"
+                ]},
         "during": {"seconds": round(g2_del_sec, 3),
                    "qps": round(1000 / g2_del_sec, 1),
-                   "recall_vs_exact": g2_del_rec},
+                   "recall_vs_exact": g2_del_rec,
+                   "over_pre_interleaved": round(
+                       g2_del_sec / max(rot_del["pre"], 1e-9), 3
+                   )},
         "post": {"seconds": round(g2_post_sec, 3),
                  "qps": round(1000 / g2_post_sec, 1),
-                 "recall_vs_exact": g2_post_rec},
+                 "recall_vs_exact": g2_post_rec,
+                 "over_pre_interleaved": round(
+                     g2_post_sec / max(g2_pre_sec, 1e-9), 3
+                 )},
         "post_matches_pinned": bool(srv_rows == pin_rows),
     }
 
