@@ -337,7 +337,13 @@ def _large_base(
                 ).cast("float"),
             ).alias("embedding"),
         )
-        base.repartition(32).write.mode("overwrite").parquet(path)
+        # partitions ∝ rows (~250k rows ≈ 130 MB of float32[128] each):
+        # a fixed 32 puts 640 MB/task at 20M and the exact kernel's
+        # map-side top-k aggregation OOMs — the sizing rule the spec's
+        # maxPartitionBytes guidance states, applied at write time
+        base.repartition(max(32, n // 250_000)).write.mode(
+            "overwrite"
+        ).parquet(path)
         with open(marker, "w") as fh:
             fh.write("ok")
     return path
