@@ -131,49 +131,55 @@ def _bake_builders() -> None:
 # Net: 99 − 1 + 2 = 100 oracled — the hard cap, slack 0: ANY r15+
 # birth requires a same-round retirement (candidates by policy class:
 # scan_ivecs once scan_fvecs' pin has aged in, media_decode_wav vs
-# _bmp near-duplicate evidence, closed-form metrics entries). Head
-# below = 2 births + 48 due = 50 exactly; no auto-fill. r15 outlook:
-# the 50 r13-green entries = 50 due, ZERO spare slots.
+# _bmp near-duplicate evidence, closed-form metrics entries).
+# r15 ROTATION (executed; due set recomputed from CORRECTNESS_r13∪r14
+# per the standing caution: r13 and r14 greens are disjoint 50+50, so
+# the due set is EXACTLY the 50 r13-green entries — the full head,
+# ZERO spare slots): regrade those 50, NO births (the promotion queue
+# is empty and the verdict ordered births only when paired with a
+# same-round retirement; nothing this round needed one). Steady state
+# from here is the 50/50 ping-pong at the 100 cap; any future birth
+# still requires a same-round retirement FROM THE DUE SET (the only
+# retirement that frees a slot in the round it lands).
 _PRIORITY: tuple[str, ...] = (
-    # --- r14 slots 1-2: oracle births (the r13 promotion queue).
-    "bpe_token_stats", "exact_substring_stats",
-    # --- the r12-green set not re-graded in round 13; newest green row
-    # is r12, so the ≤2-rounds invariant makes them due now (48 entries
-    # = 49 due − scan_fvecs, retired this round).
-    "acctbal_deciles", "bucketed_customer_orders", "chunk_documents",
-    "clean_text", "cohort_retention", "curate_corpus",
-    "decimal_revenue", "decontamination", "dedup_exact",
-    "distance_histogram", "embedding_near_dup",
-    "event_value_percentiles", "events_hourly", "hash_split",
-    "knn_cosine", "knn_exact_2k", "knn_ip", "load_dataset",
-    "media_decode_bmp", "media_decode_wav", "media_features",
-    "media_frame_sample", "media_resize_pixels", "media_summary",
-    "merge_upsert", "minhash_lsh_dedup", "mixture_sample",
-    "ngram_profile", "pack_sequences", "pricing_summary",
-    "props_json_extract", "range_click_burst", "range_search",
-    "salted_user_stats", "scan_ivecs", "scan_logs",
-    "semantic_doc_search", "shingle_cardinality_kmv",
-    "simhash_near_dups", "sq8_error", "stream_dedup",
-    "stream_interval_join_full", "stream_knn", "stream_merge_upserts",
-    "stream_near_dedup", "stream_stateful_counts",
-    "stream_static_enrich", "tfidf_keywords",
+    # --- the r13-green set not re-graded in round 14; newest green row
+    # is r13, so the ≤2-rounds invariant makes all 50 due now.
+    "asof_attribution", "brand_top_parts", "customer_number_extract",
+    "customer_order_gaps", "customer_order_stats", "dedup_clusters",
+    "delete_pct", "doc_stats", "dsir_logweights",
+    "events_first5_series", "events_last5_summary", "fingerprints",
+    "funnel_steps", "ingest", "insert_restore", "jaccard_topk",
+    "knn_exact", "knn_exact_pca", "knn_filtered", "knn_post_delete",
+    "lang_detect", "lineitem_rollup", "lm_surprisal",
+    "local_supplier_volume", "media_decode_ppm", "media_dedup",
+    "order_priority_count", "orders_cube",
+    "priority_customers_setops", "quality_scores", "recall_low_dim",
+    "repetition_scores", "revenue_change", "sessionize",
+    "shipping_priority", "source_summary", "sq8_encode",
+    "sql_text_surface", "status_pivot", "stratified_sample",
+    "stream_events_hourly", "stream_ingest_updates",
+    "stream_interval_join", "stream_interval_join_outer",
+    "stream_late_data", "stream_merge_upserts_cow",
+    "stream_quality_gate", "stream_sessionize", "stream_sink_parquet",
+    "upsert_guard",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r13-green entries not re-graded this round (due back in r15, all
-    # 50: dsir_logweights, stream_quality_gate, asof_attribution,
-    # brand_top_parts, customer_number_extract, customer_order_gaps,
-    # customer_order_stats, dedup_clusters, delete_pct, doc_stats,
-    # events_first5_series, events_last5_summary, fingerprints,
-    # funnel_steps, ingest, insert_restore, jaccard_topk, knn_exact,
-    # knn_exact_pca, knn_filtered, knn_post_delete, lang_detect,
-    # lineitem_rollup, local_supplier_volume, media_decode_ppm,
-    # media_dedup, order_priority_count, orders_cube,
-    # priority_customers_setops, quality_scores, recall_low_dim,
-    # repetition_scores, revenue_change, sessionize, shipping_priority,
-    # source_summary, sq8_encode, sql_text_surface, status_pivot,
-    # stratified_sample, stream_events_hourly, stream_ingest_updates,
-    # stream_interval_join, stream_interval_join_outer,
-    # stream_late_data, stream_merge_upserts_cow, stream_sessionize,
-    # stream_sink_parquet, upsert_guard, lm_surprisal)
+    # r14-green entries not re-graded this round (due back in r16, all
+    # 50: bpe_token_stats, exact_substring_stats, acctbal_deciles,
+    # bucketed_customer_orders, chunk_documents, clean_text,
+    # cohort_retention, curate_corpus, decimal_revenue,
+    # decontamination, dedup_exact, distance_histogram,
+    # embedding_near_dup, event_value_percentiles, events_hourly,
+    # hash_split, knn_cosine, knn_exact_2k, knn_ip, load_dataset,
+    # media_decode_bmp, media_decode_wav, media_features,
+    # media_frame_sample, media_resize_pixels, media_summary,
+    # merge_upsert, minhash_lsh_dedup, mixture_sample, ngram_profile,
+    # pack_sequences, pricing_summary, props_json_extract,
+    # range_click_burst, range_search, salted_user_stats, scan_ivecs,
+    # scan_logs, semantic_doc_search, shingle_cardinality_kmv,
+    # simhash_near_dups, sq8_error, stream_dedup,
+    # stream_interval_join_full, stream_knn, stream_merge_upserts,
+    # stream_near_dedup, stream_stateful_counts, stream_static_enrich,
+    # tfidf_keywords)
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
