@@ -13,7 +13,6 @@ queries/sec for the batch, dynamic_script_faiss.py:37).
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
@@ -1191,15 +1190,13 @@ def main() -> int:
     # batch per probe: post measured 1.2–2.1× the pristine wall; the
     # done-bar here is post within ~10% of pre at equal recall
     # (reference bar: hnswlib post ≈ pre, 5,745 vs 5,718).
-    import shutil as _shutil
-
     keep_1m = lb1m.filter(F.pmod(F.col("vec_id"), F.lit(4)) != 0)
     deleted_1m = lb1m.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
     # clear delta generations orphaned by earlier runs against the
     # same cached index (each run writes a fresh generation)
-    _cpath = lb1m_idx.path
-    for _d in sorted(glob.glob(f"{_cpath}__delta*")):
-        _shutil.rmtree(_d, ignore_errors=True)
+    from cs598vectordb_spark.operators.ivfpq import drop_delta_generations
+
+    drop_delta_generations(lb1m_idx.path)
     del_ids_path = os.path.join(lb1m_root, "deleted_ids")
     deleted_1m.select("vec_id").repartition(4).write.mode("overwrite").parquet(
         del_ids_path

@@ -34,6 +34,7 @@ recall floors are pinned in tests (≥0.7 bar, BASELINE.md's Annoy floor).
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -854,13 +855,20 @@ def _read_epoch(seg_dir: str) -> str | None:
 # case re-pays one O(nq·dim) transfer.
 _PROBE_BC_POOL: list = []
 _PROBE_BC_CAP = 16
+# probes run from many concurrent tenant/stream threads (the 50-client
+# sweep, DynamicBatcher leaders); the append/evict pair must be atomic
+# or racing leaders can overshoot the cap (ADVICE r14)
+_PROBE_BC_LOCK = threading.Lock()
 
 
 def _pooled_broadcast(spark, payload):
     bc = spark.sparkContext.broadcast(payload)
-    _PROBE_BC_POOL.append(bc)
-    while len(_PROBE_BC_POOL) > _PROBE_BC_CAP:
-        old = _PROBE_BC_POOL.pop(0)
+    evicted = []
+    with _PROBE_BC_LOCK:
+        _PROBE_BC_POOL.append(bc)
+        while len(_PROBE_BC_POOL) > _PROBE_BC_CAP:
+            evicted.append(_PROBE_BC_POOL.pop(0))
+    for old in evicted:  # unpersist outside the lock — it can block
         try:
             old.unpersist(False)
         except Exception:

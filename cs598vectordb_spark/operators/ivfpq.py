@@ -618,21 +618,70 @@ def insert_into_ivfpq(
     return IvfPqIndex(codes, index.centroids, index.cb, index.nlist, None)
 
 
-def compact_ivfpq(index: IvfPqIndex, path: str) -> IvfPqIndex:
+def delta_generations(path: str) -> list[str]:
+    """Existing `{path}__deltaN` directories in NUMERIC generation
+    order (lexicographic sort puts __delta9 after __delta10 once
+    generations reach double digits — ADVICE r14)."""
+    import glob
+    import re
+
+    out = []
+    for d in glob.glob(f"{path}__delta*"):
+        m = re.fullmatch(re.escape(path) + r"__delta(\d+)", d)
+        if m:
+            out.append((int(m.group(1)), d))
+    return [d for _, d in sorted(out)]
+
+
+def drop_delta_generations(path: str) -> int:
+    """Remove every `{path}__deltaN` directory; returns the count
+    dropped. Call AFTER compaction folded them into a new layout (or
+    before a fresh benchmark run) — any still-lazy relation unioning
+    those scans becomes invalid once they are gone."""
+    import shutil
+
+    gens = delta_generations(path)
+    for d in gens:
+        shutil.rmtree(d, ignore_errors=True)
+    return len(gens)
+
+
+def compact_ivfpq(
+    index: IvfPqIndex, path: str, clean_source_deltas: bool = False
+) -> IvfPqIndex:
     """Fold the serving relation — main layout, delta generations,
     tombstone masks, or a cached regrouped table — back into the
     builder's one-file-per-list materialized layout at `path` and
     reopen from it: the LSM compaction step that bounds per-list
     fragment count across long update histories. `path` must be a NEW
     directory when the index currently reads from parquet (Spark
-    cannot overwrite the input of a still-lazy scan). Cost is one
+    cannot overwrite the input of a still-lazy scan) — enforced below,
+    because self-overwriting a lazy scan's input is the silent-data-
+    loss class Spark does not always catch (ADVICE r14). Cost is one
     list-keyed exchange + full write — O(index), which is why it runs
     every K update cycles, not per update (the delete/insert ops
-    themselves are O(|batch|))."""
+    themselves are O(|batch|)).
+
+    clean_source_deltas=True additionally drops the folded
+    `{index.path}__deltaN` directories after the write commits, so
+    generation numbers and disk usage stop growing across histories;
+    leave False while OTHER index objects over the same path (e.g. an
+    interleaved A/B rotation's delta-state handle) are still live."""
     spark = index.codes.sparkSession
+    if index.path is not None:
+        real = os.path.realpath(path)
+        inputs = [index.path, *delta_generations(index.path)]
+        for d in inputs:
+            if real == os.path.realpath(d):
+                raise ValueError(
+                    f"compact_ivfpq target {path!r} would overwrite the "
+                    f"still-lazy scan input {d!r}; pick a new directory"
+                )
     index.codes.repartition(index.nlist, "centroid_id").write.mode(
         "overwrite"
     ).partitionBy("centroid_id").parquet(path)
+    if clean_source_deltas and index.path is not None:
+        drop_delta_generations(index.path)
     return IvfPqIndex(
         spark.read.parquet(path), index.centroids, index.cb, index.nlist, path
     )

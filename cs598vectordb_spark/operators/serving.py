@@ -82,7 +82,17 @@ class DynamicBatcher:
 
     def submit(self, qpdf: pd.DataFrame) -> pd.DataFrame:
         """Blocking: returns this tenant's (q_id, rank, vec_id, dist)."""
-        assert int(qpdf["q_id"].max()) < _SLOT_STRIDE
+        # ValueError, not assert: a negative q_id floor-divides to slot
+        # -1 in _run_chunk and its rows would silently vanish from every
+        # tenant; an assert also disappears under -O (ADVICE r14)
+        if len(qpdf) and (
+            int(qpdf["q_id"].min()) < 0
+            or int(qpdf["q_id"].max()) >= _SLOT_STRIDE
+        ):
+            raise ValueError(
+                "q_id out of range [0, %d): min=%s max=%s"
+                % (_SLOT_STRIDE, qpdf["q_id"].min(), qpdf["q_id"].max())
+            )
         fut: Future = Future()
         with self._lock:
             self._pending.append((qpdf, fut))

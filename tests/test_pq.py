@@ -258,3 +258,61 @@ def test_ivfpq_update_layout_paths(spark, sf_dir, tmp_path):
 
     comp = compact_ivfpq(ins, str(tmp_path / "folded"))
     assert ids(full(comp)) == got_pre, "compaction changed served rows"
+
+
+def test_delta_generation_hygiene(tmp_path):
+    """delta_generations orders numerically (lexicographic misorders
+    __delta10 before __delta9); compact_ivfpq refuses to overwrite any
+    still-lazy scan input (main layout or a live delta generation);
+    drop_delta_generations removes exactly the generation dirs
+    (ADVICE r14)."""
+    import os
+
+    import pytest
+
+    from cs598vectordb_spark.operators.ivfpq import (
+        delta_generations,
+        drop_delta_generations,
+    )
+
+    main = str(tmp_path / "idx")
+    os.makedirs(main)
+    for n in (0, 2, 9, 10, 11):
+        os.makedirs(f"{main}__delta{n}")
+    os.makedirs(f"{main}__delta_not_a_gen")  # non-numeric: ignored
+    gens = delta_generations(main)
+    assert [g.rsplit("__delta", 1)[1] for g in gens] == [
+        "0", "2", "9", "10", "11"
+    ], gens
+    assert drop_delta_generations(main) == 5
+    assert delta_generations(main) == []
+    assert os.path.isdir(main) and os.path.isdir(f"{main}__delta_not_a_gen")
+
+
+def test_compact_refuses_self_overwrite(spark, sf_dir, tmp_path):
+    import pytest
+
+    from cs598vectordb_spark.operators.ivfpq import (
+        build_ivfpq,
+        compact_ivfpq,
+        insert_into_ivfpq,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivfpq(
+        emb.filter(F.col("vec_id") % 2 != 0), nlist=4, m=8, ksub=16,
+        keep_vectors=True, path=str(tmp_path / "main"),
+    )
+    ins = insert_into_ivfpq(idx, emb.filter(F.col("vec_id") % 2 == 0))
+    with pytest.raises(ValueError, match="still-lazy scan input"):
+        compact_ivfpq(ins, idx.path)
+    with pytest.raises(ValueError, match="still-lazy scan input"):
+        compact_ivfpq(ins, f"{idx.path}__delta0")
+    # a fresh dir works, and clean_source_deltas drops the folded gens
+    comp = compact_ivfpq(ins, str(tmp_path / "folded"),
+                         clean_source_deltas=True)
+    assert comp.codes.count() == emb.count()
+    import glob
+
+    assert glob.glob(f"{idx.path}__delta*") == []

@@ -56,14 +56,22 @@ def test_batched_results_match_solo(spark, sf_dir):
         )
         frames.append((qdf, qdf.toPandas()))
 
+    # co-arrival staged deterministically: a barrier releases all four
+    # tenants into submit() together, and the window is generous, so
+    # the merge-count assertion cannot flake on a loaded host where a
+    # scheduling stall could outlast a tight window (ADVICE r14)
+    import threading
+
+    gate = threading.Barrier(4)
     batcher = DynamicBatcher(
         layered2_probe_fn(
             spark, idx, k=5, nprobe1=2, nprobe2=6, beam=24
         ),
-        max_wait_ms=400.0,
+        max_wait_ms=1500.0,
     )
 
     def tenant(t: int):
+        gate.wait(timeout=30)
         return batcher.submit(frames[t][1])
 
     with ThreadPoolExecutor(max_workers=4) as pool:
@@ -128,3 +136,19 @@ def test_batcher_propagates_probe_failure():
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         assert all(pool.map(tenant, range(3)))
+
+
+def test_submit_rejects_out_of_range_q_ids():
+    """Negative q_ids would floor-divide to slot -1 and silently vanish
+    from every tenant; the batcher must fail loudly instead — and with
+    ValueError, not assert, so -O cannot strip the check (ADVICE r14)."""
+    b = DynamicBatcher(_fake_probe, max_wait_ms=1.0)
+    bad_neg = pd.DataFrame({"q_id": [-1, 2], "embedding": [[0.0], [1.0]]})
+    with pytest.raises(ValueError, match="q_id out of range"):
+        b.submit(bad_neg)
+    bad_big = pd.DataFrame(
+        {"q_id": [1 << 40], "embedding": [[0.0]]}
+    )
+    with pytest.raises(ValueError, match="q_id out of range"):
+        b.submit(bad_big)
+    assert b.n_probe_calls == 0

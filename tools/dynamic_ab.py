@@ -58,10 +58,11 @@ if not os.path.exists(del_ids_path):
     dropped.select("vec_id").repartition(4).write.parquet(del_ids_path)
 idx_del = delete_from_ivfpq(idx, keep, deleted=spark.read.parquet(del_ids_path))
 # reuse the newest delta generation if bench already wrote one this
-# round; otherwise encode+land a fresh one
-import glob as _glob
+# round; otherwise encode+land a fresh one (numeric order — a
+# lexicographic sort misorders __delta10 vs __delta9, ADVICE r14)
+from cs598vectordb_spark.operators.ivfpq import delta_generations
 
-deltas = sorted(_glob.glob(f"{idx.path}__delta*"))
+deltas = delta_generations(idx.path)
 if deltas:
     cols = [c for c in idx.codes.columns]
     codes = idx_del.codes.select(*cols).unionByName(
