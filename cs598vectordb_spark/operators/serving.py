@@ -198,6 +198,75 @@ def layered2_probe_fn(
     return probe
 
 
+def ivfpq_probe_fn(
+    spark,
+    index,
+    base=None,
+    k: int = 10,
+    nprobe: int = 8,
+    mult: int = 5,
+    vec_col: str = "embedding",
+):
+    """A DynamicBatcher probe_fn over an IVF-PQ index (fused refined
+    probe when the layout keeps vectors, shortlist+join otherwise —
+    knn_ivfpq_refined picks): merged pandas batch -> Spark frame ->
+    probe -> collected pandas. Same by-design driver-sized traffic
+    shape as layered2_probe_fn; the batcher is family-agnostic slot
+    arithmetic, so generalizing costs only this wrapper (VERDICT r14
+    item 4 — the reference's multi-tenant experiment spans backends,
+    multi_tenant_script.py:130-136)."""
+    from cs598vectordb_spark.operators.ivfpq import knn_ivfpq_refined
+
+    schema = f"q_id long, {vec_col} array<float>"
+
+    def probe(qpdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            qdf = spark.createDataFrame(qpdf[["q_id", vec_col]], schema=schema)
+        except Exception:  # degraded-Arrow session: exact fallback
+            qdf = spark.createDataFrame(
+                [
+                    (int(q), [float(x) for x in v])
+                    for q, v in zip(qpdf["q_id"], qpdf[vec_col])
+                ],
+                schema,
+            )
+        rows = knn_ivfpq_refined(
+            index, base, qdf, k=k, nprobe=nprobe, mult=mult, vec_col=vec_col
+        ).collect()
+        return pd.DataFrame(
+            {
+                "q_id": [r.q_id for r in rows],
+                "rank": [r.rank for r in rows],
+                "vec_id": [r.vec_id for r in rows],
+                "dist": [r.dist for r in rows],
+            }
+        )
+
+    return probe
+
+
+def probe_fn_for(
+    spark,
+    family: str,
+    index,
+    base=None,
+    k: int = 10,
+    vec_col: str = "embedding",
+    **probe_kwargs,
+):
+    """Probe-fn factory keyed on the index family — the one switch the
+    batching layer needs to span backends."""
+    if family == "graph2":
+        return layered2_probe_fn(
+            spark, index, k=k, vec_col=vec_col, **probe_kwargs
+        )
+    if family == "ivfpq":
+        return ivfpq_probe_fn(
+            spark, index, base, k=k, vec_col=vec_col, **probe_kwargs
+        )
+    raise ValueError(f"unknown index family for batched serving: {family!r}")
+
+
 def multi_tenant_batched(
     spark,
     base,
@@ -209,15 +278,17 @@ def multi_tenant_batched(
     probe_kwargs: dict | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    family: str = "graph2",
 ):
     """W3 with dynamic batching: N concurrent clients submit their
-    query frames through ONE DynamicBatcher over a shared layered2
-    index. Returns a summary DataFrame (one row): clients, submits,
-    probe_calls (the batching evidence: < submits when co-arrivals
-    merged), sum_qps, avg_latency_ms, and recall vs the exact oracle
-    (identical for every tenant by construction — same queries, same
-    index). Rows-only by nature (wall-clock); result-equality with
-    solo probes is the pytest pin (tests/test_serving.py)."""
+    query frames through ONE DynamicBatcher over a shared index of
+    the given `family` (layered2 graph or IVF-PQ). Returns a summary
+    DataFrame (one row): clients, submits, probe_calls (the batching
+    evidence: < submits when co-arrivals merged), sum_qps,
+    avg_latency_ms, and recall vs the exact oracle (identical for
+    every tenant by construction — same queries, same index).
+    Rows-only by nature (wall-clock); result-equality with solo
+    probes is the pytest pin (tests/test_serving.py)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from cs598vectordb_spark.operators.knn import knn_exact
@@ -232,7 +303,9 @@ def multi_tenant_batched(
     )
     qpdf = qdf.toPandas()
     batcher = DynamicBatcher(
-        layered2_probe_fn(spark, index, k=k, vec_col=vec_col, **probe_kwargs),
+        probe_fn_for(
+            spark, family, index, base, k=k, vec_col=vec_col, **probe_kwargs
+        ),
         max_wait_ms=max_wait_ms,
     )
 

@@ -566,6 +566,25 @@ def q_multi_tenant_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multi_tenant_batched_ivfpq")
+def q_multi_tenant_batched_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 dynamic batching over the IVF-PQ FUSED family (r15): the same
+    DynamicBatcher (slot arithmetic is family-agnostic) wrapping the
+    fused refined probe — the reference's multi-tenant experiment spans
+    backends (multi_tenant_script.py:130-136), so the engine's batching
+    remedy must too, not just the graph family. Rows-only (wall-clock);
+    per-tenant result rows pinned EQUAL to solo fused probes in
+    tests/test_serving.py::test_batched_ivfpq_matches_solo."""
+    from cs598vectordb_spark.operators.serving import multi_tenant_batched
+
+    emb, _ = _setup(spark, sf_dir)
+    return multi_tenant_batched(
+        spark, emb, ivfpq_index_for(spark, sf_dir),
+        n_clients=8, n_queries=50, family="ivfpq",
+        probe_kwargs=dict(nprobe=8, mult=5),
+    )
+
+
 @register("pq_reconstruction")
 def q_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ quality dashboard: mean squared reconstruction error + achieved

@@ -258,6 +258,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "multi_tenant_graph": "tests/test_index.py::test_multi_tenant_rows_and_throughput",
     "multi_tenant_graph_sq8": "tests/test_index.py::test_multi_tenant_rows_and_throughput",
     "multi_tenant_batched": "tests/test_serving.py::test_batched_results_match_solo",
+    "multi_tenant_batched_ivfpq": (
+        "tests/test_serving.py::test_batched_ivfpq_matches_solo"
+    ),
     # streaming-serving + streaming sketches
     "stream_knn_graph2": "tests/test_streaming.py::test_stream_knn_graph2_recall",
     "stream_knn_graph2_served": (

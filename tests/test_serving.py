@@ -152,3 +152,59 @@ def test_submit_rejects_out_of_range_q_ids():
     with pytest.raises(ValueError, match="q_id out of range"):
         b.submit(bad_big)
     assert b.n_probe_calls == 0
+
+
+def test_batched_ivfpq_matches_solo(spark, sf_dir):
+    """The family-generalized batcher (r15): 4 concurrent tenants with
+    DISJOINT query frames through one batcher over a real FUSED IVF-PQ
+    index — every tenant's rows equal its solo fused probe bit for bit
+    (the kernel scores per (query, probed list); batch composition
+    cannot change any query's candidates), and co-arrivals merged."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cs598vectordb_spark.operators.ivfpq import (
+        build_ivfpq,
+        knn_ivfpq_refined,
+    )
+    from cs598vectordb_spark.operators.serving import ivfpq_probe_fn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_ivfpq(emb, nlist=8, m=8, ksub=16, keep_vectors=True)
+    kw = dict(k=5, nprobe=4, mult=5)
+
+    frames = []
+    for t in range(4):
+        qdf = (
+            emb.filter(
+                (emb.vec_id >= t * 5) & (emb.vec_id < t * 5 + 5)
+            )
+            .select(emb.vec_id.alias("q_id"), "embedding")
+        )
+        frames.append((qdf, qdf.toPandas()))
+
+    gate = threading.Barrier(4)
+    batcher = DynamicBatcher(
+        ivfpq_probe_fn(spark, idx, emb, **kw), max_wait_ms=1500.0
+    )
+
+    def tenant(t: int):
+        gate.wait(timeout=30)
+        return batcher.submit(frames[t][1])
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        got = list(pool.map(tenant, range(4)))
+
+    for t in range(4):
+        want = sorted(
+            (r.q_id, r.rank, r.vec_id, r.dist)
+            for r in knn_ivfpq_refined(idx, emb, frames[t][0], **kw).collect()
+        )
+        have = sorted(
+            (int(r.q_id), int(r.rank), int(r.vec_id), float(r.dist))
+            for r in got[t].itertuples()
+        )
+        assert have == want, f"tenant {t} diverged from its solo probe"
+    assert batcher.n_submits == 4
+    assert batcher.n_probe_calls < 4, "no merge happened"
+    idx.codes.unpersist()
