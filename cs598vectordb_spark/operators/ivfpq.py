@@ -646,6 +646,39 @@ def drop_delta_generations(path: str) -> int:
     return len(gens)
 
 
+def auto_compact_ivfpq(
+    index: IvfPqIndex, max_generations: int = 4
+) -> tuple[IvfPqIndex, bool]:
+    """LSM compaction POLICY: fold the delta chain back into one layout
+    once it reaches `max_generations` fragments per list, else return
+    the index untouched. Returns (index, compacted).
+
+    An unbounded delta chain is the one way the layout-preserving
+    update story degrades: every probe unions one more file-pruned
+    scan per generation, so probe wall grows ~linearly in generations
+    (measured in the bench endurance block). The threshold form keeps
+    amortized maintenance O(index / max_generations) per cycle —
+    the classic LSM trade. Target directories step through
+    `{root}__compactN` so repeated compactions never overwrite a
+    still-lazy input (compact_ivfpq's guard), and the folded delta
+    dirs are dropped, so generation numbers restart at 0 after every
+    fold. In-memory indexes (path=None) regroup on insert instead of
+    fragmenting and never need this."""
+    if index.path is None:
+        return index, False
+    gens = delta_generations(index.path)
+    if len(gens) < max_generations:
+        return index, False
+    root = index.path.split("__compact")[0]
+    n = 0
+    while os.path.exists(f"{root}__compact{n}"):
+        n += 1
+    return (
+        compact_ivfpq(index, f"{root}__compact{n}", clean_source_deltas=True),
+        True,
+    )
+
+
 def compact_ivfpq(
     index: IvfPqIndex, path: str, clean_source_deltas: bool = False
 ) -> IvfPqIndex:

@@ -316,3 +316,60 @@ def test_compact_refuses_self_overwrite(spark, sf_dir, tmp_path):
     import glob
 
     assert glob.glob(f"{idx.path}__delta*") == []
+
+
+def test_auto_compact_policy_triggers_and_preserves_values(
+    spark, sf_dir, tmp_path
+):
+    """The LSM policy (r15): auto_compact_ivfpq stays hands-off below
+    max_generations, folds EXACTLY at the threshold into a fresh
+    __compactN layout (never overwriting a lazy input), resets the
+    generation count to zero, and the folded index answers a
+    saturating probe IDENTICALLY to the fragmented one."""
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.ivfpq import (
+        auto_compact_ivfpq,
+        build_ivfpq,
+        delta_generations,
+        insert_into_ivfpq,
+        knn_ivfpq_refined,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 5)
+    idx = build_ivfpq(
+        emb.filter(F.col("vec_id") % 5 == 0), nlist=4, m=8, ksub=16,
+        keep_vectors=True, path=str(tmp_path / "main"),
+    )
+
+    def ids(ix):  # saturating probe: every list, every candidate
+        return [
+            (r.q_id, r.rank, r.vec_id)
+            for r in knn_ivfpq_refined(ix, emb, q, k=10, nprobe=4, mult=200)
+            .orderBy("q_id", "rank")
+            .collect()
+        ]
+
+    for r in (1, 2):  # below threshold: policy must not touch anything
+        idx = insert_into_ivfpq(idx, emb.filter(F.col("vec_id") % 5 == r))
+        idx, fired = auto_compact_ivfpq(idx, max_generations=3)
+        assert not fired and len(delta_generations(idx.path)) == r
+
+    idx = insert_into_ivfpq(idx, emb.filter(F.col("vec_id") % 5 == 3))
+    assert len(delta_generations(idx.path)) == 3
+    pre = ids(idx)
+    idx, fired = auto_compact_ivfpq(idx, max_generations=3)
+    assert fired
+    assert idx.path.endswith("__compact0")
+    assert delta_generations(str(tmp_path / "main")) == []  # folded+dropped
+    assert ids(idx) == pre, "compaction changed served rows"
+
+    # the chain continues on the compacted layout: next insert is
+    # generation 0 of the NEW root, and a re-fold steps to __compact1
+    idx = insert_into_ivfpq(idx, emb.filter(F.col("vec_id") % 5 == 4))
+    assert len(delta_generations(idx.path)) == 1
+    full = ids(idx)
+    idx, fired = auto_compact_ivfpq(idx, max_generations=1)
+    assert fired and idx.path.endswith("__compact1")
+    assert ids(idx) == full

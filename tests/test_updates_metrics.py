@@ -191,3 +191,44 @@ def test_plot_series_and_phase_regions_closed_form(spark):
         for r in phase_regions(m).collect()
     }
     assert spans == {"baseline": (0, 0), "update": (1, 2), "recovered": (3, 3)}
+
+
+def test_dynamic_protocol_lsm_endurance(spark, sf_dir, tmp_path):
+    """Chained endurance mode (r15): repeated delete→reinsert cycles
+    against ONE live path-backed IVF-PQ index (the reference loops
+    updates, dynamic_script_faiss.py:75-117) accumulate delta
+    generations, and auto_compact_every folds the chain when it
+    reaches the threshold — recorded as a measured post_compact phase.
+    The frozen codec restores identical codes every cycle, so every
+    post_insert AND post_compact recall must equal the baseline's."""
+    from cs598vectordb_spark.operators.ivfpq import delta_generations
+    from cs598vectordb_spark.operators.workloads import dynamic_protocol
+    from cs598vectordb_spark.sources.tables import queries_from_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, 5)
+    m = dynamic_protocol(
+        spark, emb, q, backend="ivfpq",
+        update_percents=[20, 20, 20], intervals_per_phase=1,
+        chain=True, auto_compact_every=2, scratch_dir=str(tmp_path),
+        run_id="lsm",
+    ).collect()
+
+    phases = [r.phase for r in m]
+    assert phases.count("post_insert") == 3
+    assert phases.count("post_compact") >= 1, (
+        "policy never fired across 3 chained cycles at threshold 2"
+    )
+    base_rec = [r.recall for r in m if r.phase == "baseline"][0]
+    for r in m:
+        if r.phase in ("post_insert", "post_compact"):
+            assert r.recall == base_rec, (r.phase, r.recall, base_rec)
+    # the fold bounded the chain: fewer live generations than cycles
+    import glob as _glob
+
+    live = sum(
+        len(delta_generations(p.rsplit("__delta", 1)[0]))
+        for p in _glob.glob(str(tmp_path / "ivfpq_main0*"))
+        if "__delta" not in p
+    )
+    assert live < 3, f"{live} generations survived 3 cycles at K=2"
