@@ -57,6 +57,21 @@ def _worst_case_out() -> dict:
             "probe_qps": {f"knn_probe_family_{i}": 123.4 for i in range(8)},
             "cold_pass_seconds": 99.9,
             "steady_pass_seconds": [55.5, 56.6, 57.7],
+            # the 1M inline headline at its r15 shape: dynamic ratios
+            # carry median + [lo, hi] range (never a single draw)
+            "large_1m": {
+                "exact_qps": 145.2,
+                "graph2_served_qps": 542.0,
+                "graph2_served_recall": 0.9786,
+                "hi_recall_crossover": ["graph2_served"],
+                "ivfpq_dyn_post_over_pre": 0.91,
+                "ivfpq_dyn_post_over_pre_range": [0.83, 1.14],
+                "ivfpq_dyn_compacted_over_pre": 0.97,
+                "ivfpq_dyn_compacted_over_pre_range": [0.93, 1.06],
+                "graph2_dyn_post_qps": 457.7,
+                "graph2_dyn_post_over_pre": 1.075,
+                "graph2_dyn_post_over_pre_range": [1.01, 1.14],
+            },
         },
     }
 
@@ -142,3 +157,52 @@ def test_batch_qps_extras_come_from_sweep_medians():
     assert extras["knn_exact_10k_qps"] == sweep["10000"]
     assert extras["knn_exact_5k_qps"] == 0.0  # absent -> honest zero
     assert set(extras.values()) <= set(sweep.values()) | {0.0}
+
+
+def test_over_pre_ratio_is_paired_per_rotation():
+    """The dynamic post/pre extras must summarize PER-ROTATION pairs
+    (median + [lo, hi] across ≥3 rotations), never a ratio of medians
+    or a single draw — the r14 record's single-rotation 1.32
+    misrepresented a 0.83–1.14 spread (VERDICT r14)."""
+    w = {
+        "pre": [1.0, 2.0, 1.0, 4.0, 1.0],
+        "post": [1.1, 1.8, 1.3, 4.4, 0.9],
+    }
+    got = bench.over_pre_ratio(w, "post")
+    # pairwise ratios: 1.1, 0.9, 1.3, 1.1, 0.9 -> median 1.1
+    assert got["median"] == 1.1
+    assert got["range"] == [0.9, 1.3]
+    assert got["rotations"] == 5
+    assert got["range"][0] <= got["median"] <= got["range"][1]
+    # a ratio-of-medians would read 1.3/1.0 = 1.3 here — the exact
+    # failure mode the pairing exists to exclude
+    assert got["median"] != 1.3
+
+
+def test_interleaved_rotations_returns_samples_per_state():
+    calls = {"a": 0, "b": 0}
+
+    def mk(k):
+        def t():
+            calls[k] += 1
+        return t
+
+    w = bench.interleaved_rotations({"a": mk("a"), "b": mk("b")}, rounds=4)
+    assert sorted(w) == ["a", "b"]
+    assert len(w["a"]) == len(w["b"]) == 4
+    assert calls == {"a": 5, "b": 5}  # warm + 4 rotations
+    assert all(x > 0 for x in w["a"] + w["b"])
+
+
+def test_base_partition_rule_scales_with_rows():
+    """The synthetic-base partitioning must scale with row count (the
+    20M OOM class, commit-fixed r14): ~250k rows per partition with a
+    32-partition floor, so per-task input stays ~130 MB of
+    float32[128] at every N instead of growing linearly."""
+    assert bench.base_partitions(100_000) == 32  # floor
+    assert bench.base_partitions(1_000_000) == 32
+    assert bench.base_partitions(10_000_000) == 40
+    assert bench.base_partitions(20_000_000) == 80
+    # per-partition rows stay bounded as N grows
+    for n in (8_000_001, 20_000_000, 100_000_000):
+        assert n / bench.base_partitions(n) <= 250_000 + 125_000
