@@ -1567,6 +1567,41 @@ def main() -> int:
             "n_probe_calls": batcher.n_probe_calls,
         }
 
+    # the IVF-PQ FUSED family through the same batcher (r15, VERDICT
+    # r14 item 4): the reference's multi-tenant experiment spans
+    # backends; the batching remedy must too. Same 50-tenant herd,
+    # one merged fused probe of the 1M list-partitioned index.
+    from cs598vectordb_spark.operators.serving import ivfpq_probe_fn
+
+    probe_bi = ivfpq_probe_fn(
+        spark, lb1m_idx, lb1m, k=10, nprobe=8, mult=10
+    )
+    probe_bi(qpdf_mt)  # warm the merged-probe path once
+    truth_mt2 = knn_exact(lb1m, q_mt, 10).persist()
+    truth_mt2.count()
+    ipq_rec_mt = recall_at_k(
+        knn_ivfpq_refined(lb1m_idx, lb1m, q_mt, 10, nprobe=8, mult=10),
+        truth_mt2, 10,
+    ).collect()[0]["recall"]
+    truth_mt2.unpersist()
+    for n_clients in (10, 50):
+        batcher = DynamicBatcher(probe_bi, max_wait_ms=50.0)
+
+        def _bti_client(i: int) -> float:
+            t0 = time.time()
+            batcher.submit(qpdf_mt)
+            return max(time.time() - t0, 1e-9)
+
+        with _MTPool(max_workers=n_clients) as pool:
+            walls = list(pool.map(_bti_client, range(n_clients)))
+        multi_tenant_1m[f"batched_ivfpq_{n_clients}"] = {
+            "sum_qps": round(sum(200.0 / w for w in walls), 1),
+            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
+            "wall_s": round(max(walls), 3),
+            "n_probe_calls": batcher.n_probe_calls,
+            "recall_vs_exact": ipq_rec_mt,
+        }
+
     ex1m.unpersist()
     exact_qps_1m = round(1000 / ex1m_sec, 1)
     large_base_1m = {
