@@ -762,7 +762,14 @@ def _walk_probed_segments(
             p_clip = np.minimum(p, c - 1)
             return p_clip[ids[p_clip] == n]
 
-        nbr_pos = [to_pos(n) for n in pdf["nbr_ids"]]
+        # None ≡ no outgoing edges (the served decode already reads a
+        # null list as zero-length via Arrow offsets; keep the three
+        # serving modes identical on legacy artifacts that carry nulls)
+        _no_edges = np.empty(0, dtype=np.int64)
+        nbr_pos = [
+            to_pos(n) if n is not None else _no_edges
+            for n in pdf["nbr_ids"]
+        ]
         sq_x = np.square(X).sum(axis=1)
         out_q, out_id, out_d = _beam_walk_block(
             ids, X, nbr_pos, sq_x, bQ, bq_ids, qsel, k, beam, rounds, n_entry
@@ -1622,8 +1629,17 @@ def _make_repair_kernel(id_col: str, data_col: str, degree: int, codec_arrs):
         c = len(ids)
         is_new = pdf["nbr_ids"].isna().to_numpy()
         new_pos = np.flatnonzero(is_new)
-        if len(new_pos) == 0 or c <= 1:
+        if len(new_pos) == 0:
             return pdf
+        if c <= 1:
+            # a lone arrival in an (emptied) cell has no neighbors —
+            # materialize the EMPTY list, never a NULL: a null row
+            # written into the segment parquet crashed the pinned walk
+            # at 10M (10k segments make tiny fully-deleted cells real)
+            empty = np.array([], dtype=np.int64)
+            return pdf.assign(
+                nbr_ids=[v if v is not None else empty for v in pdf["nbr_ids"]]
+            )
         k_eff = min(degree, c - 1)
 
         def pair_d(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -880,3 +880,71 @@ def test_default_grid2_scales_with_n(spark, sf_dir):
     idx = build_layered_graph2(emb, nlist1=None, nlist2=None, degree=8)
     assert (idx.nlist1, idx.nlist2) == default_grid2(emb.count())
     idx.segments.unpersist()
+
+
+def test_repair_and_walk_tolerate_lone_and_null_arrivals(spark, sf_dir):
+    """The 10M dynamic-cycle crash class (r15): a k-means cell whose
+    rows were ALL deleted and that then receives exactly ONE arrival
+    used to keep the arrival's nbr_ids NULL through the repair early
+    path — the null row materialized into the segment parquet and the
+    pinned walk kernel crashed on it (the served decode silently read
+    null as zero-length, so the modes disagreed). Pins: (a) the repair
+    kernel materializes an EMPTY list for a lone arrival, never null;
+    (b) the walk kernel treats a legacy null row as no-outgoing-edges,
+    identically to the served path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.graph import (
+        LayeredGraph2Index,
+        _make_repair_kernel,
+        build_layered_graph2,
+        knn_graph_layered2,
+    )
+
+    # (a) lone new arrival: empty list out, never null
+    repair = _make_repair_kernel("vec_id", "embedding", 4, None)
+    lone = pd.DataFrame(
+        {
+            "segment_id": [7],
+            "vec_id": [42],
+            "embedding": [np.ones(8, dtype=np.float32)],
+            "nbr_ids": [None],
+        }
+    )
+    fixed = repair(lone)
+    assert fixed["nbr_ids"].iloc[0] is not None
+    assert len(fixed["nbr_ids"].iloc[0]) == 0
+
+    # (b) a null-nbr row in the segment table: pinned walk must not
+    # crash and must answer exactly like the same row with an empty
+    # list (null ≡ no outgoing edges)
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = build_layered_graph2(emb, 2, 2, degree=8)
+    victim = int(
+        idx.segments.select("vec_id").orderBy("vec_id").first()["vec_id"]
+    )
+    kw = dict(k=5, nprobe1=2, nprobe2=4, beam=16, rounds=3, n_entry=8)
+    q = emb.limit(8).select(emb.vec_id.alias("q_id"), "embedding")
+
+    def variant(nbr_expr):
+        segs = idx.segments.withColumn(
+            "nbr_ids",
+            F.when(F.col("vec_id") == victim, nbr_expr).otherwise(
+                F.col("nbr_ids")
+            ),
+        )
+        ix = LayeredGraph2Index(
+            segs, idx.l1_centroids, idx.l2_table, idx.nlist1, idx.nlist2,
+            idx.degree,
+        )
+        return sorted(
+            (r.q_id, r.rank, r.vec_id)
+            for r in knn_graph_layered2(ix, q, **kw).collect()
+        )
+
+    with_null = variant(F.lit(None).cast("array<bigint>"))
+    with_empty = variant(F.array().cast("array<bigint>"))
+    assert with_null == with_empty and len(with_null) == 8 * 5
+    idx.segments.unpersist()
