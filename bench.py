@@ -1214,6 +1214,129 @@ def main() -> int:
                 best[f"recall_{floor}"] = max(elig, key=lambda p: p["qps"])
         frontier_best[fam] = best
 
+    # multi-tenant scaling at 1M on the served index (VERDICT r13 item
+    # 5): the reference's second experiment (multi_tenant_script.py:
+    # 121-180) — N ∈ {10..50} concurrent clients, each probing a
+    # 200-query batch against ONE shared worker-served index, sum-QPS
+    # as the throughput curve (reference analog: plots/
+    # scaling_behavior.pdf). This is the regime serving mode exists
+    # for: tenants share warmed worker segment caches, so added
+    # clients cost walk compute, not payload transfer. Recall is a
+    # shared-index property (same queries, same config) — computed
+    # once, not per client, so the timed region is probes only.
+    #
+    # This sweep runs BEFORE the dynamic/endurance maintenance blocks
+    # (r15): when it ran after them, ~40 min of accumulated JVM churn
+    # (broadcast/cache turnover, FAIR-pool debris, GC pressure from
+    # the 5-rotation interleaves and the LSM generations) degraded the
+    # concurrent-probe walls 4–8× on identical code — the same class
+    # of contamination the "post-timed-region" comment above documents
+    # for the headline passes. Probing here also measures the PRISTINE
+    # ivfpq index, before tombstone/delta state exists.
+    from concurrent.futures import ThreadPoolExecutor as _MTPool
+
+    q_mt = lb1m.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    truth_mt = knn_exact(lb1m, q_mt, 10).persist()
+    truth_mt.count()
+
+    def _mt_probe():
+        return knn_graph_layered2(
+            lb1m_g2s, q_mt, 10, nprobe1=6, nprobe2=10, beam=32,
+            rounds=4, n_entry=12,
+        )
+
+    _mt_probe().count()  # warm the shared caches once
+    mt_recall = recall_at_k(_mt_probe(), truth_mt, 10).collect()[0]["recall"]
+    truth_mt.unpersist()
+
+    def _mt_client(i: int) -> float:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"mt{i}")
+        try:
+            t0 = time.time()
+            _mt_probe().count()
+            return max(time.time() - t0, 1e-9)
+        finally:
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+    multi_tenant_1m = {"n_queries_per_client": 200, "recall_vs_exact": mt_recall}
+    for n_clients in (1, 10, 20, 30, 40, 50):  # 1 = the per-client baseline
+        with _MTPool(max_workers=n_clients) as pool:
+            walls = list(pool.map(_mt_client, range(n_clients)))
+        multi_tenant_1m[str(n_clients)] = {
+            "sum_qps": round(sum(200.0 / w for w in walls), 1),
+            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
+            "wall_s": round(max(walls), 3),
+        }
+
+    # DYNAMIC BATCHING (r14, operators/serving.py): the same tenant
+    # load with co-arriving query frames merged into one probe and
+    # split back — the model-serving remedy for the fixed-cost
+    # saturation the unbatched sweep above measures. n_probe_calls
+    # records how many merged probes actually served the herd.
+    from cs598vectordb_spark.operators.serving import (
+        DynamicBatcher,
+        layered2_probe_fn,
+    )
+
+    probe_b = layered2_probe_fn(
+        spark, lb1m_g2s, k=10, nprobe1=6, nprobe2=10, beam=32,
+        rounds=4, n_entry=12,
+    )
+    qpdf_mt = q_mt.toPandas()
+    for n_clients in (10, 50):
+        batcher = DynamicBatcher(probe_b, max_wait_ms=50.0)
+
+        def _bt_client(i: int) -> float:
+            t0 = time.time()
+            batcher.submit(qpdf_mt)
+            return max(time.time() - t0, 1e-9)
+
+        with _MTPool(max_workers=n_clients) as pool:
+            walls = list(pool.map(_bt_client, range(n_clients)))
+        multi_tenant_1m[f"batched_{n_clients}"] = {
+            "sum_qps": round(sum(200.0 / w for w in walls), 1),
+            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
+            "wall_s": round(max(walls), 3),
+            "n_probe_calls": batcher.n_probe_calls,
+        }
+
+    # the IVF-PQ FUSED family through the same batcher (r15, VERDICT
+    # r14 item 4): the reference's multi-tenant experiment spans
+    # backends; the batching remedy must too. Same 50-tenant herd,
+    # one merged fused probe of the 1M list-partitioned index.
+    from cs598vectordb_spark.operators.serving import ivfpq_probe_fn
+
+    probe_bi = ivfpq_probe_fn(
+        spark, lb1m_idx, lb1m, k=10, nprobe=8, mult=10
+    )
+    probe_bi(qpdf_mt)  # warm the merged-probe path once
+    truth_mt2 = knn_exact(lb1m, q_mt, 10).persist()
+    truth_mt2.count()
+    ipq_rec_mt = recall_at_k(
+        knn_ivfpq_refined(lb1m_idx, lb1m, q_mt, 10, nprobe=8, mult=10),
+        truth_mt2, 10,
+    ).collect()[0]["recall"]
+    truth_mt2.unpersist()
+    for n_clients in (10, 50):
+        batcher = DynamicBatcher(probe_bi, max_wait_ms=50.0)
+
+        def _bti_client(i: int) -> float:
+            t0 = time.time()
+            batcher.submit(qpdf_mt)
+            return max(time.time() - t0, 1e-9)
+
+        with _MTPool(max_workers=n_clients) as pool:
+            walls = list(pool.map(_bti_client, range(n_clients)))
+        multi_tenant_1m[f"batched_ivfpq_{n_clients}"] = {
+            "sum_qps": round(sum(200.0 / w for w in walls), 1),
+            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
+            "wall_s": round(max(walls), 3),
+            "n_probe_calls": batcher.n_probe_calls,
+            "recall_vs_exact": ipq_rec_mt,
+        }
+
     # dynamic protocol at SIFT1M shape (VERDICT r12 item 8): the
     # reference's signature experiment is QPS/recall through
     # delete-25% → reinsert (dynamic_script_faiss.py:75-117;
@@ -1487,120 +1610,6 @@ def main() -> int:
                  "over_pre_interleaved": over_pre_ratio(rot_post, "post")},
         "post_matches_pinned": bool(srv_rows == pin_rows),
     }
-
-    # multi-tenant scaling at 1M on the served index (VERDICT r13 item
-    # 5): the reference's second experiment (multi_tenant_script.py:
-    # 121-180) — N ∈ {10..50} concurrent clients, each probing a
-    # 200-query batch against ONE shared worker-served index, sum-QPS
-    # as the throughput curve (reference analog: plots/
-    # scaling_behavior.pdf). This is the regime serving mode exists
-    # for: tenants share warmed worker segment caches, so added
-    # clients cost walk compute, not payload transfer. Recall is a
-    # shared-index property (same queries, same config) — computed
-    # once, not per client, so the timed region is probes only.
-    from concurrent.futures import ThreadPoolExecutor as _MTPool
-
-    q_mt = lb1m.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
-    truth_mt = knn_exact(lb1m, q_mt, 10).persist()
-    truth_mt.count()
-
-    def _mt_probe():
-        return knn_graph_layered2(
-            lb1m_g2s, q_mt, 10, nprobe1=6, nprobe2=10, beam=32,
-            rounds=4, n_entry=12,
-        )
-
-    _mt_probe().count()  # warm the shared caches once
-    mt_recall = recall_at_k(_mt_probe(), truth_mt, 10).collect()[0]["recall"]
-    truth_mt.unpersist()
-
-    def _mt_client(i: int) -> float:
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"mt{i}")
-        try:
-            t0 = time.time()
-            _mt_probe().count()
-            return max(time.time() - t0, 1e-9)
-        finally:
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
-
-    multi_tenant_1m = {"n_queries_per_client": 200, "recall_vs_exact": mt_recall}
-    for n_clients in (1, 10, 20, 30, 40, 50):  # 1 = the per-client baseline
-        with _MTPool(max_workers=n_clients) as pool:
-            walls = list(pool.map(_mt_client, range(n_clients)))
-        multi_tenant_1m[str(n_clients)] = {
-            "sum_qps": round(sum(200.0 / w for w in walls), 1),
-            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
-            "wall_s": round(max(walls), 3),
-        }
-
-    # DYNAMIC BATCHING (r14, operators/serving.py): the same tenant
-    # load with co-arriving query frames merged into one probe and
-    # split back — the model-serving remedy for the fixed-cost
-    # saturation the unbatched sweep above measures. n_probe_calls
-    # records how many merged probes actually served the herd.
-    from cs598vectordb_spark.operators.serving import (
-        DynamicBatcher,
-        layered2_probe_fn,
-    )
-
-    probe_b = layered2_probe_fn(
-        spark, lb1m_g2s, k=10, nprobe1=6, nprobe2=10, beam=32,
-        rounds=4, n_entry=12,
-    )
-    qpdf_mt = q_mt.toPandas()
-    for n_clients in (10, 50):
-        batcher = DynamicBatcher(probe_b, max_wait_ms=50.0)
-
-        def _bt_client(i: int) -> float:
-            t0 = time.time()
-            batcher.submit(qpdf_mt)
-            return max(time.time() - t0, 1e-9)
-
-        with _MTPool(max_workers=n_clients) as pool:
-            walls = list(pool.map(_bt_client, range(n_clients)))
-        multi_tenant_1m[f"batched_{n_clients}"] = {
-            "sum_qps": round(sum(200.0 / w for w in walls), 1),
-            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
-            "wall_s": round(max(walls), 3),
-            "n_probe_calls": batcher.n_probe_calls,
-        }
-
-    # the IVF-PQ FUSED family through the same batcher (r15, VERDICT
-    # r14 item 4): the reference's multi-tenant experiment spans
-    # backends; the batching remedy must too. Same 50-tenant herd,
-    # one merged fused probe of the 1M list-partitioned index.
-    from cs598vectordb_spark.operators.serving import ivfpq_probe_fn
-
-    probe_bi = ivfpq_probe_fn(
-        spark, lb1m_idx, lb1m, k=10, nprobe=8, mult=10
-    )
-    probe_bi(qpdf_mt)  # warm the merged-probe path once
-    truth_mt2 = knn_exact(lb1m, q_mt, 10).persist()
-    truth_mt2.count()
-    ipq_rec_mt = recall_at_k(
-        knn_ivfpq_refined(lb1m_idx, lb1m, q_mt, 10, nprobe=8, mult=10),
-        truth_mt2, 10,
-    ).collect()[0]["recall"]
-    truth_mt2.unpersist()
-    for n_clients in (10, 50):
-        batcher = DynamicBatcher(probe_bi, max_wait_ms=50.0)
-
-        def _bti_client(i: int) -> float:
-            t0 = time.time()
-            batcher.submit(qpdf_mt)
-            return max(time.time() - t0, 1e-9)
-
-        with _MTPool(max_workers=n_clients) as pool:
-            walls = list(pool.map(_bti_client, range(n_clients)))
-        multi_tenant_1m[f"batched_ivfpq_{n_clients}"] = {
-            "sum_qps": round(sum(200.0 / w for w in walls), 1),
-            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
-            "wall_s": round(max(walls), 3),
-            "n_probe_calls": batcher.n_probe_calls,
-            "recall_vs_exact": ipq_rec_mt,
-        }
 
     ex1m.unpersist()
     exact_qps_1m = round(1000 / ex1m_sec, 1)
