@@ -1351,6 +1351,106 @@ def knn_graph_layered2(
     )
 
 
+def knn_graph_layered2_filtered(
+    index: LayeredGraph2Index,
+    queries: DataFrame,
+    allowed: DataFrame,
+    k: int = DEFAULT_K,
+    expand: int = 4,
+    max_deepen: int = 2,
+    nprobe1: int = 2,
+    nprobe2: int = 6,
+    beam: int = 24,
+    rounds: int = 3,
+    n_entry: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attribute-FILTERED approximate search on the served graph:
+    (q_id, rank, vec_id, dist) where every returned vec_id is a member
+    of `allowed` (a DataFrame of allowed ids — the caller builds
+    ``base.filter(pred).select(id_col)`` so the predicate pushes down
+    to the parquet scan and only matching row groups are read).
+
+    Post-filter-with-expansion, the strategy production vector stores
+    use at moderate selectivity (Milvus/Qdrant post-filter mode; the
+    pre-filter bitmap alternative needs per-segment filter columns and
+    only wins at extreme selectivity): probe the graph for k·expand
+    candidates, keep the ones passing the predicate via a
+    broadcast-candidates semi join (candidates are driver-sized
+    |Q|·k·expand id/dist rows — the big side stays the pruned `allowed`
+    scan), then ADAPTIVELY DEEPEN only the queries left short of k
+    (expand ×4, nprobe2 ×2, beam ×2 per round, ≤ max_deepen rounds) —
+    a query whose filtered neighborhood is sparse pays more probe work
+    instead of silently returning < k rows. Queries short even after
+    deepening return what exists (the filtered base may simply hold
+    fewer than k matches), same contract as the exact `knn_filtered`.
+
+    Scale shape: each round is one graph probe (partition-pruned
+    segments) + one broadcast join against a predicate-pushed scan; no
+    shuffle grows with base size. Per-round passed rows are
+    localCheckpointed (ids+dists only, driver-sized bound) so the
+    final union does not recompute earlier rounds' probes.
+
+    Rows-only by nature (approximate); recall-vs-exact-filtered floor,
+    predicate purity, and the deepening trigger are pinned in
+    tests/test_index.py::test_knn_filtered_adaptive. Reference analog:
+    the reference filters only the EXACT path (its harness has no
+    filtered-ANN); this is the served-index counterpart of
+    queries_vector.q_knn_filtered, and the adaptive upgrade over the
+    fixed-expansion queries_index.q_knn_graph2_filtered."""
+    allowed_ids = allowed.select(F.col(id_col).alias("vec_id"))
+    remaining = queries
+    # deepening must widen BOTH coarse levels: nprobe2/beam alone cap
+    # coverage at nprobe1·nlist2 sub-cells, and a sparse filtered
+    # neighborhood's survivors may live outside the round-0 L1 cells
+    cfg = dict(nprobe1=nprobe1, nprobe2=nprobe2, beam=beam)
+    kk = max(k * expand, k)
+    frames: list[DataFrame] = []
+    for depth in range(max_deepen + 1):
+        cand = knn_graph_layered2(
+            index, remaining, k=kk, nprobe1=cfg["nprobe1"],
+            nprobe2=cfg["nprobe2"], beam=cfg["beam"], rounds=rounds,
+            n_entry=n_entry, id_col=id_col, vec_col=vec_col,
+        ).select("q_id", "vec_id", "dist")
+        passed = allowed_ids.join(
+            F.broadcast(cand), "vec_id"
+        ).select("q_id", "vec_id", "dist").localCheckpoint(eager=True)
+        frames.append(passed)
+        if depth == max_deepen:
+            break
+        counts = {
+            r["q_id"]: r["n"]
+            for r in passed.groupBy("q_id").agg(F.count("*").alias("n")).collect()
+        }
+        short = [
+            r["q_id"]
+            for r in remaining.select("q_id").collect()
+            if counts.get(r["q_id"], 0) < k
+        ]
+        if not short:
+            break
+        remaining = remaining.filter(F.col("q_id").isin([int(q) for q in short]))
+        kk *= 4
+        cfg = dict(
+            nprobe1=cfg["nprobe1"] * 2,
+            nprobe2=cfg["nprobe2"] * 4,  # sub-cells grow with both levels
+            beam=cfg["beam"] * 2,
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        out.dropDuplicates(["q_id", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "dist")
+    )
+
+
 def autotune_layered2(
     index: LayeredGraph2Index,
     queries: DataFrame,

@@ -12,6 +12,7 @@ insert, phases ordered).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cs598vectordb_spark.config import DEFAULT_K, DEFAULT_N_QUERIES
 from cs598vectordb_spark.operators import workloads
@@ -582,6 +583,56 @@ def q_multi_tenant_batched_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, ivfpq_index_for(spark, sf_dir),
         n_clients=8, n_queries=50, family="ivfpq",
         probe_kwargs=dict(nprobe=8, mult=5),
+    )
+
+
+@register("knn_filtered_adaptive")
+def q_knn_filtered_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN with ADAPTIVE per-query deepening (r15) — the
+    upgrade over the fixed-expansion `knn_graph2_filtered`: that entry
+    provisions every query for the worst case (expand 15 ⇒ 150
+    candidates each) and can still silently return < k rows when a
+    query's filtered neighborhood is sparse; this one starts cheap
+    (expand 4) and re-probes ONLY the queries left short of k, with
+    expand ×4 / nprobe2 ×2 / beam ×2 per round. At 100 TB the
+    difference is the whole cost model: fixed expansion charges the
+    p99 query's probe depth to all of them, adaptive charges it to the
+    queries that need it. The predicate never materializes a filtered
+    base copy — each round is a partition-pruned graph probe plus one
+    broadcast join of the driver-sized candidate list against the
+    predicate-pushed-down id scan. Rows-only (approximate); recall
+    floor vs the exact filtered truth, predicate purity, k-fulfilment
+    where matches exist, and the deepening trigger pinned in
+    tests/test_index.py::test_knn_filtered_adaptive."""
+    from cs598vectordb_spark.operators.graph import knn_graph_layered2_filtered
+
+    emb, q = _setup(spark, sf_dir)
+    return knn_graph_layered2_filtered(
+        layered_graph2_for(spark, sf_dir), q,
+        allowed=emb.filter(F.col("label") == 3),
+        k=10, expand=4, max_deepen=2,
+        nprobe1=2, nprobe2=6, beam=24,
+    )
+
+
+@register("multi_tenant_batched_sq8")
+def q_multi_tenant_batched_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 dynamic batching over the COMPRESSED layered-graph family
+    (r15): the SQ8-segment index was the last serving family still
+    paying the saturating unbatched path under concurrency (VERDICT
+    r14 gap #3) — and it is the family built for high tenant counts,
+    since compressed resident segments are what let many tenants share
+    fixed executor memory. Same slot arithmetic; the codec lives
+    entirely inside the layered kernel. Rows-only (wall-clock);
+    per-tenant result rows pinned EQUAL to solo SQ8 probes in
+    tests/test_serving.py::test_batched_sq8_matches_solo."""
+    from cs598vectordb_spark.operators.serving import multi_tenant_batched
+
+    emb, _ = _setup(spark, sf_dir)
+    return multi_tenant_batched(
+        spark, emb, layered_graph_sq8_for(spark, sf_dir),
+        n_clients=8, n_queries=50, family="graph_sq8",
+        probe_kwargs=dict(nprobe=12, beam=32, rounds=4, n_entry=12),
     )
 
 

@@ -556,3 +556,24 @@ def q_stream_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs598vectordb_spark.streaming.jobs import hourly_unique_users
 
     return hourly_unique_users(spark, sf_dir)
+
+
+@register("stream_index_ingest")
+def q_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vector ingestion into a served IVF-PQ index (r15):
+    the write path of a live vector store as a Structured Streaming
+    job — arrivals land as list-partitioned delta writes (O(|batch|)),
+    the LSM auto-compaction policy folds the chain at the fragment
+    threshold, and the post-drain freshness probe asserts every
+    arrived vector is retrievable (self at rank 1 through the fused
+    refined probe). Completes the dynamic-update story's third driver:
+    batch protocol phases (dynamic_protocol), CDC upserts
+    (stream_merge_upserts_cow), and now raw vector arrival streams.
+    Rows-only (layout/wall-clock accounting); deterministic fold
+    count, full ingestion, and self-hit rate 1.0 pinned in
+    tests/test_streaming.py::test_stream_index_ingest."""
+    from cs598vectordb_spark.streaming.jobs import stream_index_ingest
+
+    return stream_index_ingest(
+        spark, sf_dir, _io_dir(sf_dir, "stream_index_ingest")
+    )

@@ -1549,3 +1549,46 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _os.path.basename(sf_dir.rstrip("/")) in ("sf0.001", "sf0.01"):
         _export_bpe_token_map(spark, sf_dir)
     return tokenizer.bpe_encode_stats(docs, merges)
+
+
+@register("bm25_search")
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval over the documents corpus — the
+    lexical leg of the engine's hybrid-retrieval surface
+    (operators/hybrid.py): the first 20 documents act as
+    more-like-this queries against the full corpus. The inverted-index
+    join carries a flag-gated df cap (the decontamination stopword
+    discipline — keeps the token-key join linear at corpus scale; OFF
+    here because the synthetic fixture's 31-word vocabulary is
+    all-stopwords by construction, pinned in
+    tests/test_hybrid.py::test_bm25_df_cap_drops_stopwords). Rows-only
+    (float scoring; the token-join SQL twin is promotable when an
+    oracle slot frees); value-pinned against an independent
+    pure-Python BM25 in
+    tests/test_hybrid.py::test_bm25_matches_pure_python."""
+    from cs598vectordb_spark.operators.hybrid import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(F.col("doc_id").alias("q_id"), "text").filter(
+        F.col("q_id") < 20
+    )
+    return bm25_scores(docs, q, k=10)
+
+
+@register("hybrid_rrf_search")
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 over documents fused with exact cosine
+    kNN over the shared-id embeddings by reciprocal-rank fusion
+    (operators/hybrid.py — rank arithmetic, no score calibration).
+    RAG/curation pipelines serve exactly this shape; neither leg alone
+    surfaces both exact-term and paraphrase matches. Rows-only; the
+    fusion arithmetic is pinned value-exact, the full path's
+    self-retrieval theorem is pinned on a planted-vocabulary corpus
+    (tests/test_hybrid.py::test_hybrid_search_self_retrieval), and this
+    entry's fixture run is structurally pinned in
+    tests/test_hybrid.py::test_hybrid_query_registered_runs."""
+    from cs598vectordb_spark.operators.hybrid import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search(docs, emb, n_queries=20, k=10)

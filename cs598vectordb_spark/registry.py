@@ -242,6 +242,7 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "tests/test_index.py::test_graph_sq8_served_matches_pinned"
     ),
     "knn_graph2_filtered": "tests/test_index.py::test_graph2_filtered_ann",
+    "knn_filtered_adaptive": "tests/test_index.py::test_knn_filtered_adaptive",
     "graph2_autotune": "tests/test_index.py::test_graph2_autotune_frontier",
     # workloads (W1/W2/W3) + metrics artifacts
     "bench_loop": "tests/test_updates_metrics.py::test_bench_loop_steady_state",
@@ -261,18 +262,26 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "multi_tenant_batched_ivfpq": (
         "tests/test_serving.py::test_batched_ivfpq_matches_solo"
     ),
+    "multi_tenant_batched_sq8": (
+        "tests/test_serving.py::test_batched_sq8_matches_solo"
+    ),
     # streaming-serving + streaming sketches
     "stream_knn_graph2": "tests/test_streaming.py::test_stream_knn_graph2_recall",
     "stream_knn_graph2_served": (
         "tests/test_streaming.py::test_stream_knn_graph2_served_matches_batch"
     ),
     "multi_tenant_stream_graph2": "tests/test_updates_metrics.py::test_multi_tenant_stream_graph2_summary",
+    "stream_index_ingest": "tests/test_streaming.py::test_stream_index_ingest",
     "dynamic_cow_graph2": "tests/test_streaming.py::test_cow_dynamic_protocol_recovers_recall",
     "stream_drop_duplicates": "tests/test_streaming.py::test_stream_drop_duplicates_exactly_once",
     "stream_state_bound": "tests/test_streaming.py::test_stream_state_bound_evicts_with_watermark",
     "stream_join_state_bound": "tests/test_streaming.py::test_stream_join_state_bound",
     "stream_hourly_unique_users": "tests/test_streaming.py::test_stream_hourly_unique_users_sketch_accuracy",
     # text / io / relational sketches
+    "bm25_search": "tests/test_hybrid.py::test_bm25_matches_pure_python",
+    "hybrid_rrf_search": (
+        "tests/test_hybrid.py::test_hybrid_search_self_retrieval"
+    ),
     "compressibility": "tests/test_dedup_text.py::test_compressibility_signal",
     "scan_formats": "tests/test_sources.py::test_scan_formats_roundtrips_losslessly",
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",

@@ -1472,3 +1472,124 @@ def join_state_bound_report(
     return spark.createDataFrame(
         _drain_with_progress(joined, "join_state_bound"), _STATE_BOUND_SCHEMA
     )
+
+
+def stream_index_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_splits: int = 4,
+    max_generations: int = 2,
+    nlist: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 10,
+    nprobe: int = 4,
+    mult: int = 5,
+) -> DataFrame:
+    """Continuous vector ingestion into a SERVED IVF-PQ index — the
+    write path of a live vector store as a Structured Streaming job:
+    half the embeddings seed the index (build + materialize in the
+    list-partitioned layout), the other half ARRIVE as ordered
+    micro-batches; each foreachBatch lands its arrivals through
+    insert_into_ivfpq (one Arrow encode pass, one list-partitioned
+    delta write — O(|batch|), never O(index)) and the LSM
+    auto-compaction policy folds the delta chain whenever it reaches
+    `max_generations` fragments, exactly as the batch dynamic protocol
+    does, but driven by stream triggers instead of protocol phases.
+
+    Deterministic accounting (n_splits=4, max_generations=2 ⇒ exactly
+    2 folds, 0 generations left) and a post-drain freshness probe:
+    every arrived vector queried against the final index must return
+    ITSELF at rank 1 (its raw vector is stored next to its codes —
+    keep_vectors — so the refined probe's exact re-rank puts the
+    zero-distance self first whenever the ADC shortlist surfaces it;
+    a miss means arrivals are not actually being served). Returns one
+    summary row: n_batches, n_ingested, n_compactions,
+    generations_left, self_hit_rate.
+
+    100 TB shape: the stream never touches the main layout — inserts
+    are delta-partitioned writes sized by the micro-batch, probes
+    file-prune across main ∪ deltas, and compaction is the amortized
+    O(index/K) background fold. Rows-only (wall-clock/layout
+    accounting); pinned in
+    tests/test_streaming.py::test_stream_index_ingest."""
+    from cs598vectordb_spark.operators.ivfpq import (
+        auto_compact_ivfpq,
+        build_ivfpq,
+        delta_generations,
+        insert_into_ivfpq,
+        knn_ivfpq_refined,
+    )
+    from cs598vectordb_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings")
+    n = base.count()
+    cut = n // 2
+    seed_rows = base.filter(F.col("vec_id") < cut)
+    arrivals = base.filter(F.col("vec_id") >= cut).select("vec_id", "embedding")
+
+    if os.path.isdir(work_dir):
+        shutil.rmtree(work_dir)
+    adir = os.path.join(work_dir, "arrivals")
+    os.makedirs(adir)
+    now = time.time()
+    for i in range(n_splits):
+        tmp = os.path.join(work_dir, f"_tmp{i}")
+        arrivals.filter(F.col("vec_id") % n_splits == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(adir, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (now - 300 + i * 60, now - 300 + i * 60))
+
+    index = build_ivfpq(
+        seed_rows, nlist=nlist, m=m, ksub=ksub,
+        path=os.path.join(work_dir, "index", "t"), keep_vectors=True,
+    )
+    state = {"index": index, "batches": 0, "ingested": 0, "folds": 0}
+
+    stream_spark = _stream_session(spark)
+    stream = (
+        stream_spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(adir)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = insert_into_ivfpq(state["index"], batch_df)
+        idx, compacted = auto_compact_ivfpq(idx, max_generations)
+        state["index"] = idx
+        state["batches"] += 1
+        state["ingested"] += batch_df.count()
+        state["folds"] += int(compacted)
+
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    final = state["index"]
+    gens_left = len(delta_generations(final.path)) if final.path else 0
+    qdf = arrivals.withColumnRenamed("vec_id", "q_id")
+    hits = (
+        knn_ivfpq_refined(final, None, qdf, k=k, nprobe=nprobe, mult=mult)
+        .filter((F.col("rank") == 1) & (F.col("vec_id") == F.col("q_id")))
+        .count()
+    )
+    n_arrivals = n - cut
+    return spark.createDataFrame(
+        [
+            (
+                state["batches"],
+                state["ingested"],
+                state["folds"],
+                gens_left,
+                round(hits / max(n_arrivals, 1), 4),
+            )
+        ],
+        "n_batches int, n_ingested long, n_compactions int, "
+        "generations_left int, self_hit_rate double",
+    )

@@ -737,3 +737,27 @@ def test_stream_knn_graph2_served_matches_batch(spark, sf_dir):
     ).select("q_id", "rank", "vec_id")
     brows = sorted(tuple(r) for r in batch.collect())
     assert srows == brows and len(srows) == 1000
+
+
+def test_stream_index_ingest(spark, sf_dir, tmp_path):
+    """Streaming vector ingestion (r15): with n_splits=4 and a
+    fragment threshold of 2 the LSM policy must fold EXACTLY twice and
+    leave zero generations (deterministic: 1 gen, fold, 1 gen, fold —
+    numbering restarts after each fold); every arrival is ingested
+    exactly once; and the freshness probe retrieves every arrived
+    vector as its own rank-1 neighbor (keep_vectors re-rank puts the
+    zero-distance self first) — the ingested rows are SERVED, not just
+    stored."""
+    from cs598vectordb_spark.streaming.jobs import stream_index_ingest
+
+    row = stream_index_ingest(
+        spark, sf_dir, str(tmp_path / "ingest"), n_splits=4, max_generations=2
+    ).first()
+    assert row.n_batches == 4
+    assert row.n_compactions == 2
+    assert row.generations_left == 0
+    from cs598vectordb_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert row.n_ingested == n - n // 2
+    assert row.self_hit_rate == 1.0, row.self_hit_rate
