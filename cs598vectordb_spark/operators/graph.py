@@ -1536,13 +1536,18 @@ def insert_into_layered2(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> LayeredGraph2Index:
-    """Hierarchical-index insert with NO driver-sized assignment step:
+    """Hierarchical-index insert with NO driver-sized assignment STEP:
     L1 cells come from the broadcast (driver-sized by design) coarse
-    layer, but the L2 sub-cell of each arrival is picked by a
-    DISTRIBUTED join against the L2 table (|delta|·nlist2 scored rows,
-    min per arrival) — the full sub-centroid matrix never reaches the
-    driver, matching the probe's discipline. Touched segments then run
-    the same shared repair kernel as the flat layered index."""
+    layer; the L2 sub-cell of each arrival is picked by a join against
+    the L2 table — BROADCAST while the segment count stays bounded
+    (≤200k segments ≈ 100 MB of centroids, a pass-through broadcast,
+    not a driver-resident scoring step), distributed shuffle join past
+    that — followed by a map-side min_by partial aggregate, so the
+    |delta|·nlist2 scored candidate set never crosses an exchange
+    (the r14 row_number-window form shuffled all of it and was the
+    superlinear term in the measured 10M insert-repair wall). Touched
+    segments then run the same shared repair kernel as the flat
+    layered index."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     spark = delta.sparkSession
@@ -1569,7 +1574,21 @@ def insert_into_layered2(
             + [StructField("l1_id", IntegerType())]
         ),
     )
-    # L2 pick: distributed join against the (l1-pruned) sub-centroid rows
+    # L2 pick: distributed join against the (l1-pruned) sub-centroid
+    # rows. BROADCAST the l2 table while bounded (nlist1·nlist2 centroid
+    # rows — ~10 MB at 10k segments, ~100 MB at the 200k gate below;
+    # past it the code falls back to a shuffle join) and reduce with a
+    # map-side min_by partial aggregate. The r14 form ranked with a
+    # row_number window, which
+    # SHUFFLED the full |delta|·nlist2 exploded candidate set (at 10M:
+    # 2.5M arrivals × 100 sub-cells × 1 KB vector rows ≈ 250 GB through
+    # one sort exchange — the superlinear term in the measured
+    # insert-repair wall, since nlist2 grows as N^(1/4) under the grid
+    # rule); the broadcast join keeps every candidate row inside its
+    # arrival's task and the partial aggregate collapses them to one
+    # row per arrival BEFORE any exchange, so shuffle bytes are
+    # O(|delta|) at every N. Tie-break (min _d2, then min l2_id) via
+    # lexicographic struct ordering — identical to the window's.
     d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"),
@@ -1579,21 +1598,33 @@ def insert_into_layered2(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_d2").asc(), F.col("l2_id").asc())
+    l2_rel = (
+        F.broadcast(index.l2_table)
+        if index.nlist1 * index.nlist2 <= 200_000
+        else index.l2_table
+    )
     assigned_delta = (
-        a1.join(index.l2_table, "l1_id")
+        a1.join(l2_rel, "l1_id")
         .withColumn("_d2", d2)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+        .groupBy(F.col(id_col))
+        .agg(
+            F.min_by(
+                F.struct(F.col("l1_id"), F.col("l2_id"), F.col(vec_col)),
+                F.struct(F.col("_d2"), F.col("l2_id")),
+            ).alias("_best")
+        )
         .select(
-            (F.col("l1_id") * index.nlist2 + F.col("l2_id"))
+            (F.col("_best.l1_id") * index.nlist2 + F.col("_best.l2_id"))
             .cast("int")
             .alias("segment_id"),
             F.col(id_col),
-            F.col(vec_col),
+            F.col(f"_best.{vec_col}").alias(vec_col),
             F.lit(None).cast("array<bigint>").alias("nbr_ids"),
         )
         .select(*index.segments.schema.fieldNames())
+        # persisted: the r14 form evaluated the assignment twice (once
+        # for the touched-segment collect, once in the repair pass)
+        .persist()
     )
     repair = _make_repair_kernel(id_col, vec_col, index.degree, None)
     touched = [
@@ -1612,6 +1643,7 @@ def insert_into_layered2(
         .persist()
     )
     segs.count()
+    assigned_delta.unpersist()
     # superseded version released by callers via close()
     return LayeredGraph2Index(
         segs, C1, index.l2_table, index.nlist1, index.nlist2, index.degree
