@@ -1795,13 +1795,95 @@ def _make_repair_kernel(id_col: str, data_col: str, degree: int, codec_arrs):
             return p[ids[p] == global_ids]
 
         old_lists = pdf["nbr_ids"]
-        for p in np.flatnonzero(~is_new):
-            old = np.asarray(old_lists.iloc[p], dtype=np.int64)
-            op = to_pos(old)
+        ol = old_lists.to_numpy()  # object array: cheap per-row access
+        exist_pos = np.flatnonzero(~is_new)
+        # one flat searchsorted over every old edge beats 750 per-node
+        # to_pos calls (pandas .iloc + small-array overhead dominated
+        # the first vectorization attempt's profile)
+        lens = np.fromiter(
+            (len(ol[p]) for p in exist_pos), dtype=np.int64, count=len(exist_pos)
+        )
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(ol[p], dtype=np.int64) for p in exist_pos]
+            )
+            fpos = np.minimum(np.searchsorted(ids, flat), c - 1)
+            fok = ids[fpos] == flat
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            ops = {
+                int(p): fpos[bounds[i]: bounds[i + 1]][fok[bounds[i]: bounds[i + 1]]]
+                for i, p in enumerate(exist_pos)
+            }
+        else:
+            ops = {int(p): np.array([], dtype=np.int64) for p in exist_pos}
+
+        # (b) fast path, VECTORIZED (the per-node python loop was ~1/3
+        # of the measured 1M insert wall): a node with >= k_eff
+        # surviving edges never backfills, and its candidate set is
+        # exactly (surviving old edges ∪ all arrivals) minus self —
+        # old-edge copies of a REINSERTED id (to_pos resolves a
+        # dangling edge to the arrival's new row) collapse under the
+        # original np.unique, reproduced here by masking the old copy
+        # (the arrival block already carries that candidate). Distances
+        # become two batched blocks instead of per-node pair_d calls;
+        # ranking is one per-row lexsort over (dist, id) — the
+        # original's exact ordering. Rows that lose candidates to
+        # dedup/self below k_eff fall back to the reference loop.
+        slow: list[int] = []
+        # fast requires no backfill (>= k_eff surviving edges) and a
+        # dup-free old list (the reference np.unique dedups; the matrix
+        # form would not) — the dup check runs vectorized on the padded
+        # matrix (one sort + adjacent compare, ignoring the -1 pads)
+        fast0 = [int(p) for p in exist_pos if len(ops[int(p)]) >= k_eff]
+        rest = [int(p) for p in exist_pos if len(ops[int(p)]) < k_eff]
+        fast = []
+        if fast0:
+            w1 = max(len(ops[p]) for p in fast0)
+            OP0 = np.full((len(fast0), w1), -1, dtype=np.int64)
+            for i, p in enumerate(fast0):
+                op = ops[p]
+                OP0[i, : len(op)] = op
+            S = np.sort(OP0, axis=1)
+            has_dup = ((S[:, 1:] == S[:, :-1]) & (S[:, 1:] >= 0)).any(axis=1)
+            fast = [p for p, d in zip(fast0, has_dup) if not d]
+            rest += [p for p, d in zip(fast0, has_dup) if d]
+        if fast:
+            fastA = np.asarray(fast, dtype=np.int64)
+            w1 = max(len(ops[int(p)]) for p in fast)
+            OP = np.full((len(fast), w1), -1, dtype=np.int64)
+            for i, p in enumerate(fast):
+                op = ops[int(p)]
+                OP[i, : len(op)] = op
+            pad = OP < 0
+            OPc = np.where(pad, 0, OP)
+            diff = X[OPc] - X[fastA][:, None, :]
+            D_old = np.einsum("ijk,ijk->ij", diff, diff)
+            dead = pad | (OPc == fastA[:, None]) | is_new[OPc]
+            D_old[dead] = np.inf
+            from cs598vectordb_spark.operators.knn import squared_l2_block
+
+            D_new = squared_l2_block(X[fastA], X[new_pos])
+            D = np.concatenate([D_old, D_new], axis=1)
+            I_old = np.where(dead, np.iinfo(np.int64).max, ids[OPc])
+            I_new = np.broadcast_to(ids[new_pos], (len(fast), len(new_pos)))
+            I = np.concatenate([I_old, I_new], axis=1)
+            n_valid = (~np.isinf(D)).sum(axis=1)
+            order = np.lexsort((I, D), axis=-1)[:, :k_eff]
+            sel_ids = np.take_along_axis(I, order, axis=1)
+            for i, p in enumerate(fast):
+                if n_valid[i] < k_eff:
+                    slow.append(int(p))  # dedup/self shrank the set
+                    continue
+                nbrs_out[p] = sel_ids[i].astype(np.int64)
+
+        # (d) reference path: under-degree nodes (2-hop backfill),
+        # dup-edged nodes, and the rare dedup-shrunken fast rows
+        for p in rest + slow:
+            op = ops[int(p)]
             parts = [op, new_pos]
             if len(op) < k_eff:  # (d) 2-hop backfill
                 for qpos in op:
-                    two_hop = old_lists.iloc[qpos]
+                    two_hop = ol[qpos]
                     if two_hop is not None and not is_new[qpos]:
                         parts.append(to_pos(np.asarray(two_hop, dtype=np.int64)))
             cand = np.unique(np.concatenate(parts))

@@ -994,3 +994,145 @@ def test_repair_and_walk_tolerate_lone_and_null_arrivals(spark, sf_dir):
     with_empty = variant(F.array().cast("array<bigint>"))
     assert with_null == with_empty and len(with_null) == 8 * 5
     idx.segments.unpersist()
+
+
+def test_repair_kernel_vectorized_matches_reference():
+    """The r15 fast-path vectorization of the repair kernel must be
+    VALUE-IDENTICAL to the original per-node reference semantics —
+    including the adversarial cases that route around the fast path:
+    reinserted ids (an old dangling edge resolving to an arrival's new
+    row — the np.unique dedup), self-edges, dangling edges to deleted
+    ids, duplicate old-edge ids, under-degree nodes (2-hop backfill),
+    lone arrivals, and no-arrival segments. The reference below is the
+    pre-vectorization loop, verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    from cs598vectordb_spark.operators.graph import _make_repair_kernel
+    from cs598vectordb_spark.operators.knn import squared_l2_block
+
+    def naive_repair(pdf, id_col, data_col, degree):
+        pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        X = np.ascontiguousarray(
+            np.stack(pdf[data_col].to_numpy()), dtype=np.float64
+        )
+        c = len(ids)
+        is_new = pdf["nbr_ids"].isna().to_numpy()
+        new_pos = np.flatnonzero(is_new)
+        if len(new_pos) == 0:
+            return pdf
+        if c <= 1:
+            empty = np.array([], dtype=np.int64)
+            return pdf.assign(
+                nbr_ids=[v if v is not None else empty for v in pdf["nbr_ids"]]
+            )
+        k_eff = min(degree, c - 1)
+
+        def pair_d(a, b):
+            diff = X[a] - X[b]
+            return np.einsum("ij,ij->i", diff, diff)
+
+        d_new = squared_l2_block(X, X[new_pos])
+        d_new[new_pos, np.arange(len(new_pos))] = np.inf
+        nbrs_out = [None] * c
+        for j, p in enumerate(new_pos):
+            col = d_new[:, j]
+            part = np.argpartition(col, k_eff - 1)[:k_eff]
+            order = np.lexsort((ids[part], col[part]))
+            nbrs_out[p] = ids[part[order]].astype(np.int64)
+
+        def to_pos(global_ids):
+            p = np.minimum(np.searchsorted(ids, global_ids), c - 1)
+            return p[ids[p] == global_ids]
+
+        old_lists = pdf["nbr_ids"]
+        for p in np.flatnonzero(~is_new):
+            old = np.asarray(old_lists.iloc[p], dtype=np.int64)
+            op = to_pos(old)
+            parts = [op, new_pos]
+            if len(op) < k_eff:
+                for qpos in op:
+                    two_hop = old_lists.iloc[qpos]
+                    if two_hop is not None and not is_new[qpos]:
+                        parts.append(to_pos(np.asarray(two_hop, dtype=np.int64)))
+            cand = np.unique(np.concatenate(parts))
+            cand = cand[cand != p]
+            if len(cand) == 0:
+                nbrs_out[p] = np.array([], dtype=np.int64)
+                continue
+            cd = pair_d(np.full(len(cand), p), cand)
+            sel = np.lexsort((ids[cand], cd))[: min(k_eff, len(cand))]
+            nbrs_out[p] = ids[cand[sel]].astype(np.int64)
+        out = {f: pdf[f] for f in pdf.columns if f != "nbr_ids"}
+        out["nbr_ids"] = nbrs_out
+        return pd.DataFrame(out)
+
+    rng = np.random.default_rng(598)
+    degree = 4
+    kernel = _make_repair_kernel("vec_id", "embedding", degree, None)
+
+    def seg(rows):
+        return pd.DataFrame(
+            {
+                "segment_id": 7,
+                "vec_id": [r[0] for r in rows],
+                "embedding": [np.array(r[1], dtype=np.float64) for r in rows],
+                "nbr_ids": [
+                    None if r[2] is None else np.array(r[2], dtype=np.int64)
+                    for r in rows
+                ],
+            }
+        )
+
+    cases = []
+    # generic: 12 existing (edges to random survivors + dangling ids +
+    # the reinserted id 100 + a self-edge + a duplicate), 5 arrivals
+    exist_ids = list(range(12))
+    arr_ids = [100, 101, 102, 103, 104]
+    rows = []
+    for i in exist_ids:
+        edges = list(rng.choice(exist_ids, size=3, replace=False))
+        edges += [999, 100, i, edges[0]]  # dangling, reinserted, self, dup
+        rows.append((i, rng.normal(size=6), edges))
+    for a in arr_ids:
+        rows.append((a, rng.normal(size=6), None))
+    cases.append(seg(rows))
+    # under-degree: existing nodes with 1 surviving edge -> backfill
+    rows = [
+        (0, rng.normal(size=6), [1]),
+        (1, rng.normal(size=6), [0]),
+        (2, rng.normal(size=6), [999]),  # fully dangling
+        (200, rng.normal(size=6), None),
+    ]
+    cases.append(seg(rows))
+    # lone arrival, and no-arrival
+    cases.append(seg([(5, rng.normal(size=6), None)]))
+    cases.append(seg([(1, rng.normal(size=6), [2]), (2, rng.normal(size=6), [1])]))
+    # big randomized segment: 60 existing, 20 arrivals, mixed edges
+    all_ids = list(range(60))
+    rows = [
+        (
+            i,
+            rng.normal(size=6),
+            list(rng.choice(all_ids, size=degree, replace=False)) + [1000 + i % 3],
+        )
+        for i in all_ids
+    ] + [(1000 + j, rng.normal(size=6), None) for j in range(20)]
+    cases.append(seg(rows))
+
+    for ci, pdf in enumerate(cases):
+        want = naive_repair(pdf.copy(), "vec_id", "embedding", degree)
+        got = kernel(pdf.copy())
+        assert list(got["vec_id"]) == list(want["vec_id"]), ci
+        for i in range(len(want)):
+            w, g = want["nbr_ids"].iloc[i], got["nbr_ids"].iloc[i]
+            if w is None:
+                assert g is None, (ci, i)
+            else:
+                assert list(np.asarray(g)) == list(np.asarray(w)), (
+                    ci,
+                    i,
+                    list(np.asarray(g)),
+                    list(np.asarray(w)),
+                )
