@@ -1337,6 +1337,52 @@ def main() -> int:
             "recall_vs_exact": ipq_rec_mt,
         }
 
+    # the COMPRESSED layered family through the batcher (r15): the
+    # SQ8-segment index is the backend built FOR high tenant counts
+    # (4× more resident segments per worker-cache byte) and was the
+    # last serving family still paying the saturating unbatched path.
+    # One 50-tenant point at 1M; nlist ∝ rows (~1k rows/segment, the
+    # grid discipline), codec inside the walk kernel. Runs here, still
+    # before the maintenance blocks (the concurrency-measurement
+    # placement rule).
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph,
+        knn_graph_layered,
+    )
+    from cs598vectordb_spark.operators.serving import probe_fn_for
+
+    t0 = time.time()
+    lb1m_sq8 = build_layered_graph(lb1m, nlist=1024, degree=16, compress=True)
+    sq8_build_s = round(time.time() - t0, 1)
+    sq8_kw = dict(nprobe=12, beam=32, rounds=3, n_entry=8)
+    probe_bs = probe_fn_for(spark, "graph_sq8", lb1m_sq8, k=10, **sq8_kw)
+    probe_bs(qpdf_mt)  # warm the merged-probe path once
+    truth_mt3 = knn_exact(lb1m, q_mt, 10).persist()
+    truth_mt3.count()
+    sq8_rec = recall_at_k(
+        knn_graph_layered(lb1m_sq8, q_mt, 10, **sq8_kw), truth_mt3, 10
+    ).collect()[0]["recall"]
+    truth_mt3.unpersist()
+    for n_clients in (50,):
+        batcher = DynamicBatcher(probe_bs, max_wait_ms=50.0)
+
+        def _bts_client(i: int) -> float:
+            t0 = time.time()
+            batcher.submit(qpdf_mt)
+            return max(time.time() - t0, 1e-9)
+
+        with _MTPool(max_workers=n_clients) as pool:
+            walls = list(pool.map(_bts_client, range(n_clients)))
+        multi_tenant_1m[f"batched_sq8_{n_clients}"] = {
+            "sum_qps": round(sum(200.0 / w for w in walls), 1),
+            "avg_latency_ms": round(1000 * sum(walls) / len(walls), 1),
+            "wall_s": round(max(walls), 3),
+            "n_probe_calls": batcher.n_probe_calls,
+            "recall_vs_exact": sq8_rec,
+            "build_s": sq8_build_s,
+        }
+    lb1m_sq8.segments.unpersist()
+
     # dynamic protocol at SIFT1M shape (VERDICT r12 item 8): the
     # reference's signature experiment is QPS/recall through
     # delete-25% → reinsert (dynamic_script_faiss.py:75-117;
