@@ -1589,7 +1589,7 @@ def main() -> int:
 
     g2dyn_path = os.path.join(lb1m_root, "graph2_dyn")
     t0 = time.time()
-    g2_del = delete_from_layered2(lb1m_g2, keep_1m)
+    g2_del = delete_from_layered2(lb1m_g2, keep_1m, dropped=deleted_1m)
     materialize_layered2(g2_del, g2dyn_path, pinned=False)
     g2_del_maint_s = time.time() - t0
     srv_del = open_layered2(spark, g2dyn_path, served=True)

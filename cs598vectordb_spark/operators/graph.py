@@ -1514,16 +1514,40 @@ def autotune_layered2(
 
 
 def delete_from_layered2(
-    index: LayeredGraph2Index, keep: DataFrame, id_col: str = "vec_id"
+    index: LayeredGraph2Index,
+    keep: DataFrame,
+    id_col: str = "vec_id",
+    dropped: DataFrame | None = None,
 ) -> LayeredGraph2Index:
-    """Hierarchical-index delete: one semi-join + repartition of the
-    segment table, same tombstone semantics as delete_from_layered
-    (dangling edges masked by the walk kernel)."""
-    segs = (
-        index.segments.join(keep.select(id_col), id_col, "semi")
-        .repartition(index.nlist1 * index.nlist2, "segment_id")
-        .persist()
-    )
+    """Hierarchical-index delete, same tombstone semantics as
+    delete_from_layered (dangling edges masked by the walk kernel).
+
+    Two physical strategies (r15): when the caller passes the DROPPED
+    ids (dynamic workloads always know them — the delete is specified
+    by what goes, not what stays), the delete is a broadcast anti-join:
+    the id set ships to the executors (|dropped|·8 B — 20 MB for a
+    10M-base 25% delete) and the 10-GB segment table is filtered IN
+    PLACE with ZERO exchanges, keeping its existing segment
+    partitioning (a filter preserves partitioning, so the old
+    repartition pass is dropped too). Without `dropped` the r14 form
+    remains: a shuffle semi-join against `keep` + repartition — the
+    right plan when only the survivor set is known or the dropped set
+    is itself table-sized. The IVF-PQ family made the same move in r14
+    (broadcast tombstones, operators/ivfpq.py:delete_from_ivfpq);
+    value-equality of the two strategies is pinned in
+    tests/test_index.py::test_delete_layered2_broadcast_matches_semi."""
+    if dropped is not None:
+        segs = (
+            index.segments.join(
+                F.broadcast(dropped.select(id_col)), id_col, "anti"
+            ).persist()
+        )
+    else:
+        segs = (
+            index.segments.join(keep.select(id_col), id_col, "semi")
+            .repartition(index.nlist1 * index.nlist2, "segment_id")
+            .persist()
+        )
     segs.count()
     return LayeredGraph2Index(
         segs, index.l1_centroids, index.l2_table, index.nlist1, index.nlist2, index.degree

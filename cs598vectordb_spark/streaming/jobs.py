@@ -1018,7 +1018,9 @@ def cow_dynamic_protocol(
         # ---- incremental index maintenance on the SAME micro-batch
         if not dels.isEmpty():
             keep = read_snapshot(bs).select("vec_id")
-            nxt = delete_from_layered2(state["idx"], keep)
+            nxt = delete_from_layered2(
+                state["idx"], keep, dropped=dels.select("vec_id")
+            )
             state["idx"] = nxt
             stale.append(nxt)
             record(f"post_delete")

@@ -1136,3 +1136,43 @@ def test_repair_kernel_vectorized_matches_reference():
                     list(np.asarray(g)),
                     list(np.asarray(w)),
                 )
+
+
+def test_delete_layered2_broadcast_matches_semi(spark, sf_dir):
+    """The r15 broadcast anti-join delete (dropped ids shipped to the
+    executors, zero shuffles of the segment table) must produce a
+    segment table VALUE-IDENTICAL to the r14 shuffle semi-join form —
+    same surviving rows, same vectors, same (stale-edge-bearing)
+    adjacency lists — and identical probe results on it."""
+    from cs598vectordb_spark.operators.graph import (
+        build_layered_graph2,
+        delete_from_layered2,
+        knn_graph_layered2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = queries_from_embeddings(emb, NQ)
+    idx = build_layered_graph2(emb, 4, 4, degree=16)
+    keep = emb.filter(F.col("vec_id") % 3 != 0)
+    dropped = emb.filter(F.col("vec_id") % 3 == 0)
+
+    a = delete_from_layered2(idx, keep)
+    b = delete_from_layered2(idx, keep, dropped=dropped)
+
+    def rows(i):
+        return sorted(
+            (
+                r.segment_id,
+                r.vec_id,
+                tuple(r.nbr_ids) if r.nbr_ids is not None else None,
+            )
+            for r in i.segments.select("segment_id", "vec_id", "nbr_ids").collect()
+        )
+
+    assert rows(a) == rows(b)
+    kw = dict(nprobe1=2, nprobe2=6, beam=24)
+    pa = sorted(tuple(r) for r in knn_graph_layered2(a, q, K, **kw).collect())
+    pb = sorted(tuple(r) for r in knn_graph_layered2(b, q, K, **kw).collect())
+    assert pa == pb
+    for i in (idx, a, b):
+        i.segments.unpersist()

@@ -94,7 +94,7 @@ idx_pin = open_layered2(spark, g2_path, pinned=True)
 dyn_path = f"/tmp/cs598_spark_io/large_base_{MM}m/graph2_dyn"
 
 t0 = time.time()
-g2_del = delete_from_layered2(idx_pin, keep)
+g2_del = delete_from_layered2(idx_pin, keep, dropped=dropped)
 materialize_layered2(g2_del, dyn_path, pinned=False)
 out["delete_and_materialize_s"] = round(time.time() - t0, 1)
 
