@@ -363,11 +363,55 @@ def queued_oracle_sql() -> dict[str, str]:
     end to end (the dict maps name → SQL baked for the sf0.01 grading
     fixture). dsir_logweights + stream_quality_gate were promoted out
     of this queue in r13; bpe_token_stats + exact_substring_stats in
-    r14 (the queue is empty — and the pool sits at the hard 100-entry
-    cap, so the NEXT authored oracle parks here until a retirement
-    frees a slot)."""
+    r14. Queued r15: bm25_search — the inverted-token-join BM25 twin
+    (identical tokenization CTE, 6-dp rounding on both sides so rank
+    order is computed on the ROUNDED score and cannot flip on a
+    last-ulp summation difference; dress rehearsal
+    tests/test_hybrid.py::test_bm25_queued_oracle_dress_rehearsal).
+    The pool sits at the hard 100-entry cap, so it parks here until a
+    retirement frees a slot (policy-class candidates in CLAUDE.md)."""
     _ensure_loaded()
-    return {}
+    return {"bm25_search": _BM25_QUEUED_SQL}
+
+
+_BM25_QUEUED_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(
+    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+q AS (
+  SELECT doc_id AS q_id, unnest(list_distinct(string_split_regex(
+    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+'))) AS token
+  FROM documents WHERE doc_id < 20
+),
+scored AS (
+  SELECT q.q_id, tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM q
+  JOIN df USING (token)
+  JOIN tf USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2
+)
+SELECT q_id,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, bm25
+FROM scored
+QUALIFY rank <= 10
+"""
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:

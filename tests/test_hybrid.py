@@ -187,3 +187,42 @@ def test_hybrid_query_registered_runs(spark, sf_dir):
         per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
         assert r.lex_rank is not None or r.vec_rank is not None
     assert all(c == 10 for c in per_q.values())
+
+
+def test_bm25_queued_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the QUEUED bm25_search oracle
+    (registry.queued_oracle_sql, the r15 promotion candidate): the
+    engine's BM25 top-k and the DuckDB inverted-token-join twin must
+    agree row for row at sf0.001 under the driver's sorted-columns
+    value comparison — rank order is computed on the 6-dp ROUNDED
+    score on both sides, so a last-ulp summation difference cannot
+    flip it."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from cs598vectordb_spark.registry import queued_oracle_sql
+
+    sql = queued_oracle_sql()["bm25_search"]
+    sdf = em.queries()["bm25_search"](spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)
