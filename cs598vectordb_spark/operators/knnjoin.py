@@ -1,0 +1,266 @@
+"""Distributed k-NN join: every row of a QUERY TABLE gets its k nearest
+neighbors from an IVF-indexed base — no driver-sized query batch
+anywhere.
+
+Every other ANN probe in the engine (knn_exact/knn_ivf/knn_graph_*)
+serves a driver-held query batch, the reference's own serving shape
+(multi_tenant_script.py:101-142 holds `xq` in process). A training-data
+pipeline needs the TABLE×TABLE form — SemDeDup-style pruning, k-NN
+graph construction, corpus-vs-corpus contamination — where the query
+side is itself 100 TB-partitioned and can never visit the driver.
+
+Physical shape (the 100 TB design):
+  1. queries are assigned DISTRIBUTEDLY to their nprobe nearest IVF
+     cells (mapInPandas over the query table with the broadcast
+     centroid matrix — nlist×dim floats, the only driver-held state),
+     exploding to nprobe rows per query;
+  2. the base side is pre-filtered by a broadcast semi-join on the
+     ≤nlist distinct probed cells, so unprobed inverted lists are never
+     shuffled (a no-op at full probe, partition-level pruning at small
+     nprobe);
+  3. both sides co-partition on centroid_id via
+     groupBy().cogroup().applyInPandas — ONE shuffle each side, the
+     same key the index layout already uses — and a per-cell GEMM
+     emits each query's local top-k (≤ k rows per query per probed
+     cell);
+  4. a final per-query window (WindowGroupLimit: rank-filter group
+     limit, no full sort) merges the ≤ k·nprobe candidates per query.
+
+Skew: cell populations are bounded by the k-means balance the IVF
+builder already maintains (~N/nlist per cell, the `default_grid`
+sizing rule); an outlier cell is one AQE skew-split away, and nprobe
+multiplies only the (narrow) query side.
+
+Exactness: with nprobe = nlist every query probes every cell, so the
+candidate union covers the whole base and the join is EXACT — that is
+the registered `knn_join` configuration the DuckDB twin replays as a
+brute-force cross join (queued oracle, registry.queued_oracle_sql).
+Cosine scores are rounded to 6 dp BEFORE any ranking (local cell top-k
+and the final window use the same (rounded score, vec_id) comparator as
+the SQL twin), so a last-ulp float64 summation difference between
+numpy and DuckDB cannot flip an order. Partial probe is the scale
+path: `knn_join_ivf` at nprobe << nlist, recall-floor-pinned
+(tests/test_knnjoin.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.config import SEED  # noqa: F401  (seed parity with index builders)
+from cs598vectordb_spark.operators.index import IvfIndex, build_ivf_index
+
+COS_ROUND = 6  # shared with the DuckDB twin; see module docstring
+
+
+def default_join_nlist(n_rows: int) -> int:
+    """~1k rows per inverted list with a floor of 8 — the same
+    cells-∝-rows discipline as `default_grid2` (SCALING.md §6): the
+    per-cell GEMM block stays executor-sized as the corpus grows."""
+    import math
+
+    return max(8, math.ceil(n_rows / 1000))
+
+
+def _unit_rows(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+
+
+def assign_queries_ivf(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    id_col: str = "q_id",
+    vec_col: str = "embedding",
+    metric: str = "l2",
+) -> DataFrame:
+    """Distributed probe assignment: each query row explodes to its
+    `nprobe` nearest centroids (one GEMM per Arrow batch against the
+    broadcast centroid matrix; cosine assigns by ANGLE — normalized
+    dot — matching the spherical blocking build_join_index uses).
+    Output: (centroid_id, q_id, embedding), |Q|·nprobe rows — the
+    narrow side of the cell join."""
+    nprobe = min(nprobe, centroids.shape[0])
+    cosine = metric == "cosine"
+    bc = queries.sparkSession.sparkContext.broadcast(
+        _unit_rows(centroids) if cosine else centroids
+    )
+
+    def kern(batches):
+        C = bc.value
+        c2 = np.square(C).sum(1)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if cosine:
+                d2 = -(_unit_rows(Q) @ C.T)  # most-aligned first
+            else:
+                d2 = np.square(Q).sum(1, keepdims=True) - 2.0 * (Q @ C.T) + c2
+            # argpartition + per-row sort: O(nlist) per query, not a full sort
+            near = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "centroid_id": near.ravel().astype(np.int32),
+                    "q_id": np.repeat(pdf[id_col].to_numpy(dtype=np.int64), nprobe),
+                    vec_col: pdf[vec_col].to_numpy().repeat(nprobe),
+                }
+            )
+
+    return queries.select(F.col(id_col).alias("q_id"), vec_col).mapInPandas(
+        kern, f"centroid_id int, q_id long, {vec_col} array<float>"
+    )
+
+
+def build_join_index(
+    base: DataFrame,
+    nlist: int,
+    metric: str = "cosine",
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = SEED,
+) -> IvfIndex:
+    """Blocking index whose geometry matches the join metric. L2
+    delegates to build_ivf_index. Cosine is spherical k-means blocking:
+    centroids trained on UNIT-normalized samples and base rows assigned
+    by angle — cosine neighbors share direction, so direction cells are
+    the right blocks (an L2-cell index splits same-direction points by
+    magnitude and costs ~20 recall points at nprobe/nlist=1/4). The
+    assigned table keeps the ORIGINAL vectors: normalization is blocking
+    geometry only, scoring stays bit-identical to the brute-force twin."""
+    if metric == "l2":
+        return build_ivf_index(
+            base, nlist=nlist, train_sample=train_sample,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+    from cs598vectordb_spark.operators.index import _kmeans_fit
+
+    sample = base.select(id_col, vec_col).orderBy(id_col).limit(train_sample).toPandas()
+    X = _unit_rows(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    C = _unit_rows(_kmeans_fit(X, nlist, seed))
+    bc = base.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            yield pdf.assign(centroid_id=(B @ Cb.T).argmax(axis=1).astype(np.int32))
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    in_schema = base.select(id_col, vec_col).schema
+    out_schema = StructType(
+        list(in_schema.fields) + [StructField("centroid_id", IntegerType())]
+    )
+    assigned = base.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    return IvfIndex(assigned, C, nlist)
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    index: IvfIndex,
+    k: int = 5,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-cogrouped k-NN join of a query TABLE against an IvfIndex.
+
+    Returns (q_id, rank, vec_id, cos_sim|dist): rank 1..k per q_id,
+    cosine ranked on the 6-dp-rounded similarity (descending, vec_id
+    tie-break), L2 on the raw float64 squared distance (ascending).
+    `exclude_self` drops the (q_id == vec_id) pair — the self-join
+    configuration, where each query is also a base row."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    q_assigned = assign_queries_ivf(
+        queries, index.centroids, nprobe, id_col="q_id", vec_col=vec_col, metric=metric
+    )
+    # bounded probed-cell list (≤ nlist rows): broadcast semi-join so
+    # unprobed inverted lists never enter the cell shuffle
+    probed = q_assigned.select("centroid_id").distinct()
+    base = index.assigned.join(F.broadcast(probed), "centroid_id", "left_semi").select(
+        "centroid_id", F.col(id_col).alias("vec_id"), vec_col
+    )
+    cosine = metric == "cosine"
+    score_col = "cos_sim" if cosine else "dist"
+
+    def cell_kernel(qpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q_id": [], "vec_id": [], score_col: []})
+        if len(qpdf) == 0 or len(bpdf) == 0:
+            return empty
+        q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+        b_ids = bpdf["vec_id"].to_numpy(dtype=np.int64)
+        Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+        B = np.stack(bpdf[vec_col].to_numpy()).astype(np.float64)
+        if cosine:
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
+            # round BEFORE ranking: the comparator must equal the twin's
+            scores = np.round(Bn @ Qn.T, COS_ROUND)  # |B|×|Q|
+            bad = -np.inf
+        else:
+            from cs598vectordb_spark.operators.knn import squared_l2_block
+
+            scores = squared_l2_block(B, Q)
+            bad = np.inf
+        if exclude_self:
+            scores[b_ids[:, None] == q_ids[None, :]] = bad
+        from cs598vectordb_spark.operators.knn import _topk_from_scores
+
+        out = _topk_from_scores(scores, b_ids, q_ids, k, ascending=not cosine)
+        return out.rename(columns={"dist": score_col})
+
+    local = q_assigned.groupBy("centroid_id").cogroup(base.groupBy("centroid_id")).applyInPandas(
+        lambda qp, bp: cell_kernel(qp, bp),
+        f"q_id long, vec_id long, {score_col} double",
+    )
+    order = (
+        [F.col(score_col).desc(), F.col("vec_id").asc()]
+        if cosine
+        else [F.col(score_col).asc(), F.col("vec_id").asc()]
+    )
+    w = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", score_col)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int = 5,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+    metric: str = "cosine",
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Convenience form: build (or size) the IVF blocking index from the
+    base, then run the cogrouped cell join. nlist defaults by the
+    rows-per-cell rule; nprobe=None means FULL probe — the exact
+    configuration (candidate union covers the base)."""
+    if nlist is None:
+        nlist = default_join_nlist(base.count())
+    idx = build_join_index(base, nlist=nlist, metric=metric, id_col=id_col, vec_col=vec_col)
+    return knn_join_ivf(
+        queries,
+        idx,
+        k=k,
+        nprobe=nlist if nprobe is None else nprobe,
+        metric=metric,
+        exclude_self=exclude_self,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -498,3 +498,65 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bin") * 0.1, 1).alias("d2_lo"),
         F.count(F.lit(1)).alias("n"),
     ).select("bin", "d2_lo", "n")
+
+
+# ------------------------------------------------------------- kNN join
+
+# DuckDB twin for the EXACT (full-probe) distributed kNN self-join —
+# QUEUED for oracle promotion (registry.queued_oracle_sql; the pool sits
+# at the 100-entry cap). Rank is computed on the 6-dp ROUNDED cosine on
+# both sides (vec_id tie-break), the bm25_search discipline, so a
+# last-ulp summation difference cannot flip an order.
+KNN_JOIN_QUEUED_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT q_id,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank,
+       vec_id, cos_sim
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
+@register("knn_join")
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN SELF-join at FULL probe (exact): every embedding
+    row gets its 5 most-cosine-similar neighbors, query side a full
+    table (never a driver batch) — the SemDeDup/k-NN-graph shape
+    (operators/knnjoin.py module docstring; ref multi_tenant_script.py
+    holds xq in process — this is the table×table form it lacks).
+    Oracle QUEUED (KNN_JOIN_QUEUED_SQL — the brute-force cross-join
+    twin; dress-rehearsed in tests/test_knnjoin.py); rows-only until a
+    retirement frees a slot."""
+    from cs598vectordb_spark.operators.knnjoin import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    return knn_join(q, emb, k=5, metric="cosine", exclude_self=True)
+
+
+@register("knn_join_ivf")
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of the distributed kNN join: partial probe
+    (nprobe=4 of the rows-∝-cells nlist — sized for this fixture's
+    directionally near-isotropic embeddings, the blocking worst case;
+    clustered corpora run smaller probe fractions), cogrouped per-cell
+    GEMM with the broadcast-semi-join list pruning live. Rows-only
+    (approximate by design); recall floor + pruning pinned in
+    tests/test_knnjoin.py::test_knn_join_partial_probe_recall_floor."""
+    from cs598vectordb_spark.operators.knnjoin import (
+        build_join_index,
+        default_join_nlist,
+        knn_join_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    nlist = default_join_nlist(emb.count())
+    idx = build_join_index(emb, nlist=nlist, metric="cosine")
+    return knn_join_ivf(q, idx, k=5, nprobe=4, metric="cosine", exclude_self=True)

@@ -213,6 +213,11 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "knn_ivf2": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
     "ivf2_recall": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
     "ivf2_autotune": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
+    # distributed kNN join (r15): full-probe form oracle-QUEUED (the
+    # DuckDB cross-join twin parks in queued_oracle_sql until a
+    # retirement frees a slot); until promotion both entries pin here
+    "knn_join": "tests/test_knnjoin.py::test_knn_join_queued_oracle_dress_rehearsal",
+    "knn_join_ivf": "tests/test_knnjoin.py::test_knn_join_partial_probe_recall_floor",
     # SQ8
     "knn_sq8": "tests/test_index.py::test_sq8_roundtrip_and_recall",
     "sq8_recall": "tests/test_index.py::test_sq8_roundtrip_and_recall",
@@ -367,11 +372,17 @@ def queued_oracle_sql() -> dict[str, str]:
     (identical tokenization CTE, 6-dp rounding on both sides so rank
     order is computed on the ROUNDED score and cannot flip on a
     last-ulp summation difference; dress rehearsal
-    tests/test_hybrid.py::test_bm25_queued_oracle_dress_rehearsal).
-    The pool sits at the hard 100-entry cap, so it parks here until a
-    retirement frees a slot (policy-class candidates in CLAUDE.md)."""
+    tests/test_hybrid.py::test_bm25_queued_oracle_dress_rehearsal) —
+    and knn_join, the distributed kNN self-join's brute-force
+    cross-join twin (same rounded-rank discipline; dress rehearsal
+    tests/test_knnjoin.py::test_knn_join_queued_oracle_dress_rehearsal).
+    The pool sits at the hard 100-entry cap, so both park here until
+    retirements free slots (policy-class candidates in CLAUDE.md: one
+    each for the two queued births)."""
     _ensure_loaded()
-    return {"bm25_search": _BM25_QUEUED_SQL}
+    from cs598vectordb_spark.queries_vector import KNN_JOIN_QUEUED_SQL
+
+    return {"bm25_search": _BM25_QUEUED_SQL, "knn_join": KNN_JOIN_QUEUED_SQL}
 
 
 _BM25_QUEUED_SQL = """

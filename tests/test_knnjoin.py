@@ -1,0 +1,188 @@
+"""Distributed kNN join (operators/knnjoin.py): exactness at full
+probe, recall floor + list pruning at partial probe, the queued-oracle
+dress rehearsal, and the self-exclusion / empty-cell edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cs598vectordb_spark.operators.knnjoin import (
+    assign_queries_ivf,
+    build_join_index,
+    default_join_nlist,
+    knn_join,
+    knn_join_ivf,
+)
+
+
+def _brute_cosine_topk(ids, X, k, exclude_self=True):
+    """Pure-numpy comparator replica: 6-dp-rounded cosine desc, vec_id
+    asc — the same order the engine and the DuckDB twin use."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    rows = []
+    for j, q in enumerate(ids):
+        s = S[:, j].copy()
+        if exclude_self:
+            s[ids == q] = -np.inf
+        order = np.lexsort((ids, -s))[:k]
+        rows.extend(
+            (int(q), r + 1, int(ids[o]), float(s[o])) for r, o in enumerate(order)
+        )
+    return sorted(rows)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_knn_join_full_probe_matches_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    got = sorted(
+        (r.q_id, r.rank, r.vec_id, r.cos_sim)
+        for r in knn_join(q, emb, k=5, metric="cosine", exclude_self=True).collect()
+    )
+    pdf = emb.toPandas()
+    want = _brute_cosine_topk(
+        pdf["vec_id"].to_numpy(np.int64),
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64),
+        k=5,
+    )
+    assert got == want
+
+
+def test_knn_join_partial_probe_recall_floor(spark, sf_dir):
+    """nprobe=4 of the derived nlist clears the LSH-family 0.70 floor
+    EVEN ON THIS fixture, whose embeddings are directionally
+    near-isotropic (only ~9% of true cosine neighbors share the
+    query's label — measured r15), the worst case for any blocking;
+    clustered real corpora do far better at smaller probe fractions.
+    The broadcast semi-join pruning means the probed-cell list
+    actually bounds the base side (checked through the assignment
+    explode: every emitted candidate's cell was probed by its
+    query)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    nlist = default_join_nlist(emb.count())
+    idx = build_join_index(emb, nlist=nlist, metric="cosine")
+    approx = knn_join_ivf(q, idx, k=5, nprobe=4, exclude_self=True)
+    exact = knn_join_ivf(q, idx, k=5, nprobe=nlist, exclude_self=True)
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    assert len(a) > 0
+    recall = len(a & e) / len(e)
+    assert recall >= 0.70, recall
+    # pruning is real: candidates only come from cells the query probed
+    qa = assign_queries_ivf(q, idx.centroids, nprobe=4, metric="cosine")
+    probed_by_q = {
+        (r.q_id, r.centroid_id) for r in qa.select("q_id", "centroid_id").collect()
+    }
+    cell_of = {
+        r.vec_id: r.centroid_id
+        for r in idx.assigned.select("vec_id", "centroid_id").collect()
+    }
+    assert all((qid, cell_of[vid]) in probed_by_q for qid, vid in a)
+
+
+def test_knn_join_full_probe_is_exact_under_l2(spark, sf_dir):
+    """The L2 metric path: full-probe join rows equal the driver-batch
+    knn_exact kernel's rows on the same (query=base head) workload."""
+    from cs598vectordb_spark.operators.knn import knn_exact
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    nlist = default_join_nlist(emb.count())
+    joined = knn_join(
+        q, emb, k=5, nlist=nlist, metric="l2", exclude_self=False
+    )
+    batch = knn_exact(emb, q, k=5)
+    got = sorted((r.q_id, r.rank, r.vec_id) for r in joined.collect())
+    want = sorted((r.q_id, r.rank, r.vec_id) for r in batch.collect())
+    assert got == want
+
+
+def test_knn_join_excludes_self(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = knn_join(q, emb, k=3, metric="cosine", exclude_self=True).collect()
+    assert len(out) > 0
+    assert all(r.q_id != r.vec_id for r in out)
+
+
+def test_knn_join_empty_and_unprobed_cells(spark):
+    """nlist above the distinct-point count leaves k-means cells empty;
+    queries probing them must not fail, and results stay exact at full
+    probe (the candidate union still covers the base)."""
+    pts = [(i, [1.0 + i % 4, 1.0 + (i * 3) % 5]) for i in range(24)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [p[0] for p in pts], "embedding": [p[1] for p in pts]})
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    out = knn_join(q, emb, k=3, nlist=16, metric="cosine", exclude_self=True)
+    got = sorted(
+        (r.q_id, r.rank, r.vec_id, r.cos_sim) for r in out.collect()
+    )
+    pdf = emb.toPandas()
+    want = _brute_cosine_topk(
+        pdf["vec_id"].to_numpy(np.int64),
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64),
+        k=3,
+    )
+    assert got == want
+
+
+def test_knn_join_queued_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the QUEUED knn_join oracle
+    (registry.queued_oracle_sql, an r16 promotion candidate): the
+    engine's full-probe distributed self-join and the DuckDB
+    brute-force cross-join twin must agree row for row at sf0.001
+    under the driver's sorted-columns value comparison — rank is
+    computed on the 6-dp ROUNDED cosine on both sides."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from cs598vectordb_spark.registry import queued_oracle_sql
+
+    sql = queued_oracle_sql()["knn_join"]
+    sdf = em.queries()["knn_join"](spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)
+
+
+def test_knn_join_final_plan_group_limit(spark, sf_dir):
+    """The final per-query merge must be a WindowGroupLimit (rank-filter
+    group limit), not a full sort of every candidate row."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = knn_join(q, emb, k=5)._jdf.queryExecution().optimizedPlan().toString()
+    assert "WindowGroupLimit" in plan
