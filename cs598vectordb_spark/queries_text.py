@@ -1592,3 +1592,26 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return hybrid_search(docs, emb, n_queries=20, k=10)
+
+
+@register("quality_classifier")
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/quality_model.py): fastText-
+    style hashed word+bigram features into MLlib LogisticRegression,
+    trained on planted-corruption weak supervision (no external labels)
+    and scored over the balanced original∪corrupted set, holdout AUC
+    carried as a column. The model-based stage the curation funnel's
+    heuristic quality_scores pre-filters for. Rows-only (L-BFGS fp
+    summation is partitioning-dependent in the last ulps); separation,
+    AUC floor, and map-only scoring pinned in
+    tests/test_quality_model.py::test_quality_classifier_separates_planted_corruption."""
+    from cs598vectordb_spark.operators.quality_model import (
+        quality_training_set,
+        score_quality_model,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, auc = train_quality_classifier(docs)
+    scored = score_quality_model(model, quality_training_set(docs))
+    return scored.withColumn("holdout_auc", F.round(F.lit(auc), 3))

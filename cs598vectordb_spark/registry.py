@@ -292,6 +292,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
     "pii_redact": "tests/test_dedup_text.py::test_pii_redact_known_documents",
     "semdedup": "tests/test_dedup_text.py::test_semdedup_prunes_planted_duplicates",
+    "quality_classifier": (
+        "tests/test_quality_model.py::test_quality_classifier_separates_planted_corruption"
+    ),
     # lm_surprisal + clean_text PROMOTED to oracles r12 (the r11
     # queue); their closed-form/known-document pins remain as defense
     # in depth but are no longer the primary evidence.
