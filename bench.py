@@ -1659,6 +1659,61 @@ def main() -> int:
 
     ex1m.unpersist()
     exact_qps_1m = round(1000 / ex1m_sec, 1)
+
+    # distributed kNN JOIN at 100k×100k (r15): the table×table form —
+    # 100k queries never visit the driver; spherical IVF blocking,
+    # cogrouped per-cell GEMM, nprobe/nlist = 10%. Recall is sampled:
+    # 500 of the 100k queries re-scored by the exact driver-batch
+    # kernel. Runs after the maintenance blocks by the ordering rule
+    # (it is a throughput point, not a concurrency-sensitive sweep).
+    from cs598vectordb_spark.operators.knnjoin import (
+        build_join_index, default_join_nlist, knn_join_ivf,
+    )
+
+    kj_base = lb1m.filter(F.col("vec_id") < 100_000).select("vec_id", "embedding")
+    kj_q = kj_base.select(F.col("vec_id").alias("q_id"), "embedding")
+    kj_nlist = default_join_nlist(100_000)
+    t0 = time.time()
+    kj_idx = build_join_index(kj_base, nlist=kj_nlist, metric="cosine",
+                              train_sample=20_000)
+    kj_idx.assigned.persist().count()
+    kj_build_s = time.time() - t0
+    t0 = time.time()
+    kj_out = knn_join_ivf(kj_q, kj_idx, k=10, nprobe=kj_nlist // 10,
+                          exclude_self=True)
+    kj_out.persist()
+    kj_rows = kj_out.count()
+    kj_join_s = time.time() - t0
+    kj_sample = kj_q.filter(F.col("q_id") < 500)
+    t0 = time.time()
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in knn_exact(kj_base, kj_sample, k=10, metric="cosine")
+        .select("q_id", "vec_id").collect()
+    }
+    kj_exact_s = time.time() - t0
+    got = {
+        (r.q_id, r.vec_id)
+        for r in kj_out.filter(F.col("q_id") < 500)
+        .select("q_id", "vec_id").collect()
+    }
+    knn_join_100k = {
+        "n_base": 100_000, "n_queries": 100_000, "k": 10,
+        "nlist": kj_nlist, "nprobe": kj_nlist // 10,
+        "build_seconds": round(kj_build_s, 1),
+        "join_seconds": round(kj_join_s, 1),
+        "join_qps": round(100_000 / kj_join_s, 1),
+        "out_rows": kj_rows,
+        "recall_sampled_500": round(len(got & truth) / max(len(truth), 1), 4),
+        # the exact driver-batch kernel's per-query rate on the same
+        # base (500-query sample): what a brute-force table×table join
+        # would cost per query — the join's speedup denominator
+        "exact_sampled_qps": round(500 / kj_exact_s, 1),
+        "load": [round(x, 2) for x in os.getloadavg()],
+    }
+    kj_out.unpersist()
+    kj_idx.assigned.unpersist()
+
     large_base_1m = {
         "base_n": 1_000_000,
         "dim": 128,
@@ -1701,6 +1756,7 @@ def main() -> int:
         "zorder_scan": zorder_scan,
         "large_base": large_base,
         "large_base_1m": large_base_1m,
+        "knn_join_100k": knn_join_100k,
         "multi_tenant_stream_graph2": mt_stream,
         "index_build_seconds": build_seconds,
         "probe_qps": {
