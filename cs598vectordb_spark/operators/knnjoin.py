@@ -264,3 +264,37 @@ def knn_join(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def semantic_decontamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    tau: float = 0.35,
+    nlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: for EVERY training vector, its
+    single nearest eval-set vector and a `contaminated` flag at cosine
+    ≥ tau — the semantic complement of the shingle-overlap
+    `decontamination` op (paraphrased eval leakage carries no shingle).
+
+    Orientation is the 100 TB one: the EVAL set is the (small) indexed
+    base, the training corpus is the query TABLE streaming through the
+    cogrouped join — train never visits the driver, and the full-probe
+    join over the eval base is EXACT, so the flag is not approximate.
+    Every train row emits (flag true/false), so downstream anti-joins
+    and audits see the whole corpus, not just hits."""
+    q = train.select(F.col(id_col).alias("q_id"), vec_col)
+    if nlist is None:
+        nlist = default_join_nlist(eval_set.count())
+    idx = build_join_index(eval_set, nlist=nlist, metric="cosine",
+                           id_col=id_col, vec_col=vec_col)
+    hits = knn_join_ivf(q, idx, k=1, nprobe=nlist, metric="cosine",
+                        id_col=id_col, vec_col=vec_col)
+    return hits.select(
+        F.col("q_id").alias("train_id"),
+        F.col("vec_id").alias("eval_id"),
+        "cos_sim",
+        (F.col("cos_sim") >= tau).alias("contaminated"),
+    )

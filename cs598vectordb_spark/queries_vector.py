@@ -560,3 +560,21 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist = default_join_nlist(emb.count())
     idx = build_join_index(emb, nlist=nlist, metric="cosine")
     return knn_join_ivf(q, idx, k=5, nprobe=4, metric="cosine", exclude_self=True)
+
+
+@register("semantic_decontamination")
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/knnjoin.py): every
+    train vector (vec_id ≥ 50) against the eval base (vec_id < 50,
+    the small indexed side), exact full-probe nearest-eval + a
+    contaminated flag at cosine ≥ 0.35 (the fixture's p90 — flags
+    ~10%). Complements the shingle-overlap `decontamination` entry:
+    paraphrased leakage carries no shingle but keeps its embedding.
+    Rows-only (oracle pool at cap); value-exact vs numpy brute force
+    pinned in tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce."""
+    from cs598vectordb_spark.operators.knnjoin import semantic_decontamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontamination(
+        emb.filter(F.col("vec_id") >= 50), emb.filter(F.col("vec_id") < 50)
+    )

@@ -218,6 +218,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # retirement frees a slot); until promotion both entries pin here
     "knn_join": "tests/test_knnjoin.py::test_knn_join_queued_oracle_dress_rehearsal",
     "knn_join_ivf": "tests/test_knnjoin.py::test_knn_join_partial_probe_recall_floor",
+    "semantic_decontamination": (
+        "tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce"
+    ),
     # SQ8
     "knn_sq8": "tests/test_index.py::test_sq8_roundtrip_and_recall",
     "sq8_recall": "tests/test_index.py::test_sq8_roundtrip_and_recall",

@@ -186,3 +186,35 @@ def test_knn_join_final_plan_group_limit(spark, sf_dir):
     q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
     plan = knn_join(q, emb, k=5)._jdf.queryExecution().optimizedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_semantic_decontamination_matches_bruteforce(spark, sf_dir):
+    """Evidence pin for the rows-only `semantic_decontamination` entry:
+    full-probe nearest-eval is EXACT — every train row present, the
+    (eval_id, 6-dp cos_sim, flag) triple equal to the numpy brute
+    force under the shared comparator."""
+    from cs598vectordb_spark.operators.knnjoin import semantic_decontamination
+
+    emb = _emb(spark, sf_dir)
+    out = semantic_decontamination(
+        emb.filter(F.col("vec_id") >= 50), emb.filter(F.col("vec_id") < 50)
+    )
+    got = sorted(
+        (r.train_id, r.eval_id, r.cos_sim, r.contaminated) for r in out.collect()
+    )
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ev, tr = ids < 50, ids >= 50
+    S = np.round(Xn[tr] @ Xn[ev].T, 6)
+    eids = ids[ev]
+    want = []
+    for i, q in enumerate(ids[tr]):
+        s = S[i]
+        best = np.lexsort((eids, -s))[0]
+        want.append((int(q), int(eids[best]), float(s[best]), bool(s[best] >= 0.35)))
+    assert got == sorted(want)
+    assert len(got) == int(tr.sum())
+    flagged = sum(1 for r in got if r[3])
+    assert 0 < flagged < len(got)
