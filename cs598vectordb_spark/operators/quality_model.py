@@ -58,7 +58,6 @@ def quality_training_set(docs: DataFrame) -> DataFrame:
 
 
 def _feature_pipeline():
-    from pyspark.ml import Pipeline
     from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer, VectorAssembler
 
     tok = RegexTokenizer(inputCol="text", outputCol="_words", pattern=r"\W+", minTokenLength=1)
