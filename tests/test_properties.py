@@ -472,3 +472,58 @@ def test_dynamic_batcher_partition_property(sizes, cap):
     for f, g in zip(frames, got):
         assert sorted(g["q_id"]) == sorted(f["q_id"])
         assert list(g["vec_id"]) == [int(q) * 3 + 1 for q in g["q_id"]]
+
+
+# ------------------------------------------------- distributed kNN join
+
+_vec3 = st.lists(
+    st.integers(-40, 40).map(lambda i: i / 5.0),
+    min_size=3,
+    max_size=3,
+)
+
+
+@given(st.lists(_vec3, min_size=4, max_size=18), st.integers(2, 7))
+@settings(max_examples=6, deadline=None)
+def test_knn_join_full_probe_matches_bruteforce_property(vecs, nlist):
+    """Algebraic contract of the distributed kNN join on ARBITRARY
+    vector sets (not fixtures): at full probe the cogrouped cell join
+    equals the numpy brute force under the shared (6-dp-rounded cosine
+    desc, vec_id asc) comparator — including degenerate geometries
+    (duplicate vectors, collinear directions, nlist above the distinct
+    point count) that hand-written fixtures underrepresent."""
+    import pandas as pd
+
+    from cs598vectordb_spark.operators.knnjoin import knn_join
+
+    spark = _spark()
+    ids = np.arange(len(vecs), dtype=np.int64)
+    X = np.asarray(vecs, dtype=np.float64)
+    assume(np.all(np.linalg.norm(X, axis=1) > 1e-6))
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]})
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    q = emb.selectExpr("vec_id as q_id", "embedding")
+    k = 3
+    got = sorted(
+        (r.q_id, r.rank, r.vec_id, r.cos_sim)
+        for r in knn_join(
+            q, emb, k=k, nlist=nlist, metric="cosine", exclude_self=True
+        ).collect()
+    )
+    # brute force on the FLOAT32-cast vectors (what the engine scored)
+    Xf = X.astype(np.float32).astype(np.float64)
+    Xn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    want = []
+    for j in range(len(ids)):
+        s = S[:, j].copy()
+        s[j] = -np.inf
+        order = np.lexsort((ids, -s))[: min(k, len(ids) - 1)]
+        want.extend(
+            (int(ids[j]), r + 1, int(ids[o]), float(s[o]))
+            for r, o in enumerate(order)
+        )
+    assert got == sorted(want)
