@@ -1686,12 +1686,24 @@ def main() -> int:
     kj_join_s = time.time() - t0
     kj_sample = kj_q.filter(F.col("q_id") < 500)
     t0 = time.time()
-    truth = {
-        (r.q_id, r.vec_id)
-        for r in knn_exact(kj_base, kj_sample, k=10, metric="cosine")
-        .select("q_id", "vec_id").collect()
-    }
+    # truth must match the join's exclude_self=True: ask for k+1, drop
+    # the (q,q) self-pair, keep the top 10 of the remainder — with self
+    # in the truth set, recall saturated at exactly 0.9 and masked the
+    # whole 0.9–1.0 band (ADVICE r15)
+    kj_truth_rows = (
+        knn_exact(kj_base, kj_sample, k=11, metric="cosine")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", "rank").collect()
+    )
     kj_exact_s = time.time() - t0
+    by_q: dict[int, list] = {}
+    for r in kj_truth_rows:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    truth = {
+        (qid, vid)
+        for qid, rows in by_q.items()
+        for _, vid in sorted(rows)[:10]
+    }
     got = {
         (r.q_id, r.vec_id)
         for r in kj_out.filter(F.col("q_id") < 500)

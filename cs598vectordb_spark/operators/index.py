@@ -256,6 +256,12 @@ class IvfIndex:
     centroids: np.ndarray  # (nlist, dim)
     nlist: int
     path: str | None = None
+    # the metric the blocking geometry was BUILT for: "l2" cells split
+    # same-direction points by magnitude, cosine (spherical) cells
+    # share direction — probing one with the other's metric silently
+    # degrades partial-probe recall, so metric-aware consumers
+    # (knn_join_ivf) validate against this field (ADVICE r15)
+    metric: str = "l2"
 
     def close(self) -> None:
         """Release the assigned table if a caller persisted it (workload
@@ -281,7 +287,7 @@ def materialize_ivf(index: IvfIndex, path: str) -> IvfIndex:
         "overwrite"
     ).partitionBy("centroid_id").parquet(path)
     assigned = spark.read.parquet(path)
-    return IvfIndex(assigned, index.centroids, index.nlist, path)
+    return IvfIndex(assigned, index.centroids, index.nlist, path, index.metric)
 
 
 def _kmeans_fit(X: np.ndarray, k: int, seed: int = SEED, iters: int = 20) -> np.ndarray:

@@ -34,11 +34,16 @@ multiplies only the (narrow) query side.
 Exactness: with nprobe = nlist every query probes every cell, so the
 candidate union covers the whole base and the join is EXACT — that is
 the registered `knn_join` configuration the DuckDB twin replays as a
-brute-force cross join (queued oracle, registry.queued_oracle_sql).
-Cosine scores are rounded to 6 dp BEFORE any ranking (local cell top-k
-and the final window use the same (rounded score, vec_id) comparator as
-the SQL twin), so a last-ulp float64 summation difference between
-numpy and DuckDB cannot flip an order. Partial probe is the scale
+brute-force cross join (oracle PROMOTED r16). Cosine scores are
+rounded to 6 dp BEFORE any ranking (local cell top-k and the final
+window use the same (rounded score, vec_id) comparator as the SQL
+twin), so a last-ulp float64 summation difference between numpy and
+DuckDB cannot flip an order — and the LOCAL cut is tie-INCLUSIVE
+(_topk_tie_inclusive): every row tying the kth-best rounded score
+survives to the final window, which alone applies the vec_id
+tie-break. An argpartition-only local cut kept an arbitrary member of
+a rounded-score tie straddling the k boundary, nondeterministically
+disagreeing with the twin (ADVICE r15). Partial probe is the scale
 path: `knn_join_ivf` at nprobe << nlist, recall-floor-pinned
 (tests/test_knnjoin.py).
 """
@@ -67,6 +72,44 @@ def default_join_nlist(n_rows: int) -> int:
 
 def _unit_rows(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+
+
+def _topk_tie_inclusive(
+    scores: np.ndarray,
+    ids: np.ndarray,
+    q_ids: np.ndarray,
+    k: int,
+    ascending: bool,
+    score_col: str,
+) -> pd.DataFrame:
+    """Per-query-column local top-k that KEEPS boundary ties: every
+    finite row whose score ties-or-beats the kth best is emitted, so
+    the final window — the only place the (score, vec_id) comparator
+    is canonical across cells — decides which tie member ranks k.
+    Scores arrive pre-rounded (cosine) so ties are exact equality;
+    emission is ≤ k + the boundary tie width per query (cells are
+    ~1k rows, ties are O(1) on real data). Masked rows (±inf from
+    exclude_self) never emit."""
+    col = scores if ascending else -scores
+    n, nq = col.shape
+    k_eff = min(k, n)
+    kth = np.partition(col, k_eff - 1, axis=0)[k_eff - 1, :]
+    out_q, out_id, out_d = [], [], []
+    for j in range(nq):
+        c = col[:, j]
+        sel = np.flatnonzero((c <= kth[j]) & np.isfinite(c))
+        order = np.lexsort((ids[sel], c[sel]))
+        sel = sel[order]
+        out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
+        out_id.append(ids[sel])
+        out_d.append(scores[sel, j])
+    return pd.DataFrame(
+        {
+            "q_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
+            "vec_id": np.concatenate(out_id) if out_id else np.array([], dtype=np.int64),
+            score_col: np.concatenate(out_d) if out_d else np.array([], dtype=np.float64),
+        }
+    )
 
 
 def assign_queries_ivf(
@@ -159,7 +202,7 @@ def build_join_index(
         list(in_schema.fields) + [StructField("centroid_id", IntegerType())]
     )
     assigned = base.select(id_col, vec_col).mapInPandas(assign, out_schema)
-    return IvfIndex(assigned, C, nlist)
+    return IvfIndex(assigned, C, nlist, metric="cosine")
 
 
 def knn_join_ivf(
@@ -181,15 +224,36 @@ def knn_join_ivf(
     configuration, where each query is also a base row."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
+    if metric != index.metric:
+        # probing an L2-blocked index by angle (or vice versa) uses the
+        # wrong blocking geometry and silently degrades partial-probe
+        # recall — the build metric travels on IvfIndex (ADVICE r15)
+        raise ValueError(
+            f"index was blocked for metric {index.metric!r}; "
+            f"join requested {metric!r} — rebuild with build_join_index"
+        )
     q_assigned = assign_queries_ivf(
         queries, index.centroids, nprobe, id_col="q_id", vec_col=vec_col, metric=metric
     )
-    # bounded probed-cell list (≤ nlist rows): broadcast semi-join so
-    # unprobed inverted lists never enter the cell shuffle
-    probed = q_assigned.select("centroid_id").distinct()
-    base = index.assigned.join(F.broadcast(probed), "centroid_id", "left_semi").select(
-        "centroid_id", F.col(id_col).alias("vec_id"), vec_col
-    )
+    if nprobe >= index.nlist:
+        # full probe: every list is probed, the semi-join is a no-op —
+        # skip it so the assignment GEMM runs exactly once (as the
+        # single cogroup input) instead of twice (ADVICE r15)
+        base = index.assigned.select(
+            "centroid_id", F.col(id_col).alias("vec_id"), vec_col
+        )
+    else:
+        # partial probe: materialize the assignment once (localCheckpoint
+        # → executor block storage, auto-freed by the ContextCleaner when
+        # the plan is GC'd) so deriving the probed-cell list does not
+        # re-run the assignment GEMM over the whole query table
+        q_assigned = q_assigned.localCheckpoint(eager=True)
+        # bounded probed-cell list (≤ nlist rows): broadcast semi-join so
+        # unprobed inverted lists never enter the cell shuffle
+        probed = q_assigned.select("centroid_id").distinct()
+        base = index.assigned.join(
+            F.broadcast(probed), "centroid_id", "left_semi"
+        ).select("centroid_id", F.col(id_col).alias("vec_id"), vec_col)
     cosine = metric == "cosine"
     score_col = "cos_sim" if cosine else "dist"
 
@@ -214,10 +278,9 @@ def knn_join_ivf(
             bad = np.inf
         if exclude_self:
             scores[b_ids[:, None] == q_ids[None, :]] = bad
-        from cs598vectordb_spark.operators.knn import _topk_from_scores
-
-        out = _topk_from_scores(scores, b_ids, q_ids, k, ascending=not cosine)
-        return out.rename(columns={"dist": score_col})
+        return _topk_tie_inclusive(
+            scores, b_ids, q_ids, k, ascending=not cosine, score_col=score_col
+        )
 
     local = q_assigned.groupBy("centroid_id").cogroup(base.groupBy("centroid_id")).applyInPandas(
         lambda qp, bp: cell_kernel(qp, bp),

@@ -140,6 +140,52 @@ def test_knn_join_empty_and_unprobed_cells(spark):
     assert got == want
 
 
+def test_knn_join_tie_straddling_k_boundary_is_canonical(spark):
+    """ADVICE r15: a rounded-score tie straddling the local k boundary
+    must resolve by the canonical (score, vec_id ASC) comparator, not
+    by whichever member argpartition happened to keep. 12 exact copies
+    of one vector tie at cosine 1.0 — far wider than k=3 — so the
+    local cut MUST be tie-inclusive for the final window to pick the
+    lowest vec_ids."""
+    dup = [1.0, 2.0, 3.0]
+    others = [[3.0, 1.0, 2.0], [2.0, 3.0, 1.0], [1.0, 1.0, 9.0]]
+    pts = [(i, dup) for i in range(12)] + [
+        (12 + i, v) for i, v in enumerate(others)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [p[0] for p in pts], "embedding": [p[1] for p in pts]})
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    got = sorted(
+        (r.q_id, r.rank, r.vec_id, r.cos_sim)
+        for r in knn_join(q, emb, k=3, nlist=4, metric="cosine",
+                          exclude_self=True).collect()
+    )
+    pdf = emb.toPandas()
+    want = _brute_cosine_topk(
+        pdf["vec_id"].to_numpy(np.int64),
+        np.stack(pdf["embedding"].to_numpy()).astype(np.float64),
+        k=3,
+    )
+    assert got == want
+    # the duplicate-copy queries must rank the LOWEST-id other copies
+    for qid in range(12):
+        mine = [vid for (g, _, vid, _) in got if g == qid]
+        assert mine == sorted(set(range(12)) - {qid})[:3], (qid, mine)
+
+
+def test_knn_join_metric_mismatch_raises(spark, sf_dir):
+    """The blocking geometry's build metric travels on IvfIndex; probing
+    with the other metric is a silent recall bug, so it raises."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    idx = build_join_index(emb, nlist=8, metric="cosine")
+    with pytest.raises(ValueError, match="blocked for metric"):
+        knn_join_ivf(q, idx, k=3, nprobe=2, metric="l2")
+
+
 def test_knn_join_queued_oracle_dress_rehearsal(spark, sf_dir):
     """Dress rehearsal for the QUEUED knn_join oracle
     (registry.queued_oracle_sql, an r16 promotion candidate): the
