@@ -189,36 +189,21 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_decode_image(_media(spark, sf_dir))
 
 
-@register(
-    "media_decode_wav",
-    f"""
-WITH {_MEDIA_HEX},
-px AS (
-  SELECT doc_id, hex, length(hex) // 2 AS nb FROM media
-),
-amp AS (
-  SELECT doc_id,
-         list_transform(generate_series(0::BIGINT, 63),
-                        t -> CASE WHEN ({_byte("((2*t+1) % nb) + 1")}) * 256
-                                     + ({_byte("((2*t) % nb) + 1")}) >= 32768
-                             THEN ({_byte("((2*t+1) % nb) + 1")}) * 256
-                                     + ({_byte("((2*t) % nb) + 1")}) - 65536
-                             ELSE ({_byte("((2*t+1) % nb) + 1")}) * 256
-                                     + ({_byte("((2*t) % nb) + 1")}) END) AS s
-  FROM px
-)
-SELECT doc_id, 64 AS n_samples, 8000 AS sample_rate,
-       CAST(list_sum(s) AS BIGINT) AS sum_amp,
-       CAST(list_min(s) AS INTEGER) AS min_amp,
-       CAST(list_max(s) AS INTEGER) AS max_amp
-FROM amp
-""",
-)
+@register("media_decode_wav")
 def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio-codec round-trip (WAV sibling of media_decode_bmp):
     payload bytes -> int16 samples -> actual RIFF/WAV file -> decoded
-    back by the engine's own parser, amplitude stats value-hashed
-    against byte-level recomputation in DuckDB."""
+    back by the engine's own parser.
+
+    ORACLE RETIRED r16 (slot budget, near-duplicate-evidence class (2),
+    funding the knn_join promotion): the WAV and BMP round-trips tile
+    the SAME md5 payload bytes through the engine's own codec, and
+    media_decode_bmp stays oracle-graded. The amplitude stats carry a
+    pure-Python value-exact recomputation pin — the retired DuckDB
+    twin's exact byte arithmetic — in
+    tests/test_multimodal.py::test_media_decode_wav_value_exact, and
+    the codec's sample-exact losslessness is separately pinned by
+    tests/test_multimodal.py::test_bmp_wav_codecs_roundtrip_exact."""
     from cs598vectordb_spark.operators.multimodal import media_decode_audio
 
     return media_decode_audio(_media(spark, sf_dir))

@@ -128,18 +128,20 @@ def q_scan_fvecs_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _norm_dashboard(back)
 
 
-@register(
-    "scan_ivecs",
-    """
-SELECT vec_id,
-       CAST(3 AS INTEGER) AS n,
-       CAST(label + vec_id % 7 + len(embedding) AS BIGINT) AS s
-FROM embeddings
-""",
-)
+@register("scan_ivecs")
 def q_scan_ivecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: int-vector round-trip through ivecs shards (ref reader:
-    dynamic_script_faiss.py:9-12). Payload = [label, vec_id%7, dim]."""
+    dynamic_script_faiss.py:9-12). Payload = [label, vec_id%7, dim].
+
+    ORACLE RETIRED r16 (slot budget, shared-evidence class (2), funding
+    the bm25_search promotion): the shard writer/reader is the same
+    write_vecs/_decode_blob path as the retired-and-pinned scan_fvecs
+    modulo the int32 view (sources/vecfiles.py:245-249), the decode
+    round-trip is pinned by tests/test_sources.py::test_ivecs_roundtrip,
+    and this dashboard carries a pure-Python value-exact recomputation
+    pin (tests/test_sources.py::test_scan_ivecs_value_exact — the
+    retired DuckDB twin's exact arithmetic: n == 3, s == label +
+    vec_id%7 + dim for every row)."""
     emb = load_table(spark, sf_dir, "embeddings")
     ints = emb.select(
         "vec_id",

@@ -1551,7 +1551,102 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer.bpe_encode_stats(docs, merges)
 
 
-@register("bm25_search")
+# BM25 DuckDB CTEs: identical tokenization on both sides; the score is
+# 6-dp ROUNDED before any ranking (doc_id tie-break) so a last-ulp
+# summation difference cannot flip an order. `scored` is (q_id, doc_id,
+# bm25) for the first-20-documents query set — shared by the bm25_search
+# oracle and the queued hybrid RRF twin's lexical leg.
+_BM25_CTES = """toks AS (
+  SELECT doc_id, unnest(string_split_regex(
+    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+q AS (
+  SELECT doc_id AS q_id, unnest(list_distinct(string_split_regex(
+    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+'))) AS token
+  FROM documents WHERE doc_id < 20
+),
+scored AS (
+  SELECT q.q_id, tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 6) AS bm25
+  FROM q
+  JOIN df USING (token)
+  JOIN tf USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
+SELECT q_id,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, bm25
+FROM scored
+QUALIFY rank <= 10
+"""
+
+# QUEUED r16 (registry.queued_oracle_sql; the oracle pool is at the
+# 100-entry cap — promotable r17 once a retirement frees a slot): the
+# hybrid RRF twin. Lexical leg = the registered BM25 `scored` CTE
+# re-ranked to k·expand = 20; vector leg = brute-force raw cosine
+# (the green knn_cosine discipline: rank-adjacent margins on this
+# fixture are ~5e-6 vs ~1e-15 fp reorder noise, so raw-double ranks
+# agree across engines); fusion = COALESCE(1/(60+rank)) sums — IEEE
+# division/addition of small exact integers, bit-identical on both
+# sides — re-ranked to k = 10 with the doc_id tie-break.
+HYBRID_RRF_QUEUED_SQL = f"""
+WITH {_BM25_CTES},
+lex AS (
+  SELECT q_id, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS lex_rank
+  FROM scored
+  QUALIFY lex_rank <= 20
+),
+vpairs AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < 20
+),
+vec AS (
+  SELECT q_id, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY q_id ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS vec_rank
+  FROM vpairs
+  QUALIFY vec_rank <= 20
+),
+fused AS (
+  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rank, v.vec_rank,
+         COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+           + COALESCE(1.0 / (60.0 + v.vec_rank), 0.0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+)
+SELECT q_id,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, rrf, lex_rank, vec_rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
+@register("bm25_search", _BM25_ORACLE)
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval over the documents corpus — the
     lexical leg of the engine's hybrid-retrieval surface
@@ -1561,10 +1656,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline — keeps the token-key join linear at corpus scale; OFF
     here because the synthetic fixture's 31-word vocabulary is
     all-stopwords by construction, pinned in
-    tests/test_hybrid.py::test_bm25_df_cap_drops_stopwords). Rows-only
-    (float scoring; the token-join SQL twin is promotable when an
-    oracle slot frees); value-pinned against an independent
-    pure-Python BM25 in
+    tests/test_hybrid.py::test_bm25_df_cap_drops_stopwords).
+    ORACLE PROMOTED r16 (queued since r15, funded by the scan_ivecs
+    retirement): the inverted-token-join DuckDB twin above, rank on the
+    6-dp-rounded score both sides; also value-pinned against an
+    independent pure-Python BM25 in
     tests/test_hybrid.py::test_bm25_matches_pure_python."""
     from cs598vectordb_spark.operators.hybrid import bm25_scores
 

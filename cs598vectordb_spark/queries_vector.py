@@ -503,11 +503,11 @@ def q_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- kNN join
 
 # DuckDB twin for the EXACT (full-probe) distributed kNN self-join —
-# QUEUED for oracle promotion (registry.queued_oracle_sql; the pool sits
-# at the 100-entry cap). Rank is computed on the 6-dp ROUNDED cosine on
-# both sides (vec_id tie-break), the bm25_search discipline, so a
-# last-ulp summation difference cannot flip an order.
-KNN_JOIN_QUEUED_SQL = """
+# PROMOTED to the grading head r16 (queued r15; funded by the
+# media_decode_wav retirement). Rank is computed on the 6-dp ROUNDED
+# cosine on both sides (vec_id tie-break), the bm25_search discipline,
+# so a last-ulp summation difference cannot flip an order.
+KNN_JOIN_ORACLE = """
 WITH pairs AS (
   SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -523,16 +523,17 @@ QUALIFY rank <= 5
 """
 
 
-@register("knn_join")
+@register("knn_join", KNN_JOIN_ORACLE)
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed kNN SELF-join at FULL probe (exact): every embedding
     row gets its 5 most-cosine-similar neighbors, query side a full
     table (never a driver batch) — the SemDeDup/k-NN-graph shape
     (operators/knnjoin.py module docstring; ref multi_tenant_script.py
     holds xq in process — this is the table×table form it lacks).
-    Oracle QUEUED (KNN_JOIN_QUEUED_SQL — the brute-force cross-join
-    twin; dress-rehearsed in tests/test_knnjoin.py); rows-only until a
-    retirement frees a slot."""
+    ORACLE PROMOTED r16 (queued since r15, funded by the
+    media_decode_wav retirement): the brute-force cross-join twin,
+    rank on the 6-dp-rounded cosine both sides; dress-rehearsed in
+    tests/test_knnjoin.py."""
     from cs598vectordb_spark.operators.knnjoin import knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")

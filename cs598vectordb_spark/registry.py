@@ -141,45 +141,64 @@ def _bake_builders() -> None:
 # from here is the 50/50 ping-pong at the 100 cap; any future birth
 # still requires a same-round retirement FROM THE DUE SET (the only
 # retirement that frees a slot in the round it lands).
+# r16 ROTATION (executed; due set recomputed from CORRECTNESS_r14∪r15:
+# disjoint 50+50 greens covering all 100 oracled names, so the due set
+# is EXACTLY the 50 r14-green entries — zero slack). The two r15-queued
+# births are funded by TWO retirements FROM THE DUE SET, the plan the
+# r15 verdict ordered:
+#   retire scan_ivecs (shared-evidence class (2): the shard
+#     writer/reader is the retired-and-pinned scan_fvecs' own
+#     write_vecs/_decode_blob path modulo the int32 view; value-exact
+#     pure-Python pin tests/test_sources.py::test_scan_ivecs_value_exact)
+#   and media_decode_wav (near-duplicate-evidence class (2): same md5
+#     payload tiling through the engine codec as the STILL-GRADED
+#     media_decode_bmp; value-exact pin
+#     tests/test_multimodal.py::test_media_decode_wav_value_exact);
+#   promote bm25_search + knn_join (the r15 queue, both dress-rehearsed
+#     vs DuckDB in pytest and check_oracle-verified before promotion).
+# Net: 100 − 2 + 2 = 100 oracled, slack 0; r16 head = 48 due + 2
+# births = 50 exactly. The r17 due set will be the 50 r15-greens.
 _PRIORITY: tuple[str, ...] = (
-    # --- the r13-green set not re-graded in round 14; newest green row
-    # is r13, so the ≤2-rounds invariant makes all 50 due now.
-    "asof_attribution", "brand_top_parts", "customer_number_extract",
-    "customer_order_gaps", "customer_order_stats", "dedup_clusters",
-    "delete_pct", "doc_stats", "dsir_logweights",
-    "events_first5_series", "events_last5_summary", "fingerprints",
-    "funnel_steps", "ingest", "insert_restore", "jaccard_topk",
-    "knn_exact", "knn_exact_pca", "knn_filtered", "knn_post_delete",
-    "lang_detect", "lineitem_rollup", "lm_surprisal",
-    "local_supplier_volume", "media_decode_ppm", "media_dedup",
-    "order_priority_count", "orders_cube",
-    "priority_customers_setops", "quality_scores", "recall_low_dim",
-    "repetition_scores", "revenue_change", "sessionize",
-    "shipping_priority", "source_summary", "sq8_encode",
-    "sql_text_surface", "status_pivot", "stratified_sample",
-    "stream_events_hourly", "stream_ingest_updates",
-    "stream_interval_join", "stream_interval_join_outer",
-    "stream_late_data", "stream_merge_upserts_cow",
-    "stream_quality_gate", "stream_sessionize", "stream_sink_parquet",
-    "upsert_guard",
+    # --- the r14-green set not re-graded in round 15; newest green row
+    # is r14, so the ≤2-rounds invariant makes all 48 still-oracled
+    # ones due now (scan_ivecs + media_decode_wav retired this round).
+    "acctbal_deciles", "bpe_token_stats", "bucketed_customer_orders",
+    "chunk_documents", "clean_text", "cohort_retention",
+    "curate_corpus", "decimal_revenue", "decontamination",
+    "dedup_exact", "distance_histogram", "embedding_near_dup",
+    "event_value_percentiles", "events_hourly",
+    "exact_substring_stats", "hash_split", "knn_cosine",
+    "knn_exact_2k", "knn_ip", "load_dataset", "media_decode_bmp",
+    "media_features", "media_frame_sample", "media_resize_pixels",
+    "media_summary", "merge_upsert", "minhash_lsh_dedup",
+    "mixture_sample", "ngram_profile", "pack_sequences",
+    "pricing_summary", "props_json_extract", "range_click_burst",
+    "range_search", "salted_user_stats", "scan_logs",
+    "semantic_doc_search", "shingle_cardinality_kmv",
+    "simhash_near_dups", "sq8_error", "stream_dedup",
+    "stream_interval_join_full", "stream_knn", "stream_merge_upserts",
+    "stream_near_dedup", "stream_stateful_counts",
+    "stream_static_enrich", "tfidf_keywords",
+    # --- the two r16 births (first green row lands this round)
+    "bm25_search", "knn_join",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r14-green entries not re-graded this round (due back in r16, all
-    # 50: bpe_token_stats, exact_substring_stats, acctbal_deciles,
-    # bucketed_customer_orders, chunk_documents, clean_text,
-    # cohort_retention, curate_corpus, decimal_revenue,
-    # decontamination, dedup_exact, distance_histogram,
-    # embedding_near_dup, event_value_percentiles, events_hourly,
-    # hash_split, knn_cosine, knn_exact_2k, knn_ip, load_dataset,
-    # media_decode_bmp, media_decode_wav, media_features,
-    # media_frame_sample, media_resize_pixels, media_summary,
-    # merge_upsert, minhash_lsh_dedup, mixture_sample, ngram_profile,
-    # pack_sequences, pricing_summary, props_json_extract,
-    # range_click_burst, range_search, salted_user_stats, scan_ivecs,
-    # scan_logs, semantic_doc_search, shingle_cardinality_kmv,
-    # simhash_near_dups, sq8_error, stream_dedup,
-    # stream_interval_join_full, stream_knn, stream_merge_upserts,
-    # stream_near_dedup, stream_stateful_counts, stream_static_enrich,
-    # tfidf_keywords)
+    # r15-green entries not re-graded this round (due back in r17, all
+    # 50: asof_attribution, brand_top_parts, customer_number_extract,
+    # customer_order_gaps, customer_order_stats, dedup_clusters,
+    # delete_pct, doc_stats, dsir_logweights, events_first5_series,
+    # events_last5_summary, fingerprints, funnel_steps, ingest,
+    # insert_restore, jaccard_topk, knn_exact, knn_exact_pca,
+    # knn_filtered, knn_post_delete, lang_detect, lineitem_rollup,
+    # lm_surprisal, local_supplier_volume, media_decode_ppm,
+    # media_dedup, order_priority_count, orders_cube,
+    # priority_customers_setops, quality_scores, recall_low_dim,
+    # repetition_scores, revenue_change, sessionize,
+    # shipping_priority, source_summary, sq8_encode, sql_text_surface,
+    # status_pivot, stratified_sample, stream_events_hourly,
+    # stream_ingest_updates, stream_interval_join,
+    # stream_interval_join_outer, stream_late_data,
+    # stream_merge_upserts_cow, stream_quality_gate,
+    # stream_sessionize, stream_sink_parquet, upsert_guard)
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -213,10 +232,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "knn_ivf2": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
     "ivf2_recall": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
     "ivf2_autotune": "tests/test_index.py::test_ivf2_recall_and_full_probe_exact",
-    # distributed kNN join (r15): full-probe form oracle-QUEUED (the
-    # DuckDB cross-join twin parks in queued_oracle_sql until a
-    # retirement frees a slot); until promotion both entries pin here
-    "knn_join": "tests/test_knnjoin.py::test_knn_join_queued_oracle_dress_rehearsal",
+    # distributed kNN join (r15): knn_join (full probe) PROMOTED to an
+    # oracle r16 — the partial-probe scale path stays rows-only
+    # (approximate by design), recall-floor + pruning pinned
     "knn_join_ivf": "tests/test_knnjoin.py::test_knn_join_partial_probe_recall_floor",
     "semantic_decontamination": (
         "tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce"
@@ -286,7 +304,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "stream_join_state_bound": "tests/test_streaming.py::test_stream_join_state_bound",
     "stream_hourly_unique_users": "tests/test_streaming.py::test_stream_hourly_unique_users_sketch_accuracy",
     # text / io / relational sketches
-    "bm25_search": "tests/test_hybrid.py::test_bm25_matches_pure_python",
+    # bm25_search PROMOTED to an oracle r16 (queued r15, funded by the
+    # scan_ivecs retirement); its pure-Python pin remains as defense
+    # in depth but is no longer the primary evidence.
     "hybrid_rrf_search": (
         "tests/test_hybrid.py::test_hybrid_search_self_retrieval"
     ),
@@ -321,8 +341,15 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # closed-form pins remain as defense in depth.
     # retired-oracle entry (r14) — bit-exact decode round-trip + pure-
     # Python norm-dashboard recomputation; the shard reader is shared
-    # with the still-graded scan_ivecs (sources/vecfiles.py:245-249)
+    # with scan_ivecs (sources/vecfiles.py:245-249)
     "scan_fvecs": "tests/test_sources.py::test_scan_fvecs_value_exact",
+    # retired-oracle entries (r16, funding the bm25_search/knn_join
+    # promotions) — value-exact pure-Python recomputations of the
+    # retired twins' exact arithmetic
+    "scan_ivecs": "tests/test_sources.py::test_scan_ivecs_value_exact",
+    "media_decode_wav": (
+        "tests/test_multimodal.py::test_media_decode_wav_value_exact"
+    ),
     "media_audio_frames": (
         "tests/test_multimodal.py::test_audio_frame_features_closed_form"
     ),
@@ -374,61 +401,17 @@ def queued_oracle_sql() -> dict[str, str]:
     end to end (the dict maps name → SQL baked for the sf0.01 grading
     fixture). dsir_logweights + stream_quality_gate were promoted out
     of this queue in r13; bpe_token_stats + exact_substring_stats in
-    r14. Queued r15: bm25_search — the inverted-token-join BM25 twin
-    (identical tokenization CTE, 6-dp rounding on both sides so rank
-    order is computed on the ROUNDED score and cannot flip on a
-    last-ulp summation difference; dress rehearsal
-    tests/test_hybrid.py::test_bm25_queued_oracle_dress_rehearsal) —
-    and knn_join, the distributed kNN self-join's brute-force
-    cross-join twin (same rounded-rank discipline; dress rehearsal
-    tests/test_knnjoin.py::test_knn_join_queued_oracle_dress_rehearsal).
-    The pool sits at the hard 100-entry cap, so both park here until
-    retirements free slots (policy-class candidates in CLAUDE.md: one
-    each for the two queued births)."""
+    r14; bm25_search + knn_join (queued r15) in r16, funded by the
+    scan_ivecs / media_decode_wav retirements. Queued r16:
+    hybrid_rrf_search — the RRF fusion twin composed from the
+    now-registered BM25 CTE and a brute-force-cosine CTE (dress
+    rehearsal tests/test_hybrid.py::
+    test_hybrid_rrf_queued_oracle_dress_rehearsal), parked until an
+    r17 retirement frees a slot."""
     _ensure_loaded()
-    from cs598vectordb_spark.queries_vector import KNN_JOIN_QUEUED_SQL
+    from cs598vectordb_spark.queries_text import HYBRID_RRF_QUEUED_SQL
 
-    return {"bm25_search": _BM25_QUEUED_SQL, "knn_join": KNN_JOIN_QUEUED_SQL}
-
-
-_BM25_QUEUED_SQL = """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(
-    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+')) AS token
-  FROM documents
-),
-tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-stats AS (
-  SELECT (SELECT COUNT(*) FROM documents) AS n,
-         (SELECT AVG(dl) FROM dl) AS avgdl
-),
-q AS (
-  SELECT doc_id AS q_id, unnest(list_distinct(string_split_regex(
-    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+'))) AS token
-  FROM documents WHERE doc_id < 20
-),
-scored AS (
-  SELECT q.q_id, tf.doc_id,
-         ROUND(SUM(
-           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-           * tf.tf * (1.2 + 1.0)
-           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
-         ), 6) AS bm25
-  FROM q
-  JOIN df USING (token)
-  JOIN tf USING (token)
-  JOIN dl ON tf.doc_id = dl.doc_id, stats
-  GROUP BY 1, 2
-)
-SELECT q_id,
-       CAST(row_number() OVER (
-         PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank,
-       doc_id, bm25
-FROM scored
-QUALIFY rank <= 10
-"""
+    return {"hybrid_rrf_search": HYBRID_RRF_QUEUED_SQL}
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:

@@ -189,26 +189,24 @@ def test_hybrid_query_registered_runs(spark, sf_dir):
     assert all(c == 10 for c in per_q.values())
 
 
-def test_bm25_queued_oracle_dress_rehearsal(spark, sf_dir):
-    """Dress rehearsal for the QUEUED bm25_search oracle
-    (registry.queued_oracle_sql, the r15 promotion candidate): the
-    engine's BM25 top-k and the DuckDB inverted-token-join twin must
-    agree row for row at sf0.001 under the driver's sorted-columns
-    value comparison — rank order is computed on the 6-dp ROUNDED
-    score on both sides, so a last-ulp summation difference cannot
-    flip it."""
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def c(v):
+        return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+    return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+
+def _duck_vs_spark(spark, sf_dir, sql, sdf, tables=("documents",)):
     import duckdb
 
-    import __spark_entry__ as em
-    from cs598vectordb_spark.registry import queued_oracle_sql
-
-    sql = queued_oracle_sql()["bm25_search"]
-    sdf = em.queries()["bm25_search"](spark, sf_dir)
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{sf_dir}/documents.parquet')"
-    )
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
     res = con.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
@@ -216,13 +214,34 @@ def test_bm25_queued_oracle_dress_rehearsal(spark, sf_dir):
     srows = [tuple(r) for r in sdf.collect()]
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows) and len(srows) > 0
+    assert _canon(srows, scols) == _canon(drows, dcols)
 
-    def canon(rows, cols):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
 
-        def c(v):
-            return f"{v:.6f}" if isinstance(v, float) else str(v)
+def test_bm25_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the bm25_search oracle (PROMOTED r16 from
+    the r15 queue): the engine's BM25 top-k and the DuckDB
+    inverted-token-join twin must agree row for row at sf0.001 under
+    the driver's sorted-columns value comparison — rank order is
+    computed on the 6-dp ROUNDED score on both sides, so a last-ulp
+    summation difference cannot flip it."""
+    import __spark_entry__ as em
 
-        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+    sql = em.oracle_sql()["bm25_search"]
+    sdf = em.queries()["bm25_search"](spark, sf_dir)
+    _duck_vs_spark(spark, sf_dir, sql, sdf)
 
-    assert canon(srows, scols) == canon(drows, dcols)
+
+def test_hybrid_rrf_queued_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the QUEUED hybrid_rrf_search oracle
+    (registry.queued_oracle_sql, the r17 promotion candidate): the
+    engine's BM25 ⊕ cosine RRF fusion and the DuckDB twin — the
+    registered BM25 CTE re-ranked to k·expand, a brute-force raw-cosine
+    leg, COALESCE'd reciprocal-rank sums — must agree row for row at
+    sf0.001, nulls included, under the driver's sorted-columns value
+    comparison."""
+    import __spark_entry__ as em
+    from cs598vectordb_spark.registry import queued_oracle_sql
+
+    sql = queued_oracle_sql()["hybrid_rrf_search"]
+    sdf = em.queries()["hybrid_rrf_search"](spark, sf_dir)
+    _duck_vs_spark(spark, sf_dir, sql, sdf, tables=("documents", "embeddings"))

@@ -186,19 +186,17 @@ def test_knn_join_metric_mismatch_raises(spark, sf_dir):
         knn_join_ivf(q, idx, k=3, nprobe=2, metric="l2")
 
 
-def test_knn_join_queued_oracle_dress_rehearsal(spark, sf_dir):
-    """Dress rehearsal for the QUEUED knn_join oracle
-    (registry.queued_oracle_sql, an r16 promotion candidate): the
-    engine's full-probe distributed self-join and the DuckDB
-    brute-force cross-join twin must agree row for row at sf0.001
-    under the driver's sorted-columns value comparison — rank is
-    computed on the 6-dp ROUNDED cosine on both sides."""
+def test_knn_join_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the knn_join oracle (PROMOTED r16 from the
+    r15 queue): the engine's full-probe distributed self-join and the
+    DuckDB brute-force cross-join twin must agree row for row at
+    sf0.001 under the driver's sorted-columns value comparison — rank
+    is computed on the 6-dp ROUNDED cosine on both sides."""
     import duckdb
 
     import __spark_entry__ as em
-    from cs598vectordb_spark.registry import queued_oracle_sql
 
-    sql = queued_oracle_sql()["knn_join"]
+    sql = em.oracle_sql()["knn_join"]
     sdf = em.queries()["knn_join"](spark, sf_dir)
     con = duckdb.connect()
     con.execute(

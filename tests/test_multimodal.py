@@ -125,6 +125,38 @@ def test_media_decode_bmp_query(spark, sf_dir):
     out.unpersist()
 
 
+def test_media_decode_wav_value_exact(media):
+    """Value-exact pure-Python pin for the RETIRED media_decode_wav
+    oracle (r16 slot budget, near-duplicate-evidence class: the WAV and
+    BMP round-trips tile the SAME md5 payload bytes through the
+    engine's own codec — media_decode_bmp stays oracle-graded, and the
+    WAV codec's losslessness is separately pinned by
+    test_bmp_wav_codecs_roundtrip_exact; funding the knn_join
+    promotion): every (n_samples, sample_rate, sum_amp, min_amp,
+    max_amp) row is recomputed from the payload bytes directly —
+    byte (2t mod nb) | byte (2t+1 mod nb) << 8, two's-complement
+    int16 — exactly the retired DuckDB twin's arithmetic."""
+    from cs598vectordb_spark.operators.multimodal import media_decode_audio
+
+    got = {
+        r["doc_id"]: (
+            r["n_samples"], r["sample_rate"], r["sum_amp"],
+            r["min_amp"], r["max_amp"],
+        )
+        for r in media_decode_audio(media).collect()
+    }
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(got) == set(payloads) and len(got) > 0
+    for did, p in payloads.items():
+        nb = len(p)
+        samples = []
+        for t in range(64):
+            v = p[(2 * t) % nb] | (p[(2 * t + 1) % nb] << 8)
+            samples.append(v - 65536 if v >= 32768 else v)
+        want = (64, 8000, sum(samples), min(samples), max(samples))
+        assert got[did] == want, (did, got[did], want)
+
+
 def test_pnm_codecs_roundtrip_exact():
     """The netpbm codecs must be lossless for arbitrary 8-bit rasters,
     and the header parser must accept whitespace runs + #-comments."""

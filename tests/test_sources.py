@@ -291,6 +291,32 @@ def test_scan_fvecs_value_exact(spark, sf_dir):
         assert norm == want, (r["vec_id"], norm, want)
 
 
+def test_scan_ivecs_value_exact(spark, sf_dir):
+    """Value-exact pure-Python pin for the RETIRED scan_ivecs oracle
+    (r16 slot budget, shared-evidence class: the shard writer/reader is
+    the same write_vecs/_decode_blob path the retired scan_fvecs pin
+    already covers modulo the int32 view — funding the bm25_search
+    promotion): every (vec_id, n, s) row of the ivecs round-trip is
+    recomputed from the parquet originals — payload [label, vec_id%7,
+    dim], so n == 3 and s == label + vec_id%7 + dim exactly, the
+    retired DuckDB twin's arithmetic. The hash-strength claim: the
+    query only produces these values if the int32 shard decode is
+    value-exact for every row."""
+    import __spark_entry__ as em
+
+    got = {
+        r["vec_id"]: (r["n"], r["s"])
+        for r in em.queries()["scan_ivecs"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.size("embedding").alias("dim")
+    ).collect()
+    assert len(got) == len(emb) > 0
+    for r in emb:
+        want = (3, r["label"] + r["vec_id"] % 7 + r["dim"])
+        assert got[r["vec_id"]] == want, (r["vec_id"], got[r["vec_id"]], want)
+
+
 def test_fvecs_datasource_matches_reader(spark, sf_dir):
     """Evidence pin for the rows-only scan_fvecs_v2 entry: the
     registered Python Data Source must return the SAME frame as the
