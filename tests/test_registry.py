@@ -40,6 +40,29 @@ def test_round1_reds_and_ungraded_lead():
     assert set(head24) == expected
 
 
+def test_readme_counts_match_registry():
+    """README's registered/oracled counts must equal the live registry
+    (VERDICT r15 item 3: three consecutive rounds of count drift —
+    nothing enforced agreement until now). The README line reads
+    '`queries()` (<N> named ops, <M> oracle-backed'."""
+    import pathlib
+    import re
+
+    readme = (
+        pathlib.Path(__file__).resolve().parent.parent / "README.md"
+    ).read_text()
+    m = re.search(r"`queries\(\)` \((\d+) named ops, (\d+) oracle-backed", readme)
+    assert m, "README count line not found (pattern drifted?)"
+    assert int(m.group(1)) == len(entrymod.queries()), (
+        f"README says {m.group(1)} named ops, registry has "
+        f"{len(entrymod.queries())}"
+    )
+    assert int(m.group(2)) == len(entrymod.oracle_sql()), (
+        f"README says {m.group(2)} oracle-backed, registry has "
+        f"{len(entrymod.oracle_sql())}"
+    )
+
+
 def test_rows_only_entries_have_evidence():
     """Every rows-only entry must name its pytest evidence pin in
     registry._ROWS_ONLY_EVIDENCE (the auditable chain VERDICT r8 item 7
