@@ -541,6 +541,23 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(q, emb, k=5, metric="cosine", exclude_self=True)
 
 
+@register("knn_join_l2")
+def q_knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-metric variant of the distributed kNN self-join (VERDICT r15
+    item 7: operators/knnjoin.py implemented both metrics, only cosine
+    was registered): full probe over the standard L2 IVF blocking
+    (build_join_index delegates to build_ivf_index; the build metric is
+    recorded on the index and knn_join_ivf rejects a mismatched probe).
+    Rows-only (oracle pool at cap); full-probe exactness vs the
+    driver-batch L2 kernel pinned in
+    tests/test_knnjoin.py::test_knn_join_full_probe_is_exact_under_l2."""
+    from cs598vectordb_spark.operators.knnjoin import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    return knn_join(q, emb, k=5, metric="l2", exclude_self=True)
+
+
 @register("knn_join_ivf")
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path of the distributed kNN join: partial probe

@@ -236,6 +236,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # oracle r16 — the partial-probe scale path stays rows-only
     # (approximate by design), recall-floor + pruning pinned
     "knn_join_ivf": "tests/test_knnjoin.py::test_knn_join_partial_probe_recall_floor",
+    "knn_join_l2": (
+        "tests/test_knnjoin.py::test_knn_join_full_probe_is_exact_under_l2"
+    ),
     "semantic_decontamination": (
         "tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce"
     ),
