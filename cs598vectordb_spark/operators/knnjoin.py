@@ -89,25 +89,21 @@ def _topk_tie_inclusive(
     Scores arrive pre-rounded (cosine) so ties are exact equality;
     emission is ≤ k + the boundary tie width per query (cells are
     ~1k rows, ties are O(1) on real data). Masked rows (±inf from
-    exclude_self) never emit."""
+    exclude_self) never emit. Fully vectorized — one column-partition
+    for the kth scores, one boolean mask, one nonzero — with NO local
+    ordering at all: emitted rows are unordered candidates and the
+    final window alone ranks them."""
     col = scores if ascending else -scores
     n, nq = col.shape
     k_eff = min(k, n)
     kth = np.partition(col, k_eff - 1, axis=0)[k_eff - 1, :]
-    out_q, out_id, out_d = [], [], []
-    for j in range(nq):
-        c = col[:, j]
-        sel = np.flatnonzero((c <= kth[j]) & np.isfinite(c))
-        order = np.lexsort((ids[sel], c[sel]))
-        sel = sel[order]
-        out_q.append(np.full(len(sel), q_ids[j], dtype=np.int64))
-        out_id.append(ids[sel])
-        out_d.append(scores[sel, j])
+    mask = (col <= kth[None, :]) & np.isfinite(col)
+    b_idx, q_idx = np.nonzero(mask)
     return pd.DataFrame(
         {
-            "q_id": np.concatenate(out_q) if out_q else np.array([], dtype=np.int64),
-            "vec_id": np.concatenate(out_id) if out_id else np.array([], dtype=np.int64),
-            score_col: np.concatenate(out_d) if out_d else np.array([], dtype=np.float64),
+            "q_id": q_ids[q_idx],
+            "vec_id": ids[b_idx],
+            score_col: scores[b_idx, q_idx],
         }
     )
 
