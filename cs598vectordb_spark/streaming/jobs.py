@@ -797,12 +797,10 @@ def stream_quality_gate(
     and exact batch/stream parity: the drained union over micro-batches
     equals repetition_scores(batch).filter(~repetitive) row for row
     (pinned in tests/test_streaming.py::
-    test_stream_quality_gate_matches_batch). Rows-only for SLOT
-    reasons only since r12: the oracle (repetition_scores' SQL + WHERE
-    NOT repetitive) is AUTHORED in registry.queued_oracle_sql() and
+    test_stream_quality_gate_matches_batch). ORACLE PROMOTED r13
+    (queued since r12): repetition_scores' SQL + WHERE NOT repetitive,
     dress-rehearsed end to end against DuckDB in tests/
-    test_streaming.py::test_stream_quality_gate_queued_oracle —
-    awaiting an r13 grading slot.
+    test_streaming.py::test_stream_quality_gate_queued_oracle.
 
     At 100 TB/day this is the shape that matters: the gate's cost is
     the scan itself (zero shuffle; one Arrow kernel per micro-batch

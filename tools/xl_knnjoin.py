@@ -58,6 +58,7 @@ lb = spark.read.parquet(
 q = lb.filter(F.col("vec_id") < NQ).select(
     F.col("vec_id").alias("q_id"), "embedding"
 )
+lb.persist().count()
 
 t0 = time.time()
 idx = build_join_index(lb, nlist=NLIST, metric="cosine", train_sample=100_000)
@@ -73,8 +74,12 @@ rec["join_s"] = round(join_s, 1)
 rec["join_qps"] = round(NQ / join_s, 1)
 
 # corrected recall sample: 500 queries re-scored by the exact
-# driver-batch kernel at k+1, self-pairs dropped, top-k of the remainder
+# driver-batch kernel at k+1, self-pairs dropped, top-k of the remainder.
+# The exact kernel is timed WARM (one unmeasured pass first) — it is
+# the join's speedup DENOMINATOR, and a cold scan would flatter the
+# join; the headline suite times warmed passes for the same reason.
 sample = q.filter(F.col("q_id") < 500)
+knn_exact(lb, sample.limit(50), k=K + 1, metric="cosine").count()
 t0 = time.time()
 truth_rows = (
     knn_exact(lb, sample, k=K + 1, metric="cosine")
