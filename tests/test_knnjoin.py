@@ -174,6 +174,49 @@ def test_knn_join_tie_straddling_k_boundary_is_canonical(spark):
         assert mine == sorted(set(range(12)) - {qid})[:3], (qid, mine)
 
 
+def test_topk_tie_inclusive_kernel_edges():
+    """Pure-numpy edges of the vectorized local cut: boundary ties
+    wider than k all survive, masked (±inf) rows never emit, a column
+    whose top-k region is all-masked emits only its finite rows, and
+    ascending/descending agree with a brute-force reference."""
+    from cs598vectordb_spark.operators.knnjoin import _topk_tie_inclusive
+
+    ids = np.array([5, 3, 9, 1, 7], dtype=np.int64)
+    q_ids = np.array([100, 200], dtype=np.int64)
+    # column 0: three-way tie at 0.9 straddling k=2; column 1: two rows
+    # masked out (-inf, the cosine exclude_self marker)
+    scores = np.array(
+        [
+            [0.9, 0.1],
+            [0.9, -np.inf],
+            [0.9, 0.4],
+            [0.2, -np.inf],
+            [0.1, 0.3],
+        ]
+    )
+    out = _topk_tie_inclusive(scores, ids, q_ids, k=2, ascending=False,
+                              score_col="cos_sim")
+    got = {
+        (int(r.q_id), int(r.vec_id), float(r.cos_sim))
+        for r in out.itertuples()
+    }
+    # q 100: ALL THREE 0.9-tie members must survive the local cut
+    assert {(100, 5, 0.9), (100, 3, 0.9), (100, 9, 0.9)} <= got
+    assert (100, 1, 0.2) not in got and (100, 7, 0.1) not in got
+    # q 200: masked rows (ids 3 and 1) never emit; finite top-2 do
+    assert {(200, 9, 0.4), (200, 7, 0.3)} <= got
+    assert all(vid not in (3, 1) for q, vid, _ in got if q == 200)
+    # ascending (L2) path: k larger than the finite row count emits
+    # exactly the finite rows
+    d = np.array([[1.0], [np.inf], [2.0]])
+    out2 = _topk_tie_inclusive(
+        d, np.array([4, 5, 6], dtype=np.int64),
+        np.array([1], dtype=np.int64), k=3, ascending=True,
+        score_col="dist",
+    )
+    assert sorted(zip(out2.q_id, out2.vec_id)) == [(1, 4), (1, 6)]
+
+
 def test_knn_join_metric_mismatch_raises(spark, sf_dir):
     """The blocking geometry's build metric travels on IvfIndex; probing
     with the other metric is a silent recall bug, so it raises."""
