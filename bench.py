@@ -633,8 +633,16 @@ def main() -> int:
         "draw2": second_draw,
         "calibration_draw1": cal_before_sweep,
         "calibration_draw2": cal_retry,
+        # what the headline series commits for this batch (ADVICE r16):
+        # the max of the two settled 3-pass medians — a one-sided
+        # re-measure that r16+ rounds use and earlier rounds did not
+        "committed": "max_of_draws",
     }
     qps_scaling[big_key] = max(qps_scaling[big_key], second_draw)
+    # ADVICE r16: tag the gated point IN the series so cross-round
+    # readers see the r16+ methodology break without archaeology (the
+    # per-draw evidence travels in qps_sweep_load_gate alongside).
+    qps_scaling["gated_batches"] = [int(big_key)]
 
     # Embedding-compression trade-off: recall@10 of exact kNN in
     # PCA-projected space vs full-dim truth, by out_dim — the
@@ -2009,9 +2017,85 @@ def main() -> int:
     os.makedirs(os.path.dirname(DETAIL_PATH), exist_ok=True)
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1)
+    _emit_and_exit(spark, line)
+    return 0  # unreachable (_emit_and_exit never returns); keeps the signature honest
+
+
+def _emit_and_exit(spark, line: str) -> None:
+    """Print the bench JSON line as the LAST output this process can
+    ever produce, then hard-exit.
+
+    BENCH_r16 postmortem: the StateStore maintenance timer (armed by
+    any stateful streaming block and NOT disarmed by query.stop() or
+    even spark.stop()) fired during JVM teardown and logged
+    `WARN StateStore ... SparkEnv not active` AFTER the JSON line, so
+    the driver's parser saw a non-JSON final line → parsed:null and the
+    round's bench record was lost. Ordering here is the fix:
+      1. stop any still-active streaming queries,
+      2. stop the JVM-global StateStore maintenance task explicitly,
+      3. stop the SparkContext — all BEFORE rendering output —
+      4. print + flush, then os._exit(0) so neither Python atexit nor
+         py4j/JVM teardown can interleave another line.
+    Pinned at the subprocess level by
+    tests/test_bench_format.py::test_bench_smoke_final_line_is_json
+    (a unit test on render_bench_line cannot catch emission races)."""
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        # Scala object → static forwarders; JVM-global singleton whose
+        # maintenance TimerTask survives spark.stop() (the r16 race).
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(line)
-    return 0
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+def _smoke_main() -> int:
+    """SPARK_GRAFT_BENCH_SMOKE=1 fast path: exercise the real emission
+    ending (same _emit_and_exit) in under ~a minute, deliberately
+    arming the StateStore maintenance timer first — the exact BENCH_r16
+    race ingredient — so the subprocess pin tests the failure class,
+    not just the happy path. Runs at sf0.001 regardless of
+    SPARK_GRAFT_SF_DIR unless the caller overrides SMOKE_SF_DIR."""
+    sf_dir = os.environ.get("SPARK_GRAFT_BENCH_SMOKE_SF", "/root/testdata/sf0.001")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    import __spark_entry__ as entrymod
+    from cs598vectordb_spark.session import get_spark
+
+    spark = get_spark("bench-smoke")
+    qs = entrymod.queries()
+    timings = {}
+    t_all = time.time()
+    for name in ("knn_exact", "stream_events_hourly"):  # batch + stateful stream
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.001,
+        "extra": {"smoke": True},
+    }
+    line = render_bench_line(out, {})
+    _emit_and_exit(spark, line)
+    return 0  # unreachable
 
 
 if __name__ == "__main__":
+    if os.environ.get("SPARK_GRAFT_BENCH_SMOKE"):
+        raise SystemExit(_smoke_main())
     raise SystemExit(main())

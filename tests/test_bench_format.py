@@ -206,3 +206,35 @@ def test_base_partition_rule_scales_with_rows():
     # per-partition rows stay bounded as N grows
     for n in (8_000_001, 20_000_000, 100_000_000):
         assert n / bench.base_partitions(n) <= 250_000 + 125_000
+
+
+def test_bench_smoke_final_line_is_json():
+    """Subprocess-level pin of the emission ordering (BENCH_r16 went
+    parsed:null when a StateStore teardown WARN landed after the JSON
+    line): run the smoke bench — which deliberately arms the StateStore
+    maintenance timer via a stateful streaming query — capture stdout
+    and stderr MERGED in real order (the driver's view), and assert the
+    final non-empty line is the parseable bench record. A unit test on
+    render_bench_line cannot catch this class."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_BENCH_SMOKE": "1"}
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        cwd=repo,
+        env=env,
+        timeout=600,
+    )
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    assert p.returncode == 0, p.stdout[-2000:]
+    assert lines, "no output at all"
+    rec = json.loads(lines[-1])  # the driver's parse — must not raise
+    assert rec["unit"] == "sec"
+    assert rec["queries"] and rec["value"] > 0
+    assert rec["extra"]["smoke"] is True
