@@ -182,8 +182,17 @@ def hybrid_search(
     maximal) is a built-in sanity anchor; the lexical leg's is not an
     invariant on a near-degenerate vocabulary (the fixture corpus),
     which is exactly why the hybrid pin runs on a planted-vocabulary
-    corpus (tests/test_hybrid.py::test_hybrid_search_self_retrieval)."""
+    corpus (tests/test_hybrid.py::test_hybrid_search_self_retrieval).
+
+    BOTH legs rank on a 6-dp-rounded score before their rank windows —
+    the promoted knn_join / bm25 twins' discipline (ADVICE r16): the
+    vector leg passes score_round=COS_ROUND into the exact kNN kernel
+    (rounding happens before the local cut AND the final window), and
+    the DuckDB twin rounds its brute-force cosine identically, so a
+    sub-1e-6 rank-adjacent margin on some future fixture cannot flip a
+    vec_rank cross-engine."""
     from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.knnjoin import COS_ROUND
 
     qtext = docs.select(
         F.col("doc_id").alias("q_id"), "text"
@@ -192,5 +201,6 @@ def hybrid_search(
         F.col("vec_id").alias("q_id"), "embedding"
     ).filter(F.col("q_id") < n_queries)
     lex = bm25_scores(docs, qtext, k=k * expand)
-    vec = knn_exact(emb, qvec, k=k * expand, metric="cosine")
+    vec = knn_exact(emb, qvec, k=k * expand, metric="cosine",
+                    score_round=COS_ROUND)
     return rrf_fuse(lex, vec, k=k, c=c)

@@ -38,14 +38,16 @@ brute-force cross join (oracle PROMOTED r16). Cosine scores are
 rounded to 6 dp BEFORE any ranking (local cell top-k and the final
 window use the same (rounded score, vec_id) comparator as the SQL
 twin), so a last-ulp float64 summation difference between numpy and
-DuckDB cannot flip an order — and the LOCAL cut is tie-INCLUSIVE
-(_topk_tie_inclusive): every row tying the kth-best rounded score
-survives to the final window, which alone applies the vec_id
-tie-break. An argpartition-only local cut kept an arbitrary member of
-a rounded-score tie straddling the k boundary, nondeterministically
-disagreeing with the twin (ADVICE r15). Partial probe is the scale
-path: `knn_join_ivf` at nprobe << nlist, recall-floor-pinned
-(tests/test_knnjoin.py).
+DuckDB cannot flip an order — and the LOCAL cut applies that CANONICAL
+comparator to emit exactly k rows per query (_topk_canonical): with a
+shared total order, the tie members the local cut keeps (lowest
+vec_ids) are exactly the ones the final window would rank, so
+determinism needs no tie-inclusive over-emission. History: an
+argpartition-only cut kept an ARBITRARY tie member (ADVICE r15); the
+tie-INCLUSIVE replacement emitted whole duplicate clusters per query
+on near-dup-heavy corpora (ADVICE r16); the canonical exact-k cut
+closes both. Partial probe is the scale path: `knn_join_ivf` at
+nprobe << nlist, recall-floor-pinned (tests/test_knnjoin.py).
 """
 
 from __future__ import annotations
@@ -74,7 +76,7 @@ def _unit_rows(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
 
 
-def _topk_tie_inclusive(
+def _topk_canonical(
     scores: np.ndarray,
     ids: np.ndarray,
     q_ids: np.ndarray,
@@ -82,30 +84,20 @@ def _topk_tie_inclusive(
     ascending: bool,
     score_col: str,
 ) -> pd.DataFrame:
-    """Per-query-column local top-k that KEEPS boundary ties: every
-    finite row whose score ties-or-beats the kth best is emitted, so
-    the final window — the only place the (score, vec_id) comparator
-    is canonical across cells — decides which tie member ranks k.
-    Scores arrive pre-rounded (cosine) so ties are exact equality;
-    emission is ≤ k + the boundary tie width per query (cells are
-    ~1k rows, ties are O(1) on real data). Masked rows (±inf from
-    exclude_self) never emit. Fully vectorized — one column-partition
-    for the kth scores, one boolean mask, one nonzero — with NO local
-    ordering at all: emitted rows are unordered candidates and the
-    final window alone ranks them."""
-    col = scores if ascending else -scores
-    n, nq = col.shape
-    k_eff = min(k, n)
-    kth = np.partition(col, k_eff - 1, axis=0)[k_eff - 1, :]
-    mask = (col <= kth[None, :]) & np.isfinite(col)
-    b_idx, q_idx = np.nonzero(mask)
-    return pd.DataFrame(
-        {
-            "q_id": q_ids[q_idx],
-            "vec_id": ids[b_idx],
-            score_col: scores[b_idx, q_idx],
-        }
-    )
+    """Local cell cut: EXACTLY k rows per query under the canonical
+    (score, vec_id ASC) comparator — the shared kernel in
+    operators/knn.py (topk_canonical). Scores arrive pre-rounded
+    (cosine) so ties are exact equality and the local comparator IS
+    the final window's comparator; boundary ties resolve to the lowest
+    vec_ids locally, which is precisely what the global ranking keeps
+    from this cell. This replaces the r16 tie-INCLUSIVE cut, whose
+    per-query emission degraded from ~k to the whole duplicate cluster
+    on near-dup-heavy corpora — the join's stated target — inflating
+    the candidate shuffle (ADVICE r16). Masked rows (±inf from
+    exclude_self) never emit."""
+    from cs598vectordb_spark.operators.knn import topk_canonical
+
+    return topk_canonical(scores, ids, q_ids, k, ascending, score_col)
 
 
 def assign_queries_ivf(
@@ -270,11 +262,16 @@ def knn_join_ivf(
         else:
             from cs598vectordb_spark.operators.knn import squared_l2_block
 
-            scores = squared_l2_block(B, Q)
+            # same round-before-ranking discipline as the cosine leg
+            # (r17, with the knn_join_l2 twin): the DuckDB twin computes
+            # the inner-product expansion of ||b−q||² and rounds to the
+            # same 6 dp, so cross-engine last-ulp noise cannot flip a
+            # rank or the value hash
+            scores = np.round(squared_l2_block(B, Q), COS_ROUND)
             bad = np.inf
         if exclude_self:
             scores[b_ids[:, None] == q_ids[None, :]] = bad
-        return _topk_tie_inclusive(
+        return _topk_canonical(
             scores, b_ids, q_ids, k, ascending=not cosine, score_col=score_col
         )
 

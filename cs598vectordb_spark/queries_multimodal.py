@@ -245,42 +245,21 @@ def q_media_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_resize_pixels(_media(spark, sf_dir))
 
 
-@register(
-    "media_decode_ppm",
-    f"""
-WITH {_MEDIA_HEX},
-px AS (
-  SELECT doc_id, hex, length(hex) // 2 AS nb FROM media
-),
-chan AS (
-  SELECT doc_id,
-         list_transform(generate_series(0::BIGINT, 31),
-                        t -> {_byte("((3*t) % nb) + 1")}) AS r,
-         list_transform(generate_series(0::BIGINT, 31),
-                        t -> {_byte("((3*t+1) % nb) + 1")}) AS g,
-         list_transform(generate_series(0::BIGINT, 31),
-                        t -> {_byte("((3*t+2) % nb) + 1")}) AS b,
-         -- the exact 96-byte tiled raster, for the order statistics
-         list_transform(generate_series(0::BIGINT, 95),
-                        k -> {_byte("(k % nb) + 1")}) AS allb
-  FROM px
-)
-SELECT doc_id, 8 AS width, 4 AS height,
-       CAST(list_sum(r) AS BIGINT) AS sum_r,
-       CAST(list_sum(g) AS BIGINT) AS sum_g,
-       CAST(list_sum(b) AS BIGINT) AS sum_b,
-       CAST(list_min(allb) AS INTEGER) AS min_px,
-       CAST(list_max(allb) AS INTEGER) AS max_px
-FROM chan
-""",
-)
+@register("media_decode_ppm")
 def q_media_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL netpbm (P6 binary PPM) round-trip: payload tiled to an RGB
     raster, written as an actual PPM file and decoded back by the
     engine's own whitespace/#-comment-aware header parser
-    (operators.multimodal.encode_ppm/decode_ppm). Channel sums AND
-    whole-raster min/max value-hashed against byte recomputation — the
-    hash matches only because the PPM round-trip is pixel-exact."""
+    (operators.multimodal.encode_ppm/decode_ppm). ORACLE RETIRED r17
+    (slot budget, funding the hybrid_rrf_search promotion;
+    near-duplicate-evidence class: PPM is the same netpbm decoder as
+    the r9-retired-and-pinned media_decode_pgm modulo the magic byte
+    and channel count, and the codec family's losslessness is
+    separately pinned by test_pnm_codecs_roundtrip_exact). Replaced by
+    a value-exact pure-Python recomputation of the retired twin's byte
+    arithmetic — channel sums and whole-raster min/max from the tiled
+    payload bytes —
+    tests/test_multimodal.py::test_media_decode_ppm_value_exact."""
     from cs598vectordb_spark.operators.multimodal import media_decode_ppm
 
     return media_decode_ppm(_media(spark, sf_dir))

@@ -1597,16 +1597,17 @@ FROM scored
 QUALIFY rank <= 10
 """
 
-# QUEUED r16 (registry.queued_oracle_sql; the oracle pool is at the
-# 100-entry cap — promotable r17 once a retirement frees a slot): the
-# hybrid RRF twin. Lexical leg = the registered BM25 `scored` CTE
-# re-ranked to k·expand = 20; vector leg = brute-force raw cosine
-# (the green knn_cosine discipline: rank-adjacent margins on this
-# fixture are ~5e-6 vs ~1e-15 fp reorder noise, so raw-double ranks
-# agree across engines); fusion = COALESCE(1/(60+rank)) sums — IEEE
-# division/addition of small exact integers, bit-identical on both
-# sides — re-ranked to k = 10 with the doc_id tie-break.
-HYBRID_RRF_QUEUED_SQL = f"""
+# The hybrid RRF twin (authored + dress-rehearsed r16, PROMOTED r17,
+# funded by the media_decode_ppm retirement). Lexical leg = the
+# registered BM25 `scored` CTE re-ranked to k·expand = 20; vector leg
+# = brute-force cosine ROUNDED TO 6 DP before the rank window —
+# matching hybrid_search's score_round=COS_ROUND engine side (ADVICE
+# r16 replaced the earlier raw-double ranking, whose ~5e-6
+# rank-adjacent-margin justification was fixture-empirical); fusion =
+# COALESCE(1/(60+rank)) sums — IEEE division/addition of small exact
+# integers, bit-identical on both sides — re-ranked to k = 10 with
+# the doc_id tie-break.
+_HYBRID_RRF_ORACLE = f"""
 WITH {_BM25_CTES},
 lex AS (
   SELECT q_id, doc_id,
@@ -1617,8 +1618,8 @@ lex AS (
 ),
 vpairs AS (
   SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
-         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                CAST(b.embedding AS DOUBLE[])) AS sim
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
   FROM embeddings a CROSS JOIN embeddings b
   WHERE a.vec_id < 20
 ),
@@ -1671,7 +1672,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(docs, q, k=10)
 
 
-@register("hybrid_rrf_search")
+@register("hybrid_rrf_search", _HYBRID_RRF_ORACLE)
 def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 over documents fused with exact cosine
     kNN over the shared-id embeddings by reciprocal-rank fusion

@@ -541,6 +541,35 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(q, emb, k=5, metric="cosine", exclude_self=True)
 
 
+# QUEUED r17 (registry.queued_oracle_sql; the oracle pool is at the
+# 100-entry cap — promotable r18 once a retirement frees a slot): the
+# L2 join twin — the promoted cosine twin's brute-force shape with the
+# score swapped for the inner-product expansion of ||b−q||², rounded
+# to the shared 6 dp BEFORE the rank window on both sides (the engine
+# cell kernel rounds its squared_l2_block output identically, r17).
+# GREATEST(·, 0.0) mirrors the kernel's np.maximum fp-noise clamp.
+KNN_JOIN_L2_QUEUED_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+         ROUND(GREATEST(
+           list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(a.embedding AS DOUBLE[]))
+           - 2 * list_inner_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[]))
+           + list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])),
+           0.0), 6) AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT q_id,
+       CAST(row_number() OVER (
+         PARTITION BY q_id ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rank,
+       vec_id, dist
+FROM pairs
+QUALIFY rank <= 5
+"""
+
+
 @register("knn_join_l2")
 def q_knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-metric variant of the distributed kNN self-join (VERDICT r15
@@ -548,8 +577,11 @@ def q_knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     was registered): full probe over the standard L2 IVF blocking
     (build_join_index delegates to build_ivf_index; the build metric is
     recorded on the index and knn_join_ivf rejects a mismatched probe).
-    Rows-only (oracle pool at cap); full-probe exactness vs the
-    driver-batch L2 kernel pinned in
+    Rows-only this round (oracle pool at cap) with the DuckDB twin
+    AUTHORED and QUEUED for r18 (KNN_JOIN_L2_QUEUED_SQL above, dress
+    rehearsal tests/test_knnjoin.py::
+    test_knn_join_l2_queued_oracle_dress_rehearsal); full-probe
+    exactness vs the driver-batch L2 kernel pinned in
     tests/test_knnjoin.py::test_knn_join_full_probe_is_exact_under_l2."""
     from cs598vectordb_spark.operators.knnjoin import knn_join
 

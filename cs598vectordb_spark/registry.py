@@ -158,47 +158,62 @@ def _bake_builders() -> None:
 #     vs DuckDB in pytest and check_oracle-verified before promotion).
 # Net: 100 − 2 + 2 = 100 oracled, slack 0; r16 head = 48 due + 2
 # births = 50 exactly. The r17 due set will be the 50 r15-greens.
+# r17 ROTATION (executed; due set recomputed from CORRECTNESS_r15∪r16:
+# disjoint 50+50 greens covering all 100 oracled names, so the due set
+# is EXACTLY the 50 r15-green entries — zero slack). The r16-queued
+# birth is funded by ONE retirement FROM THE DUE SET, the plan the r16
+# verdict ordered:
+#   retire media_decode_ppm (near-duplicate-evidence class (2): the
+#     same netpbm decoder as the r9-retired-and-pinned media_decode_pgm
+#     modulo the magic byte and channel count; value-exact pure-Python
+#     pin tests/test_multimodal.py::test_media_decode_ppm_value_exact);
+#   promote hybrid_rrf_search (the r16 queue, dress-rehearsed vs DuckDB
+#     in pytest and check_oracle-verified before promotion; its vector
+#     leg now ranks on the 6-dp-ROUNDED cosine on both sides — ADVICE
+#     r16 — matching the promoted knn_join/bm25 twins' discipline).
+# Net: 100 − 1 + 1 = 100 oracled, slack 0; r17 head = 49 due + 1
+# birth = 50 exactly. The r18 due set will be the 50 r16-greens; the
+# r18 queue holds knn_join_l2 (queries_vector.KNN_JOIN_L2_QUEUED_SQL).
 _PRIORITY: tuple[str, ...] = (
-    # --- the r14-green set not re-graded in round 15; newest green row
-    # is r14, so the ≤2-rounds invariant makes all 48 still-oracled
-    # ones due now (scan_ivecs + media_decode_wav retired this round).
-    "acctbal_deciles", "bpe_token_stats", "bucketed_customer_orders",
-    "chunk_documents", "clean_text", "cohort_retention",
-    "curate_corpus", "decimal_revenue", "decontamination",
-    "dedup_exact", "distance_histogram", "embedding_near_dup",
-    "event_value_percentiles", "events_hourly",
-    "exact_substring_stats", "hash_split", "knn_cosine",
-    "knn_exact_2k", "knn_ip", "load_dataset", "media_decode_bmp",
-    "media_features", "media_frame_sample", "media_resize_pixels",
-    "media_summary", "merge_upsert", "minhash_lsh_dedup",
-    "mixture_sample", "ngram_profile", "pack_sequences",
-    "pricing_summary", "props_json_extract", "range_click_burst",
-    "range_search", "salted_user_stats", "scan_logs",
-    "semantic_doc_search", "shingle_cardinality_kmv",
-    "simhash_near_dups", "sq8_error", "stream_dedup",
-    "stream_interval_join_full", "stream_knn", "stream_merge_upserts",
-    "stream_near_dedup", "stream_stateful_counts",
-    "stream_static_enrich", "tfidf_keywords",
-    # --- the two r16 births (first green row lands this round)
-    "bm25_search", "knn_join",
+    # --- the r15-green set not re-graded in round 16; newest green row
+    # is r15, so the ≤2-rounds invariant makes all 49 still-oracled
+    # ones due now (media_decode_ppm retired this round).
+    "asof_attribution", "brand_top_parts", "customer_number_extract",
+    "customer_order_gaps", "customer_order_stats", "dedup_clusters",
+    "delete_pct", "doc_stats", "dsir_logweights",
+    "events_first5_series", "events_last5_summary", "fingerprints",
+    "funnel_steps", "ingest", "insert_restore", "jaccard_topk",
+    "knn_exact", "knn_exact_pca", "knn_filtered", "knn_post_delete",
+    "lang_detect", "lineitem_rollup", "lm_surprisal",
+    "local_supplier_volume", "media_dedup", "order_priority_count",
+    "orders_cube", "priority_customers_setops", "quality_scores",
+    "recall_low_dim", "repetition_scores", "revenue_change",
+    "sessionize", "shipping_priority", "source_summary", "sq8_encode",
+    "sql_text_surface", "status_pivot", "stratified_sample",
+    "stream_events_hourly", "stream_ingest_updates",
+    "stream_interval_join", "stream_interval_join_outer",
+    "stream_late_data", "stream_merge_upserts_cow",
+    "stream_quality_gate", "stream_sessionize", "stream_sink_parquet",
+    "upsert_guard",
+    # --- the r17 birth (first green row lands this round)
+    "hybrid_rrf_search",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r15-green entries not re-graded this round (due back in r17, all
-    # 50: asof_attribution, brand_top_parts, customer_number_extract,
-    # customer_order_gaps, customer_order_stats, dedup_clusters,
-    # delete_pct, doc_stats, dsir_logweights, events_first5_series,
-    # events_last5_summary, fingerprints, funnel_steps, ingest,
-    # insert_restore, jaccard_topk, knn_exact, knn_exact_pca,
-    # knn_filtered, knn_post_delete, lang_detect, lineitem_rollup,
-    # lm_surprisal, local_supplier_volume, media_decode_ppm,
-    # media_dedup, order_priority_count, orders_cube,
-    # priority_customers_setops, quality_scores, recall_low_dim,
-    # repetition_scores, revenue_change, sessionize,
-    # shipping_priority, source_summary, sq8_encode, sql_text_surface,
-    # status_pivot, stratified_sample, stream_events_hourly,
-    # stream_ingest_updates, stream_interval_join,
-    # stream_interval_join_outer, stream_late_data,
-    # stream_merge_upserts_cow, stream_quality_gate,
-    # stream_sessionize, stream_sink_parquet, upsert_guard)
+    # r16-green entries not re-graded this round (due back in r18, all
+    # 50: acctbal_deciles, bpe_token_stats, bucketed_customer_orders,
+    # chunk_documents, clean_text, cohort_retention, curate_corpus,
+    # decimal_revenue, decontamination, dedup_exact,
+    # distance_histogram, embedding_near_dup, event_value_percentiles,
+    # events_hourly, exact_substring_stats, hash_split, knn_cosine,
+    # knn_exact_2k, knn_ip, load_dataset, media_decode_bmp,
+    # media_features, media_frame_sample, media_resize_pixels,
+    # media_summary, merge_upsert, minhash_lsh_dedup, mixture_sample,
+    # ngram_profile, pack_sequences, pricing_summary,
+    # props_json_extract, range_click_burst, range_search,
+    # salted_user_stats, scan_logs, semantic_doc_search,
+    # shingle_cardinality_kmv, simhash_near_dups, sq8_error,
+    # stream_dedup, stream_interval_join_full, stream_knn,
+    # stream_merge_upserts, stream_near_dedup, stream_stateful_counts,
+    # stream_static_enrich, tfidf_keywords, bm25_search, knn_join)
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -308,11 +323,10 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "stream_hourly_unique_users": "tests/test_streaming.py::test_stream_hourly_unique_users_sketch_accuracy",
     # text / io / relational sketches
     # bm25_search PROMOTED to an oracle r16 (queued r15, funded by the
-    # scan_ivecs retirement); its pure-Python pin remains as defense
-    # in depth but is no longer the primary evidence.
-    "hybrid_rrf_search": (
-        "tests/test_hybrid.py::test_hybrid_search_self_retrieval"
-    ),
+    # scan_ivecs retirement); hybrid_rrf_search PROMOTED r17 (queued
+    # r16, funded by the media_decode_ppm retirement). Their
+    # pure-Python / self-retrieval pins remain as defense in depth but
+    # are no longer the primary evidence.
     "compressibility": "tests/test_dedup_text.py::test_compressibility_signal",
     "scan_formats": "tests/test_sources.py::test_scan_formats_roundtrips_losslessly",
     "event_value_percentiles_approx": "tests/test_relational.py::test_approx_percentiles_within_rank_error",
@@ -352,6 +366,13 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "scan_ivecs": "tests/test_sources.py::test_scan_ivecs_value_exact",
     "media_decode_wav": (
         "tests/test_multimodal.py::test_media_decode_wav_value_exact"
+    ),
+    # retired-oracle entry (r17, funding the hybrid_rrf_search
+    # promotion) — value-exact pure-Python recomputation of the
+    # retired twin's byte arithmetic (near-dup evidence class with the
+    # r9-retired media_decode_pgm: same netpbm decoder modulo magic)
+    "media_decode_ppm": (
+        "tests/test_multimodal.py::test_media_decode_ppm_value_exact"
     ),
     "media_audio_frames": (
         "tests/test_multimodal.py::test_audio_frame_features_closed_form"
@@ -405,16 +426,18 @@ def queued_oracle_sql() -> dict[str, str]:
     fixture). dsir_logweights + stream_quality_gate were promoted out
     of this queue in r13; bpe_token_stats + exact_substring_stats in
     r14; bm25_search + knn_join (queued r15) in r16, funded by the
-    scan_ivecs / media_decode_wav retirements. Queued r16:
-    hybrid_rrf_search — the RRF fusion twin composed from the
-    now-registered BM25 CTE and a brute-force-cosine CTE (dress
-    rehearsal tests/test_hybrid.py::
-    test_hybrid_rrf_queued_oracle_dress_rehearsal), parked until an
-    r17 retirement frees a slot."""
+    scan_ivecs / media_decode_wav retirements; hybrid_rrf_search
+    (queued r16) in r17, funded by the media_decode_ppm retirement.
+    Queued r17: knn_join_l2 — the promoted cosine join twin with the
+    score swapped for the 6-dp-rounded inner-product expansion of
+    ||b−q||², matching the engine cell kernel's r17 L2 rounding (dress
+    rehearsal tests/test_knnjoin.py::
+    test_knn_join_l2_queued_oracle_dress_rehearsal), parked until an
+    r18 retirement frees a slot."""
     _ensure_loaded()
-    from cs598vectordb_spark.queries_text import HYBRID_RRF_QUEUED_SQL
+    from cs598vectordb_spark.queries_vector import KNN_JOIN_L2_QUEUED_SQL
 
-    return {"hybrid_rrf_search": HYBRID_RRF_QUEUED_SQL}
+    return {"knn_join_l2": KNN_JOIN_L2_QUEUED_SQL}
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:

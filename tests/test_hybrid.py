@@ -231,17 +231,18 @@ def test_bm25_oracle_dress_rehearsal(spark, sf_dir):
     _duck_vs_spark(spark, sf_dir, sql, sdf)
 
 
-def test_hybrid_rrf_queued_oracle_dress_rehearsal(spark, sf_dir):
-    """Dress rehearsal for the QUEUED hybrid_rrf_search oracle
-    (registry.queued_oracle_sql, the r17 promotion candidate): the
+def test_hybrid_rrf_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the hybrid_rrf_search oracle (PROMOTED r17
+    from the r16 queue, funded by the media_decode_ppm retirement): the
     engine's BM25 ⊕ cosine RRF fusion and the DuckDB twin — the
-    registered BM25 CTE re-ranked to k·expand, a brute-force raw-cosine
-    leg, COALESCE'd reciprocal-rank sums — must agree row for row at
+    registered BM25 CTE re-ranked to k·expand, a brute-force cosine
+    leg ROUNDED TO 6 DP before its rank window (ADVICE r16; the engine
+    side passes score_round=COS_ROUND into the exact kernel),
+    COALESCE'd reciprocal-rank sums — must agree row for row at
     sf0.001, nulls included, under the driver's sorted-columns value
     comparison."""
     import __spark_entry__ as em
-    from cs598vectordb_spark.registry import queued_oracle_sql
 
-    sql = queued_oracle_sql()["hybrid_rrf_search"]
+    sql = em.oracle_sql()["hybrid_rrf_search"]
     sdf = em.queries()["hybrid_rrf_search"](spark, sf_dir)
     _duck_vs_spark(spark, sf_dir, sql, sdf, tables=("documents", "embeddings"))

@@ -91,8 +91,11 @@ def test_knn_join_partial_probe_recall_floor(spark, sf_dir):
 
 def test_knn_join_full_probe_is_exact_under_l2(spark, sf_dir):
     """The L2 metric path: full-probe join rows equal the driver-batch
-    knn_exact kernel's rows on the same (query=base head) workload."""
+    knn_exact kernel's rows on the same (query=base head) workload.
+    Both sides rank on the 6-dp-rounded squared distance (the r17
+    discipline shared with the knn_join_l2 DuckDB twin)."""
     from cs598vectordb_spark.operators.knn import knn_exact
+    from cs598vectordb_spark.operators.knnjoin import COS_ROUND
 
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 32).select(
@@ -102,7 +105,7 @@ def test_knn_join_full_probe_is_exact_under_l2(spark, sf_dir):
     joined = knn_join(
         q, emb, k=5, nlist=nlist, metric="l2", exclude_self=False
     )
-    batch = knn_exact(emb, q, k=5)
+    batch = knn_exact(emb, q, k=5, score_round=COS_ROUND)
     got = sorted((r.q_id, r.rank, r.vec_id) for r in joined.collect())
     want = sorted((r.q_id, r.rank, r.vec_id) for r in batch.collect())
     assert got == want
@@ -174,12 +177,15 @@ def test_knn_join_tie_straddling_k_boundary_is_canonical(spark):
         assert mine == sorted(set(range(12)) - {qid})[:3], (qid, mine)
 
 
-def test_topk_tie_inclusive_kernel_edges():
-    """Pure-numpy edges of the vectorized local cut: boundary ties
-    wider than k all survive, masked (±inf) rows never emit, a column
-    whose top-k region is all-masked emits only its finite rows, and
-    ascending/descending agree with a brute-force reference."""
-    from cs598vectordb_spark.operators.knnjoin import _topk_tie_inclusive
+def test_topk_canonical_kernel_edges():
+    """Pure-numpy edges of the vectorized local cut (ADVICE r16: the
+    canonical exact-k form — bounded emission even on boundary ties):
+    a tie wider than k resolves locally to the LOWEST vec_ids (the
+    canonical comparator, so the cut equals what the final window
+    would keep from this block), masked (±inf) rows never emit, a
+    column with fewer finite rows than k emits only its finite rows,
+    and per-query emission never exceeds k."""
+    from cs598vectordb_spark.operators.knnjoin import _topk_canonical
 
     ids = np.array([5, 3, 9, 1, 7], dtype=np.int64)
     q_ids = np.array([100, 200], dtype=np.int64)
@@ -194,27 +200,48 @@ def test_topk_tie_inclusive_kernel_edges():
             [0.1, 0.3],
         ]
     )
-    out = _topk_tie_inclusive(scores, ids, q_ids, k=2, ascending=False,
-                              score_col="cos_sim")
+    out = _topk_canonical(scores, ids, q_ids, k=2, ascending=False,
+                          score_col="cos_sim")
     got = {
         (int(r.q_id), int(r.vec_id), float(r.cos_sim))
         for r in out.itertuples()
     }
-    # q 100: ALL THREE 0.9-tie members must survive the local cut
-    assert {(100, 5, 0.9), (100, 3, 0.9), (100, 9, 0.9)} <= got
+    # q 100: exactly k=2 rows — the two LOWEST-id members of the 0.9
+    # tie (ids 3 and 5); id 9's tie row must NOT inflate the emission
+    assert {(100, 3, 0.9), (100, 5, 0.9)} <= got
+    assert (100, 9, 0.9) not in got
     assert (100, 1, 0.2) not in got and (100, 7, 0.1) not in got
     # q 200: masked rows (ids 3 and 1) never emit; finite top-2 do
     assert {(200, 9, 0.4), (200, 7, 0.3)} <= got
     assert all(vid not in (3, 1) for q, vid, _ in got if q == 200)
+    # bounded emission: never more than k rows per query
+    counts = out.groupby("q_id").size()
+    assert (counts <= 2).all()
     # ascending (L2) path: k larger than the finite row count emits
     # exactly the finite rows
     d = np.array([[1.0], [np.inf], [2.0]])
-    out2 = _topk_tie_inclusive(
+    out2 = _topk_canonical(
         d, np.array([4, 5, 6], dtype=np.int64),
         np.array([1], dtype=np.int64), k=3, ascending=True,
         score_col="dist",
     )
     assert sorted(zip(out2.q_id, out2.vec_id)) == [(1, 4), (1, 6)]
+
+
+def test_topk_canonical_duplicate_cluster_emission_bounded():
+    """ADVICE r16's failure scenario directly: a duplicate cluster far
+    wider than k (12 copies tie at rounded score 1.0) must emit
+    exactly k rows per query — the lowest vec_ids — not the cluster."""
+    from cs598vectordb_spark.operators.knnjoin import _topk_canonical
+
+    n = 12
+    ids = np.arange(n, dtype=np.int64)[::-1].copy()  # ids 11..0
+    q_ids = np.array([7], dtype=np.int64)
+    scores = np.ones((n, 1))
+    out = _topk_canonical(scores, ids, q_ids, k=3, ascending=False,
+                          score_col="cos_sim")
+    assert len(out) == 3
+    assert sorted(out.vec_id) == [0, 1, 2]
 
 
 def test_knn_join_metric_mismatch_raises(spark, sf_dir):
@@ -241,6 +268,47 @@ def test_knn_join_oracle_dress_rehearsal(spark, sf_dir):
 
     sql = em.oracle_sql()["knn_join"]
     sdf = em.queries()["knn_join"](spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)
+
+
+def test_knn_join_l2_queued_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the QUEUED knn_join_l2 oracle
+    (registry.queued_oracle_sql, the r18 promotion candidate): the
+    engine's full-probe L2 self-join and the DuckDB twin — the
+    promoted cosine twin's brute-force shape with the score swapped
+    for the inner-product expansion of ||b−q||², 6-dp-rounded before
+    the rank window on BOTH sides (the engine cell kernel rounds its
+    squared_l2_block output identically since r17) — must agree row
+    for row at sf0.001 under the driver's sorted-columns value
+    comparison."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from cs598vectordb_spark.registry import queued_oracle_sql
+
+    sql = queued_oracle_sql()["knn_join_l2"]
+    sdf = em.queries()["knn_join_l2"](spark, sf_dir)
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "

@@ -157,6 +157,39 @@ def test_media_decode_wav_value_exact(media):
         assert got[did] == want, (did, got[did], want)
 
 
+def test_media_decode_ppm_value_exact(media):
+    """Value-exact pure-Python pin for the RETIRED media_decode_ppm
+    oracle (r17 slot budget, near-duplicate-evidence class: PPM is the
+    same netpbm decoder as the r9-retired-and-pinned media_decode_pgm
+    modulo the magic byte and channel count; funding the
+    hybrid_rrf_search promotion): every (width, height, sum_r, sum_g,
+    sum_b, min_px, max_px) row is recomputed from the payload bytes
+    directly — r/g/b at bytes (3t)/(3t+1)/(3t+2) mod nb for t in
+    0..31, order stats over the full 96-byte tiled raster — exactly
+    the retired DuckDB twin's arithmetic. The hash-equivalent equality
+    holds only because the P6 encode→file→decode round-trip is
+    pixel-exact."""
+    from cs598vectordb_spark.operators.multimodal import media_decode_ppm
+
+    got = {
+        r["doc_id"]: (
+            r["width"], r["height"], r["sum_r"], r["sum_g"], r["sum_b"],
+            r["min_px"], r["max_px"],
+        )
+        for r in media_decode_ppm(media).collect()
+    }
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(got) == set(payloads) and len(got) > 0
+    for did, p in payloads.items():
+        nb = len(p)
+        r = [p[(3 * t) % nb] for t in range(32)]
+        g = [p[(3 * t + 1) % nb] for t in range(32)]
+        b = [p[(3 * t + 2) % nb] for t in range(32)]
+        allb = [p[k % nb] for k in range(96)]
+        want = (8, 4, sum(r), sum(g), sum(b), min(allb), max(allb))
+        assert got[did] == want, (did, got[did], want)
+
+
 def test_pnm_codecs_roundtrip_exact():
     """The netpbm codecs must be lossless for arbitrary 8-bit rasters,
     and the header parser must accept whitespace runs + #-comments."""
