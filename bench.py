@@ -481,6 +481,86 @@ def _host_calibration() -> dict:
     }
 
 
+def _zipf_corpus(spark, n_docs: int = 20_000, vocab: int = 10_000,
+                 doc_len: int = 80, seed: int = 41):
+    """Deterministic Zipf-vocabulary corpus for the BM25 df-cap A/B
+    (VERDICT r16 item 4): each document is `doc_len` words drawn from
+    a `vocab`-word vocabulary with P(word i) ∝ 1/(i+1) — the Zipf
+    shape real text has and the sf fixture (31 words, 30 of them in
+    >50% of docs) does not. At these parameters ~11 head words land in
+    >50% of documents (true stopwords, removed by cap 0.5) while
+    ~99.9% of the vocabulary survives, so the A/B can show fanout
+    reduction AND signal retention at once. Seeded per-document RNG —
+    identical corpus every run, partitioning-independent."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        p = 1.0 / np.arange(1, vocab + 1)
+        cdf = np.cumsum(p / p.sum())
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for did in ids:
+                rng = np.random.default_rng(seed * 1_000_003 + int(did))
+                words = np.searchsorted(cdf, rng.random(doc_len))
+                texts.append(" ".join(f"w{w}" for w in words))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return (
+        spark.range(n_docs)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(gen, "doc_id long, text string")
+    )
+
+
+def _bm25_cap_signal_retention(zc, k: int = 50) -> dict:
+    """Rank-correlation evidence that the df cap keeps the BM25 signal
+    while cutting join fanout: run the same 20-query more-like-this
+    batch with the cap off and on, then compare rankings per query —
+    mean Spearman rho over the common (q, doc) pairs and mean top-10
+    overlap. Driver-side arithmetic over ≤ 20·k rows (by-design
+    driver-sized result batches)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cs598vectordb_spark.operators.hybrid import bm25_scores
+
+    q20 = zc.select(F.col("doc_id").alias("q_id"), "text").filter(
+        F.col("q_id") < 20
+    )
+    rows_off = bm25_scores(zc, q20, k=k, df_cap_frac=1.0).collect()
+    rows_on = bm25_scores(zc, q20, k=k, df_cap_frac=0.5).collect()
+    off = {}
+    on = {}
+    for r in rows_off:
+        off.setdefault(r.q_id, {})[r.doc_id] = r.rank
+    for r in rows_on:
+        on.setdefault(r.q_id, {})[r.doc_id] = r.rank
+    rhos, overlaps = [], []
+    for qid, oranks in off.items():
+        cranks = on.get(qid, {})
+        common = sorted(set(oranks) & set(cranks))
+        if len(common) >= 3:
+            a = np.array([oranks[d] for d in common], dtype=np.float64)
+            b = np.array([cranks[d] for d in common], dtype=np.float64)
+            # Spearman = Pearson of ranks; ranks are already 1..k so
+            # re-rank the common subset to keep rho scale-honest
+            a = a.argsort().argsort().astype(np.float64)
+            b = b.argsort().argsort().astype(np.float64)
+            denom = a.std() * b.std()
+            if denom > 0:
+                rhos.append(float(((a - a.mean()) * (b - b.mean())).mean() / denom))
+        top_o = {d for d, rk in oranks.items() if rk <= 10}
+        top_c = {d for d, rk in cranks.items() if rk <= 10}
+        if top_o:
+            overlaps.append(len(top_o & top_c) / len(top_o))
+    return {
+        "rank_spearman_mean": round(float(np.mean(rhos)), 4) if rhos else None,
+        "top10_overlap_mean": round(float(np.mean(overlaps)), 4) if overlaps else None,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1015,19 +1095,28 @@ def main() -> int:
         "/tmp/cs598_spark_io/text_meas/bm25_big"
     )
     bm25_big_sec = round(max(time.time() - t0, 1e-9), 3)
-    # df-cap token-join fanout A/B, mirroring bm25_scores' own CTEs
-    _toks = docs_b.select(
+    # df-cap token-join fanout A/B (VERDICT r16 item 4: the sf
+    # fixture's 31-word vocabulary has 30 words in >50% of docs, so a
+    # 0.5 cap erased the vocabulary and the old A/B "measured" a
+    # fixture artifact — reduction 1.0 with zero signal retained). Run
+    # it instead on a deterministic Zipf-vocabulary corpus where the
+    # cap removes only the true Zipf head, and record BOTH sides of
+    # the claim: fanout reduction AND ranking-signal retention.
+    zc = _zipf_corpus(spark).localCheckpoint(eager=True)
+    _toks = zc.select(
         "doc_id", F.explode(tokens(normalize_ws(F.col("text")))).alias("token")
     )
     _tf = _toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     _dfr = _tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    _qt = docs_b.filter(F.col("doc_id") < 20).select(
+    _qt = zc.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("q_id"),
         F.explode(F.array_distinct(tokens(normalize_ws(F.col("text"))))).alias(
             "token"
         ),
     )
-    _ndocs = docs_b.count()
+    _ndocs = zc.count()
+    _vocab_total = _dfr.count()
+    _vocab_kept = _dfr.filter(F.col("df") <= int(0.5 * _ndocs)).count()
     join_rows_nocap = _qt.join(_dfr, "token").join(_tf, "token").count()
     join_rows_cap = (
         _qt.join(_dfr.filter(F.col("df") <= int(0.5 * _ndocs)), "token")
@@ -1040,11 +1129,15 @@ def main() -> int:
         "big_seconds": bm25_big_sec,
         "big_mb_per_s": round(big_mb / bm25_big_sec, 2),
         "df_cap_ab": {
+            "corpus": "zipf_20k_docs_10k_vocab",
             "token_join_rows_cap_1.0": int(join_rows_nocap),
             "token_join_rows_cap_0.5": int(join_rows_cap),
             "fanout_reduction": round(
                 1.0 - join_rows_cap / max(join_rows_nocap, 1), 3
             ),
+            "retained_token_fraction": round(_vocab_kept / max(_vocab_total, 1), 4),
+            "stopwords_removed": int(_vocab_total - _vocab_kept),
+            **_bm25_cap_signal_retention(zc),
         },
     }
 
