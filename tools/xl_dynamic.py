@@ -52,6 +52,9 @@ out = {
     "n": N,
     "delete_pct": 25,
     "load_start": [round(x, 2) for x in os.getloadavg()],
+    # fixed-work BLAS probe: makes the scale claim load-auditable the
+    # same way the bench record is (VERDICT r16 item 8)
+    "calibration_start": bench._host_calibration(),
 }
 
 centers = max(256, N // 2000)
@@ -157,6 +160,7 @@ g2_ins.segments.unpersist()
 idx_pin.segments.unpersist()
 
 out["load_end"] = [round(x, 2) for x in os.getloadavg()]
+out["calibration_end"] = bench._host_calibration()
 dest = f"/tmp/xl{MM}m_dynamic.json"
 with open(dest, "w") as fh:
     json.dump(out, fh, indent=1)

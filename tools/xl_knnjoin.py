@@ -49,6 +49,9 @@ centers = max(256, N // 2000)
 rec = {
     "n_base": N, "n_queries": NQ, "k": K, "nlist": NLIST, "nprobe": NPROBE,
     "load_start": [round(x, 2) for x in os.getloadavg()],
+    # fixed-work BLAS probe: makes the scale claim load-auditable the
+    # same way the bench record is (VERDICT r16 item 8)
+    "calibration_start": bench._host_calibration(),
     "recall_truth": "top-k of the k+1 exact probe minus self-pairs (r16 fix)",
 }
 
@@ -103,6 +106,7 @@ rec["speedup_vs_exact"] = round(
     rec["join_qps"] / max(rec["exact_sampled_qps"], 1e-9), 1
 )
 rec["load_end"] = [round(x, 2) for x in os.getloadavg()]
+rec["calibration_end"] = bench._host_calibration()
 
 out.unpersist()
 idx.assigned.unpersist()

@@ -57,6 +57,9 @@ rec = {
     "max_generations": MAX_GEN,
     "probe": {"k": K, "nprobe": NPROBE, "mult": MULT, "nlist": 1024},
     "load_start": [round(x, 2) for x in os.getloadavg()],
+    # fixed-work BLAS probe: makes the scale claim load-auditable the
+    # same way the bench record is (VERDICT r16 item 8)
+    "calibration_start": bench._host_calibration(),
 }
 
 lb = spark.read.parquet(
@@ -181,6 +184,7 @@ rec["final_self_hit"] = {
     "probe_s": round(time.time() - t0, 1),
 }
 rec["load_end"] = [round(x, 2) for x in os.getloadavg()]
+rec["calibration_end"] = bench._host_calibration()
 
 path = f"/tmp/stream_ingest_{N_SEED // 1_000_000}m_r16.json"
 with open(path, "w") as fh:
