@@ -16,8 +16,10 @@ Env knobs:
   CS598_KJ_NPROBE  probed cells per query (default 10)
   CS598_KJ_K       neighbors (default 10)
 
-Writes /tmp/kj_<base>m_q<queries>m_r16.json; quiet-start results are
-committed to the repo as knn_join_*_r16.json and quoted in SCALING.md §7.
+Writes /tmp/kj_<base>m_q<queries>m.json (the join and the 100M-row
+parquet sink are timed as separate terms since r17); quiet-start
+results are committed to the repo as knn_join_*.json and quoted in
+SCALING.md §7.
 """
 import json
 import os
@@ -76,6 +78,13 @@ join_s = time.time() - t0
 rec["join_s"] = round(join_s, 1)
 rec["join_qps"] = round(NQ / join_s, 1)
 
+# the SINK term, timed separately (VERDICT r16 item 5): at 100M output
+# rows the parquet write is its own cost center and folding it into
+# join_s would make the series non-comparable with the earlier points
+t0 = time.time()
+out.write.mode("overwrite").parquet("/tmp/cs598_spark_io/xl_kj_out")
+rec["sink_write_s"] = round(time.time() - t0, 1)
+
 # corrected recall sample: 500 queries re-scored by the exact
 # driver-batch kernel at k+1, self-pairs dropped, top-k of the remainder.
 # The exact kernel is timed WARM (one unmeasured pass first) — it is
@@ -110,7 +119,7 @@ rec["calibration_end"] = bench._host_calibration()
 
 out.unpersist()
 idx.assigned.unpersist()
-path = f"/tmp/kj_{N // 1_000_000}m_q{NQ // 1_000_000}m_r16.json"
+path = f"/tmp/kj_{N // 1_000_000}m_q{NQ // 1_000_000}m.json"
 with open(path, "w") as fh:
     json.dump(rec, fh)
 print(json.dumps(rec))

@@ -17,9 +17,11 @@ Summary: arrivals/s sustained (ingest-only and end-to-end including
 freshness probes), fold count, generations left, p50/p95 freshness
 lag, stall vs non-stall batch walls, and a final 5k-sample self-hit
 rate. Env knobs: CS598_SI_SEED (default 1_000_000), CS598_SI_ARR
-(100_000), CS598_SI_BATCHES (20), CS598_SI_MAXGEN (4). Writes
-/tmp/stream_ingest_<seed>m_r16.json; quiet-start results are committed
-and quoted in SCALING.md §8.
+(100_000), CS598_SI_BATCHES (20), CS598_SI_MAXGEN (4). Batch WIDTH =
+CS598_SI_ARR / CS598_SI_BATCHES — the rate-vs-freshness lever the r17
+width sweep records (widths 2.5k/5k/10k/20k = 40/20/10/5 batches).
+Writes /tmp/stream_ingest_<seed>m_w<width>.json; quiet-start results
+are committed and quoted in SCALING.md §8.
 """
 import json
 import os
@@ -186,7 +188,8 @@ rec["final_self_hit"] = {
 rec["load_end"] = [round(x, 2) for x in os.getloadavg()]
 rec["calibration_end"] = bench._host_calibration()
 
-path = f"/tmp/stream_ingest_{N_SEED // 1_000_000}m_r16.json"
+width = N_ARR // N_BATCHES
+path = f"/tmp/stream_ingest_{N_SEED // 1_000_000}m_w{width}.json"
 with open(path, "w") as fh:
     json.dump(rec, fh)
 print(json.dumps({k: v for k, v in rec.items() if k != "batches"}))
