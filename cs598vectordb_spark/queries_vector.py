@@ -612,6 +612,30 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_ivf(q, idx, k=5, nprobe=4, metric="cosine", exclude_self=True)
 
 
+# QUEUED r17, second in line behind knn_join_l2 (the queue has held
+# two before — r15): the semantic-decontamination twin. Every train
+# vector's single nearest eval vector by the 6-dp-rounded cosine
+# (eval_id ASC tie-break — the same canonical comparator the engine's
+# cell kernel and final window use), plus the τ=0.35 flag computed on
+# the identical rounded double on both sides.
+SEMANTIC_DECONTAMINATION_QUEUED_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id >= 50 AND b.vec_id < 50
+),
+best AS (
+  SELECT train_id, eval_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY train_id ORDER BY cos_sim DESC, eval_id ASC) AS rn
+  FROM pairs
+)
+SELECT train_id, eval_id, cos_sim, cos_sim >= 0.35 AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
 @register("semantic_decontamination")
 def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (operators/knnjoin.py): every
@@ -620,8 +644,12 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated flag at cosine ≥ 0.35 (the fixture's p90 — flags
     ~10%). Complements the shingle-overlap `decontamination` entry:
     paraphrased leakage carries no shingle but keeps its embedding.
-    Rows-only (oracle pool at cap); value-exact vs numpy brute force
-    pinned in tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce."""
+    Rows-only (oracle pool at cap) with the DuckDB twin AUTHORED and
+    QUEUED behind knn_join_l2 (SEMANTIC_DECONTAMINATION_QUEUED_SQL
+    above, dress rehearsal tests/test_knnjoin.py::
+    test_semantic_decontamination_queued_oracle_dress_rehearsal);
+    value-exact vs numpy brute force pinned in
+    tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce."""
     from cs598vectordb_spark.operators.knnjoin import semantic_decontamination
 
     emb = load_table(spark, sf_dir, "embeddings")

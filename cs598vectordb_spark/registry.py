@@ -428,16 +428,26 @@ def queued_oracle_sql() -> dict[str, str]:
     r14; bm25_search + knn_join (queued r15) in r16, funded by the
     scan_ivecs / media_decode_wav retirements; hybrid_rrf_search
     (queued r16) in r17, funded by the media_decode_ppm retirement.
-    Queued r17: knn_join_l2 — the promoted cosine join twin with the
-    score swapped for the 6-dp-rounded inner-product expansion of
-    ||b−q||², matching the engine cell kernel's r17 L2 rounding (dress
-    rehearsal tests/test_knnjoin.py::
-    test_knn_join_l2_queued_oracle_dress_rehearsal), parked until an
-    r18 retirement frees a slot."""
+    Queued r17 (two deep, as the r15 queue was): knn_join_l2 — the
+    promoted cosine join twin with the score swapped for the
+    6-dp-rounded inner-product expansion of ||b−q||², matching the
+    engine cell kernel's r17 L2 rounding (dress rehearsal
+    tests/test_knnjoin.py::
+    test_knn_join_l2_queued_oracle_dress_rehearsal) — and
+    semantic_decontamination — nearest-eval at the same rounded
+    cosine + the τ flag (dress rehearsal tests/test_knnjoin.py::
+    test_semantic_decontamination_queued_oracle_dress_rehearsal).
+    Each parked until a retirement frees a slot (r18, r19)."""
     _ensure_loaded()
-    from cs598vectordb_spark.queries_vector import KNN_JOIN_L2_QUEUED_SQL
+    from cs598vectordb_spark.queries_vector import (
+        KNN_JOIN_L2_QUEUED_SQL,
+        SEMANTIC_DECONTAMINATION_QUEUED_SQL,
+    )
 
-    return {"knn_join_l2": KNN_JOIN_L2_QUEUED_SQL}
+    return {
+        "knn_join_l2": KNN_JOIN_L2_QUEUED_SQL,
+        "semantic_decontamination": SEMANTIC_DECONTAMINATION_QUEUED_SQL,
+    }
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:

@@ -333,6 +333,45 @@ def test_knn_join_l2_queued_oracle_dress_rehearsal(spark, sf_dir):
     assert canon(srows, scols) == canon(drows, dcols)
 
 
+def test_semantic_decontamination_queued_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the QUEUED semantic_decontamination oracle
+    (registry.queued_oracle_sql, second in line behind knn_join_l2):
+    every train vector's single nearest eval vector at the
+    6-dp-rounded cosine with the eval_id tie-break, plus the τ=0.35
+    flag on the same rounded double — engine and DuckDB must agree
+    row for row at sf0.001 under the driver's sorted-columns value
+    comparison."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from cs598vectordb_spark.registry import queued_oracle_sql
+
+    sql = queued_oracle_sql()["semantic_decontamination"]
+    sdf = em.queries()["semantic_decontamination"](spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)
+
+
 def test_knn_join_final_plan_group_limit(spark, sf_dir):
     """The final per-query merge must be a WindowGroupLimit (rank-filter
     group limit), not a full sort of every candidate row."""
