@@ -1559,6 +1559,15 @@ def main() -> int:
         spark, lb1m_idx, lb1m, k=10, nprobe=8, mult=10
     )
     probe_bi(qpdf_mt)  # warm the merged-probe path once
+    # the fused family's measured batching knee (r17,
+    # tools/xl_ivfpq_batch.py → ivfpq_batch_knee_r17.json): merged-probe
+    # QPS peaks at width ~2,000 (178 QPS) and FALLS past it (151 at 5k,
+    # 135 at 10k — per-(query,list) ADC/LUT work stops amortizing), so
+    # the 50-tenant herd (10k queries) must execute as 2k-query chunks,
+    # not one monolithic probe (the r16 record's 107.5 sum-QPS / 93 s
+    # wall was exactly that monolith). graph2 keeps the default cap —
+    # its walk amortizes monotonically in the measured range.
+    ivfpq_chunk_cap = 2000
     truth_mt2 = knn_exact(lb1m, q_mt, 10).persist()
     truth_mt2.count()
     ipq_rec_mt = recall_at_k(
@@ -1567,7 +1576,9 @@ def main() -> int:
     ).collect()[0]["recall"]
     truth_mt2.unpersist()
     for n_clients in (10, 50):
-        batcher = DynamicBatcher(probe_bi, max_wait_ms=50.0)
+        batcher = DynamicBatcher(
+            probe_bi, max_wait_ms=50.0, max_batch_queries=ivfpq_chunk_cap
+        )
 
         def _bti_client(i: int) -> float:
             t0 = time.time()
