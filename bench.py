@@ -457,13 +457,19 @@ def _settle(spark, seconds: float = 5.0) -> None:
 
 
 def _host_calibration() -> dict:
-    """Fixed-work BLAS probe (3×: 1024³ dgemm, median GFLOPS) + load
-    averages — the record's own host-speed adjudicator (VERDICT r15
-    item 2: the r15 10k-QPS record fell below the hnswlib bar with
+    """Fixed-work BLAS probe (3×: 1024³ dgemm, median GFLOPS) + a
+    memory-BANDWIDTH probe (3×: 256 MB ndarray copy, median GB/s) +
+    load averages — the record's own host-speed adjudicator (VERDICT
+    r15 item 2: the r15 10k-QPS record fell below the hnswlib bar with
     per-query drift uniform across untouched files; a calibration
     number lets a future reader separate host drift from a code
-    regression without cross-round archaeology). Quiet-host reference
-    on this box: ~180 GFLOPS (r16 measurement)."""
+    regression without cross-round archaeology). The bandwidth probe
+    exists because the r17 session showed the failure mode the dgemm
+    probe is blind to: cache-resident GEMM read a healthy 228–250
+    GFLOPS while every BANDWIDTH-bound path (the big distance-matrix
+    blocks) ran ~2–4× slow — a noisy-neighbor memory-bus session.
+    Quiet-host reference on this box: ~180–260 GFLOPS, ~17 GB/s copy
+    (measured r17)."""
     import numpy as np
 
     rng = np.random.default_rng(0)
@@ -475,8 +481,18 @@ def _host_calibration() -> dict:
         t0 = time.time()
         a @ b
         walls.append(max(time.time() - t0, 1e-9))
+    big = rng.random(32 * 1024 * 1024)  # 256 MB of float64
+    np.copyto(np.empty_like(big), big)  # fault the pages once
+    bwalls = []
+    dst = np.empty_like(big)
+    for _ in range(3):
+        t0 = time.time()
+        np.copyto(dst, big)
+        bwalls.append(max(time.time() - t0, 1e-9))
     return {
         "gemm_gflops": round(2 * 1024**3 / sorted(walls)[1] / 1e9, 1),
+        # read+write of 256 MB per pass → 0.5 GB of bus traffic
+        "mem_gbps": round(0.5 / sorted(bwalls)[1], 1),
         "load": [round(x, 2) for x in os.getloadavg()],
     }
 
