@@ -186,6 +186,23 @@ def knn_exact(
     Q = np.ascontiguousarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
     bc = spark.sparkContext.broadcast((q_ids, Q))
 
+    # Map-stage width rule (r17): byte-based file splitting never widens
+    # a small base (a 2,000-row fixture table is one ~1 MB parquet split),
+    # so a LARGE query batch against a SMALL base ran as a single task —
+    # one core computing the whole |B|×|Q| block while 31 idled
+    # (measured: 4,976 → 8,777 QPS at the 10k-query sf0.1 point from
+    # widening to 32 partitions). Widen only when the batch is big
+    # enough to amortize the shuffle and the base is visibly narrower
+    # than the cluster; at real scale (base ≥ cores × maxPartitionBytes)
+    # this is a no-op, so the 100 TB plan is untouched.
+    if len(q_ids) >= 512:
+        try:
+            want = spark.sparkContext.defaultParallelism
+            if base.rdd.getNumPartitions() < want:
+                base = base.repartition(want)
+        except Exception:
+            pass  # e.g. exotic sessions where the RDD view is unavailable
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bq_ids, bQ = bc.value
         for pdf in batches:
