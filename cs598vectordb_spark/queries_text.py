@@ -1234,6 +1234,36 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_banded_pairs(docs, max_hamming=3, n_bands=4)
 
 
+# QUEUED r18, second in line behind semantic_decontamination
+# (registry.queued_oracle_sql; the oracle pool is at the 100-entry cap
+# — promotable once a retirement frees a slot): the r12-retired
+# trigram oracle RESURRECTED verbatim (git bb7b995^) — the shared
+# _TOKENS_CTE normalization, per-doc trigram counts, and the same
+# ROUND(,6) fraction. Chosen over the verdict-r17 candidate pii_redact
+# after measuring the fixture (zero email/IPv4/phone matches at
+# sf0.01 — that twin would grade only a no-false-positive md5
+# pass-through, while this one grades live arithmetic on every doc).
+DOC_REPETITION_QUEUED_SQL = f"""
+WITH toks AS ({_TOKENS_CTE}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens) - 1),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS gram
+  FROM toks WHERE len(tokens) >= 3
+),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS mx, SUM(c) - COUNT(*) AS dup
+  FROM per GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.mx, 0) AS BIGINT) AS max_gram_count,
+       ROUND(COALESCE(CAST(s.dup AS DOUBLE) / s.n_grams, 0.0), 6) AS dup_gram_frac
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
 @register("doc_repetition")
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition (Gopher-style quality rule): trigram
@@ -1245,6 +1275,10 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3-gram char fraction over this same trigram stream — covers the
     intra-doc-repetition evidence family; this entry was r12-due, so the
     retirement frees the due slot the clean_text promotion needs).
+    RE-QUEUED r18 (DOC_REPETITION_QUEUED_SQL above, dress rehearsal
+    tests/test_dedup_text.py::
+    test_doc_repetition_queued_oracle_dress_rehearsal) to keep the
+    promotion queue ≥2 deep after the knn_join_l2 promotion.
     Value-exact pin: tests/test_dedup_text.py::
     test_doc_repetition_closed_form recomputes all three statistics with
     a Python Counter over the shared normalization on fixture + edge

@@ -115,33 +115,21 @@ def q_knn_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_collect(knn_exact(emb, q, k=_K))
 
 
-@register(
-    "knn_cosine",
-    f"""
-WITH q AS (
-  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_NQ}
-),
-pairs AS (
-  SELECT q.q_id, b.vec_id,
-         list_sum(list_transform(list_zip(q.q_emb, b.embedding),
-             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         / ( sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) )
-         AS sim
-  FROM q CROSS JOIN embeddings b
-)
-SELECT q_id, vec_id,
-       CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
-FROM pairs
-QUALIFY rank <= {_K}
-""",
-)
+@register("knn_cosine")
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity top-k via the mapInPandas GEMM kernel. The
-    kernel normalizes-then-GEMMs, reordering fp ops vs the oracle — but
-    only RANKS are compared, and the minimum rank-adjacent similarity
-    margin on this data is 5e-6 (measured at sf0.1) vs ~1e-15 reorder
-    noise, so ranks cannot flip. ~2× faster than the expression path."""
+    kernel normalizes-then-GEMMs, reordering fp ops vs a brute-force
+    recomputation — but only RANKS are compared, and the minimum
+    rank-adjacent similarity margin on this data is 5e-6 (measured at
+    sf0.1) vs ~1e-15 reorder noise, so ranks cannot flip. ~2× faster
+    than the expression path.
+    ORACLE RETIRED r18 (funding the knn_join_l2 promotion; shared-
+    evidence class (1): the oracle was knn_ip's GEMM cross-join/rank
+    twin modulo the norm denominator, and the cosine rank discipline
+    stays DuckDB-graded through the still-oracled hybrid_rrf_search
+    vector leg and the knn_join self-join twin). Value-exact
+    numpy-bruteforce pin, including the desc tie-break:
+    tests/test_knn.py::test_knn_cosine_value_exact."""
     emb, q = _load_q(spark, sf_dir)
     return knn_exact(emb, q, k=_K, metric="cosine").select("q_id", "rank", "vec_id")
 
@@ -541,14 +529,19 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(q, emb, k=5, metric="cosine", exclude_self=True)
 
 
-# QUEUED r17 (registry.queued_oracle_sql; the oracle pool is at the
-# 100-entry cap — promotable r18 once a retirement frees a slot): the
-# L2 join twin — the promoted cosine twin's brute-force shape with the
-# score swapped for the inner-product expansion of ||b−q||², rounded
-# to the shared 6 dp BEFORE the rank window on both sides (the engine
-# cell kernel rounds its squared_l2_block output identically, r17).
-# GREATEST(·, 0.0) mirrors the kernel's np.maximum fp-noise clamp.
-KNN_JOIN_L2_QUEUED_SQL = """
+# PROMOTED to the grading head r18 (queued r17, funded by the
+# knn_cosine retirement): the L2 join twin — the promoted cosine
+# twin's brute-force shape with the score swapped for the
+# inner-product expansion of ||b−q||², rounded to the shared 6 dp
+# BEFORE the rank window on both sides (the engine cell kernel rounds
+# its squared_l2_block output identically, r17). GREATEST(·, 0.0)
+# mirrors the kernel's np.maximum fp-noise clamp. Rounding-boundary
+# caveat (ADVICE r17): numpy np.round is half-to-even while DuckDB
+# ROUND(DOUBLE, n) is half-away-from-zero — a score landing EXACTLY on
+# a representable .xxxxxx5 boundary would round differently across
+# engines and could flip a tie; if this oracle ever hash-mismatches on
+# a new fixture, diagnose THIS class before suspecting the kernel.
+KNN_JOIN_L2_ORACLE = """
 WITH pairs AS (
   SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
          ROUND(GREATEST(
@@ -570,17 +563,18 @@ QUALIFY rank <= 5
 """
 
 
-@register("knn_join_l2")
+@register("knn_join_l2", KNN_JOIN_L2_ORACLE)
 def q_knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-metric variant of the distributed kNN self-join (VERDICT r15
     item 7: operators/knnjoin.py implemented both metrics, only cosine
     was registered): full probe over the standard L2 IVF blocking
     (build_join_index delegates to build_ivf_index; the build metric is
     recorded on the index and knn_join_ivf rejects a mismatched probe).
-    Rows-only this round (oracle pool at cap) with the DuckDB twin
-    AUTHORED and QUEUED for r18 (KNN_JOIN_L2_QUEUED_SQL above, dress
-    rehearsal tests/test_knnjoin.py::
-    test_knn_join_l2_queued_oracle_dress_rehearsal); full-probe
+    ORACLE PROMOTED r18 (queued since r17, funded by the knn_cosine
+    retirement): the brute-force L2 twin (KNN_JOIN_L2_ORACLE above),
+    rank on the 6-dp-rounded inner-product expansion of ||b−q||² both
+    sides; dress-rehearsed in tests/test_knnjoin.py::
+    test_knn_join_l2_queued_oracle_dress_rehearsal and full-probe
     exactness vs the driver-batch L2 kernel pinned in
     tests/test_knnjoin.py::test_knn_join_full_probe_is_exact_under_l2."""
     from cs598vectordb_spark.operators.knnjoin import knn_join

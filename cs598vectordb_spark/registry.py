@@ -174,46 +174,70 @@ def _bake_builders() -> None:
 # Net: 100 − 1 + 1 = 100 oracled, slack 0; r17 head = 49 due + 1
 # birth = 50 exactly. The r18 due set will be the 50 r16-greens; the
 # r18 queue holds knn_join_l2 (queries_vector.KNN_JOIN_L2_QUEUED_SQL).
+# r18 ROTATION (executed; due set recomputed from CORRECTNESS_r16∪r17:
+# disjoint 50+50 greens covering all 100 oracled names, so the due set
+# is EXACTLY the 50 r16-green entries — zero slack). The r17-queued
+# birth is funded by ONE retirement FROM THE DUE SET, the plan the r17
+# verdict adjudicated (What's wrong #2 verified BOTH candidate-pair
+# evidence-class claims against the actual oracle SQL):
+#   retire knn_cosine (shared-evidence class (1): its oracle was
+#     knn_ip's GEMM cross-join/rank twin modulo the norm denominator,
+#     and the cosine rank discipline stays DuckDB-graded through the
+#     still-oracled hybrid_rrf_search vector leg and the knn_join
+#     self-join twin; knn_ip stays — it is the ONLY oracle exercising
+#     the kernel's metric="ip" branch; value-exact numpy-bruteforce pin
+#     tests/test_knn.py::test_knn_cosine_value_exact);
+#   promote knn_join_l2 (the r17 queue, dress-rehearsed vs DuckDB in
+#     pytest and check_oracle-verified — by both the r17 builder and
+#     the r17 judge independently — before promotion).
+# Net: 100 − 1 + 1 = 100 oracled, slack 0; r18 head = 49 due + 1
+# birth = 50 exactly. The r19 due set will be the 50 r17-greens; the
+# r19 queue holds semantic_decontamination and doc_repetition (the
+# r12-retired trigram oracle resurrected — the verdict-r17 candidate
+# pii_redact was REJECTED after measuring the fixture: zero
+# email/IPv4/phone matches at sf0.01, so its twin would grade only a
+# no-false-positive md5 pass-through; doc_repetition's twin grades
+# live trigram arithmetic on every document).
 _PRIORITY: tuple[str, ...] = (
-    # --- the r15-green set not re-graded in round 16; newest green row
-    # is r15, so the ≤2-rounds invariant makes all 49 still-oracled
-    # ones due now (media_decode_ppm retired this round).
-    "asof_attribution", "brand_top_parts", "customer_number_extract",
-    "customer_order_gaps", "customer_order_stats", "dedup_clusters",
-    "delete_pct", "doc_stats", "dsir_logweights",
-    "events_first5_series", "events_last5_summary", "fingerprints",
-    "funnel_steps", "ingest", "insert_restore", "jaccard_topk",
-    "knn_exact", "knn_exact_pca", "knn_filtered", "knn_post_delete",
-    "lang_detect", "lineitem_rollup", "lm_surprisal",
-    "local_supplier_volume", "media_dedup", "order_priority_count",
-    "orders_cube", "priority_customers_setops", "quality_scores",
-    "recall_low_dim", "repetition_scores", "revenue_change",
-    "sessionize", "shipping_priority", "source_summary", "sq8_encode",
-    "sql_text_surface", "status_pivot", "stratified_sample",
-    "stream_events_hourly", "stream_ingest_updates",
-    "stream_interval_join", "stream_interval_join_outer",
-    "stream_late_data", "stream_merge_upserts_cow",
-    "stream_quality_gate", "stream_sessionize", "stream_sink_parquet",
-    "upsert_guard",
-    # --- the r17 birth (first green row lands this round)
-    "hybrid_rrf_search",
+    # --- the r16-green set not re-graded in round 17; newest green row
+    # is r16, so the ≤2-rounds invariant makes all 49 still-oracled
+    # ones due now (knn_cosine retired this round).
+    "acctbal_deciles", "bm25_search", "bpe_token_stats",
+    "bucketed_customer_orders", "chunk_documents", "clean_text",
+    "cohort_retention", "curate_corpus", "decimal_revenue",
+    "decontamination", "dedup_exact", "distance_histogram",
+    "embedding_near_dup", "event_value_percentiles", "events_hourly",
+    "exact_substring_stats", "hash_split", "knn_exact_2k", "knn_ip",
+    "knn_join", "load_dataset", "media_decode_bmp", "media_features",
+    "media_frame_sample", "media_resize_pixels", "media_summary",
+    "merge_upsert", "minhash_lsh_dedup", "mixture_sample",
+    "ngram_profile", "pack_sequences", "pricing_summary",
+    "props_json_extract", "range_click_burst", "range_search",
+    "salted_user_stats", "scan_logs", "semantic_doc_search",
+    "shingle_cardinality_kmv", "simhash_near_dups", "sq8_error",
+    "stream_dedup", "stream_interval_join_full", "stream_knn",
+    "stream_merge_upserts", "stream_near_dedup",
+    "stream_stateful_counts", "stream_static_enrich", "tfidf_keywords",
+    # --- the r18 birth (first green row lands this round)
+    "knn_join_l2",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r16-green entries not re-graded this round (due back in r18, all
-    # 50: acctbal_deciles, bpe_token_stats, bucketed_customer_orders,
-    # chunk_documents, clean_text, cohort_retention, curate_corpus,
-    # decimal_revenue, decontamination, dedup_exact,
-    # distance_histogram, embedding_near_dup, event_value_percentiles,
-    # events_hourly, exact_substring_stats, hash_split, knn_cosine,
-    # knn_exact_2k, knn_ip, load_dataset, media_decode_bmp,
-    # media_features, media_frame_sample, media_resize_pixels,
-    # media_summary, merge_upsert, minhash_lsh_dedup, mixture_sample,
-    # ngram_profile, pack_sequences, pricing_summary,
-    # props_json_extract, range_click_burst, range_search,
-    # salted_user_stats, scan_logs, semantic_doc_search,
-    # shingle_cardinality_kmv, simhash_near_dups, sq8_error,
-    # stream_dedup, stream_interval_join_full, stream_knn,
-    # stream_merge_upserts, stream_near_dedup, stream_stateful_counts,
-    # stream_static_enrich, tfidf_keywords, bm25_search, knn_join)
+    # r17-green entries not re-graded this round (due back in r19, all
+    # 50: asof_attribution, brand_top_parts, customer_number_extract,
+    # customer_order_gaps, customer_order_stats, dedup_clusters,
+    # delete_pct, doc_stats, dsir_logweights, events_first5_series,
+    # events_last5_summary, fingerprints, funnel_steps, ingest,
+    # insert_restore, jaccard_topk, knn_exact, knn_exact_pca,
+    # knn_filtered, knn_post_delete, lang_detect, lineitem_rollup,
+    # lm_surprisal, local_supplier_volume, media_dedup,
+    # order_priority_count, orders_cube, priority_customers_setops,
+    # quality_scores, recall_low_dim, repetition_scores,
+    # revenue_change, sessionize, shipping_priority, source_summary,
+    # sq8_encode, sql_text_surface, status_pivot, stratified_sample,
+    # stream_events_hourly, stream_ingest_updates,
+    # stream_interval_join, stream_interval_join_outer,
+    # stream_late_data, stream_merge_upserts_cow, stream_quality_gate,
+    # stream_sessionize, stream_sink_parquet, upsert_guard,
+    # hybrid_rrf_search)
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -251,9 +275,9 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # oracle r16 — the partial-probe scale path stays rows-only
     # (approximate by design), recall-floor + pruning pinned
     "knn_join_ivf": "tests/test_knnjoin.py::test_knn_join_partial_probe_recall_floor",
-    "knn_join_l2": (
-        "tests/test_knnjoin.py::test_knn_join_full_probe_is_exact_under_l2"
-    ),
+    # knn_join_l2 PROMOTED to an oracle r18 (queued r17, funded by the
+    # knn_cosine retirement); its full-probe-exactness pin remains as
+    # defense in depth but is no longer the primary evidence.
     "semantic_decontamination": (
         "tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce"
     ),
@@ -374,6 +398,13 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     "media_decode_ppm": (
         "tests/test_multimodal.py::test_media_decode_ppm_value_exact"
     ),
+    # retired-oracle entry (r18, funding the knn_join_l2 promotion) —
+    # value-exact numpy-bruteforce recomputation of the retired twin's
+    # cosine top-k ranks including the desc tie-break (shared-evidence
+    # class (1) with the STILL-GRADED knn_ip: same GEMM cross-join/rank
+    # oracle modulo the norm denominator; the cosine rank discipline
+    # stays DuckDB-graded via hybrid_rrf_search + knn_join)
+    "knn_cosine": "tests/test_knn.py::test_knn_cosine_value_exact",
     "media_audio_frames": (
         "tests/test_multimodal.py::test_audio_frame_features_closed_form"
     ),
@@ -427,26 +458,25 @@ def queued_oracle_sql() -> dict[str, str]:
     of this queue in r13; bpe_token_stats + exact_substring_stats in
     r14; bm25_search + knn_join (queued r15) in r16, funded by the
     scan_ivecs / media_decode_wav retirements; hybrid_rrf_search
-    (queued r16) in r17, funded by the media_decode_ppm retirement.
-    Queued r17 (two deep, as the r15 queue was): knn_join_l2 — the
-    promoted cosine join twin with the score swapped for the
-    6-dp-rounded inner-product expansion of ||b−q||², matching the
-    engine cell kernel's r17 L2 rounding (dress rehearsal
-    tests/test_knnjoin.py::
-    test_knn_join_l2_queued_oracle_dress_rehearsal) — and
-    semantic_decontamination — nearest-eval at the same rounded
-    cosine + the τ flag (dress rehearsal tests/test_knnjoin.py::
-    test_semantic_decontamination_queued_oracle_dress_rehearsal).
-    Each parked until a retirement frees a slot (r18, r19)."""
+    (queued r16) in r17, funded by the media_decode_ppm retirement;
+    knn_join_l2 (queued r17) in r18, funded by the knn_cosine
+    retirement. Queued now (two deep): semantic_decontamination —
+    nearest-eval at the 6-dp-rounded cosine + the τ flag (dress
+    rehearsal tests/test_knnjoin.py::
+    test_semantic_decontamination_queued_oracle_dress_rehearsal) — and
+    doc_repetition — the r12-retired trigram oracle resurrected
+    verbatim (dress rehearsal tests/test_dedup_text.py::
+    test_doc_repetition_queued_oracle_dress_rehearsal). Each parked
+    until a retirement frees a slot (r19, r20)."""
     _ensure_loaded()
+    from cs598vectordb_spark.queries_text import DOC_REPETITION_QUEUED_SQL
     from cs598vectordb_spark.queries_vector import (
-        KNN_JOIN_L2_QUEUED_SQL,
         SEMANTIC_DECONTAMINATION_QUEUED_SQL,
     )
 
     return {
-        "knn_join_l2": KNN_JOIN_L2_QUEUED_SQL,
         "semantic_decontamination": SEMANTIC_DECONTAMINATION_QUEUED_SQL,
+        "doc_repetition": DOC_REPETITION_QUEUED_SQL,
     }
 
 

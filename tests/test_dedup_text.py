@@ -1119,6 +1119,45 @@ def test_doc_repetition_closed_form(spark, sf_dir):
         assert (r.n_grams, r.max_gram_count, r.dup_gram_frac) == (n, mx, frac)
 
 
+def test_doc_repetition_queued_oracle_dress_rehearsal(spark, sf_dir):
+    """Dress rehearsal for the QUEUED doc_repetition oracle
+    (registry.queued_oracle_sql, second in line behind
+    semantic_decontamination — the r12-retired trigram twin resurrected
+    r18 to keep the queue ≥2 deep after the knn_join_l2 promotion):
+    the engine's trigram statistics and the DuckDB twin must agree row
+    for row at sf0.001 under the driver's sorted-columns value
+    comparison."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from cs598vectordb_spark.registry import queued_oracle_sql
+
+    sql = queued_oracle_sql()["doc_repetition"]
+    sdf = em.queries()["doc_repetition"](spark, sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows) and len(srows) > 0
+
+    def canon(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def c(v):
+            return f"{v:.6f}" if isinstance(v, float) else str(v)
+
+        return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+    assert canon(srows, scols) == canon(drows, dcols)
+
+
 def test_dsir_queued_oracle_matches_duckdb(spark, sf_dir):
     """End-to-end value verification of the QUEUED DSIR oracle
     (registry.queued_oracle_sql, VERDICT r11 item 6): the Spark

@@ -165,6 +165,40 @@ def test_knn_ip_matches_bruteforce(spark, sf_dir):
             assert got[(qid, rank)] == ids[i], (qid, rank)
 
 
+def test_knn_cosine_value_exact(spark, sf_dir):
+    """Value-exact pin for the knn_cosine entry (ORACLE RETIRED r18,
+    funding the knn_join_l2 promotion): the REGISTERED query's full
+    (q_id, rank, vec_id) row set must equal a numpy float64 brute-force
+    recomputation of the retired DuckDB twin's arithmetic — cosine DESC
+    with the vec_id ASC tie-break. The minimum rank-adjacent similarity
+    margin on this fixture (~5e-6, measured) dwarfs normalize-then-GEMM
+    vs dot/norms reorder noise (~1e-15), so ranks are well-defined."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from cs598vectordb_spark.config import DEFAULT_K, DEFAULT_N_QUERIES
+    from cs598vectordb_spark.sources.tables import load_table
+
+    got = {
+        (r.q_id, r.rank): r.vec_id
+        for r in em.queries()["knn_cosine"](spark, sf_dir).collect()
+    }
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    norms = np.linalg.norm(X, axis=1)
+    assert len(got) == DEFAULT_N_QUERIES * DEFAULT_K
+    for qid in range(DEFAULT_N_QUERIES):
+        s = (X @ X[qid]) / (norms * norms[qid])
+        top = sorted(range(len(ids)), key=lambda i: (-s[i], ids[i]))[:DEFAULT_K]
+        for rank, i in enumerate(top, 1):
+            assert got[(qid, rank)] == ids[i], (qid, rank)
+
+
 def test_knn_range_exact_membership(spark, sf_dir):
     """Range search returns exactly the pairs within radius2 — verified
     against the exact kernel's distances (no misses at the boundary, no

@@ -293,21 +293,20 @@ def test_knn_join_oracle_dress_rehearsal(spark, sf_dir):
 
 
 def test_knn_join_l2_queued_oracle_dress_rehearsal(spark, sf_dir):
-    """Dress rehearsal for the QUEUED knn_join_l2 oracle
-    (registry.queued_oracle_sql, the r18 promotion candidate): the
-    engine's full-probe L2 self-join and the DuckDB twin — the
-    promoted cosine twin's brute-force shape with the score swapped
-    for the inner-product expansion of ||b−q||², 6-dp-rounded before
-    the rank window on BOTH sides (the engine cell kernel rounds its
+    """Dress rehearsal for the knn_join_l2 oracle (PROMOTED r18 from
+    the r17 queue, funded by the knn_cosine retirement): the engine's
+    full-probe L2 self-join and the DuckDB twin — the promoted cosine
+    twin's brute-force shape with the score swapped for the
+    inner-product expansion of ||b−q||², 6-dp-rounded before the rank
+    window on BOTH sides (the engine cell kernel rounds its
     squared_l2_block output identically since r17) — must agree row
     for row at sf0.001 under the driver's sorted-columns value
     comparison."""
     import duckdb
 
     import __spark_entry__ as em
-    from cs598vectordb_spark.registry import queued_oracle_sql
 
-    sql = queued_oracle_sql()["knn_join_l2"]
+    sql = em.oracle_sql()["knn_join_l2"]
     sdf = em.queries()["knn_join_l2"](spark, sf_dir)
     con = duckdb.connect()
     con.execute(
