@@ -497,6 +497,25 @@ def _host_calibration() -> dict:
     }
 
 
+# Contended-window thresholds for _calibration_contended, set at ~2/3
+# of this host's quiet-window readings (~180–260 GFLOPS, ~17 GB/s —
+# measured r17): below either, throughput numbers are measuring the
+# neighbor's bus traffic, not the engine. The r17 contended window
+# depressed bandwidth-bound paths 2–4× (BENCH_r17's 74.7-vs-158.7
+# exact-QPS contradiction), far past these floors.
+GEMM_GFLOPS_CONTENDED_FLOOR = 120.0
+MEM_GBPS_CONTENDED_FLOOR = 11.0
+
+
+def _calibration_contended(cal: dict) -> bool:
+    """True when a _host_calibration reading says the window is too
+    contended to trust a throughput measurement taken beside it."""
+    return (
+        cal["gemm_gflops"] < GEMM_GFLOPS_CONTENDED_FLOOR
+        or cal["mem_gbps"] < MEM_GBPS_CONTENDED_FLOOR
+    )
+
+
 def _zipf_corpus(spark, n_docs: int = 20_000, vocab: int = 10_000,
                  doc_len: int = 80, seed: int = 41):
     """Deterministic Zipf-vocabulary corpus for the BM25 df-cap A/B
@@ -733,12 +752,13 @@ def main() -> int:
         # the max of the two settled 3-pass medians — a one-sided
         # re-measure that r16+ rounds use and earlier rounds did not
         "committed": "max_of_draws",
+        # which series keys got the max-of-draws treatment (ADVICE r17:
+        # this tag lives HERE, not in knn_exact_qps_scaling — that map's
+        # contract is homogeneous {str(actual_n): qps} and is iterated
+        # with int(key) by its consumers)
+        "gated_batches": [int(big_key)],
     }
     qps_scaling[big_key] = max(qps_scaling[big_key], second_draw)
-    # ADVICE r16: tag the gated point IN the series so cross-round
-    # readers see the r16+ methodology break without archaeology (the
-    # per-draw evidence travels in qps_sweep_load_gate alongside).
-    qps_scaling["gated_batches"] = [int(big_key)]
 
     # Embedding-compression trade-off: recall@10 of exact kNN in
     # PCA-projected space vs full-dim truth, by out_dim — the
@@ -1395,6 +1415,18 @@ def main() -> int:
     lbq1m = lb1m.filter(F.col("vec_id") < 1000).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
+    # Calibration bracket + load gate for the 1M HEADLINE block
+    # (VERDICT r17 items 2/6 + what's-wrong #1: the r17 headline
+    # printed exact 74.7 QPS in a memory-bus-contended window while the
+    # same round's detail snapshot read 158.7 on identical artifacts —
+    # a phantom 3× regression the parsed record could not adjudicate).
+    # Same remedy the 10k sweep point got in r16: bracket the block
+    # with _host_calibration (incl. the mem_gbps probe the dgemm number
+    # is blind to), and when EITHER bracket reads contended, settle and
+    # re-draw every headline point, committing max-of-draws with both
+    # draws + all calibrations recorded. The brackets ride in the
+    # printed line's large_1m entry so the record adjudicates itself.
+    cal_lb1m_start = _host_calibration()
     ex1m = knn_exact(lb1m, lbq1m, 10).persist()
     ex1m.count()  # warm
     ex1m_sec = _med3(lambda: knn_exact(lb1m, lbq1m, 10).count())
@@ -1439,6 +1471,47 @@ def main() -> int:
             # that the serving cache's fill cost is one cheap column-
             # pruned parquet read, not a second copy of the r12 tax
             probes_1m[pname]["cold_seconds"] = round(cold_sec, 3)
+
+    cal_lb1m_end = _host_calibration()
+    lb1m_gate: dict = {
+        "calibration_start": cal_lb1m_start,
+        "calibration_end": cal_lb1m_end,
+        "floors": {
+            "gemm_gflops": GEMM_GFLOPS_CONTENDED_FLOOR,
+            "mem_gbps": MEM_GBPS_CONTENDED_FLOOR,
+        },
+        "gated": _calibration_contended(cal_lb1m_start)
+        or _calibration_contended(cal_lb1m_end),
+        "committed": "max_of_draws",
+    }
+    if lb1m_gate["gated"]:
+        # Second draw of EVERY 1M headline point (exact + all four
+        # probes): settle first, record the retry calibration, keep the
+        # faster of the two settled medians per point. Recalls are kept
+        # from draw 1 — load cannot change what rows come back. ~60 s,
+        # paid only in a contended window.
+        _settle(spark)
+        lb1m_gate["calibration_retry"] = _host_calibration()
+        draw1 = {"exact_seconds": round(ex1m_sec, 3)}
+        draw2: dict = {}
+        ex1m_sec2 = _med3(lambda: knn_exact(lb1m, lbq1m, 10).count())
+        draw2["exact_seconds"] = round(ex1m_sec2, 3)
+        ex1m_sec = min(ex1m_sec, ex1m_sec2)
+        redraws = {
+            "ivfpq_refined_fused": lambda: _fused1m(mult=10).count(),
+            "ivfpq_refined_fused_hi": lambda: _fused1m(mult=20).count(),
+            "graph2": lambda: _g2probe(lb1m_g2).count(),
+            "graph2_served": lambda: _g2probe(lb1m_g2s).count(),
+        }
+        for pname, thunk in redraws.items():
+            draw1[f"{pname}_seconds"] = probes_1m[pname]["seconds"]
+            sec2 = _med3(thunk)
+            draw2[f"{pname}_seconds"] = round(sec2, 3)
+            if sec2 < probes_1m[pname]["seconds"]:
+                probes_1m[pname]["seconds"] = round(sec2, 3)
+                probes_1m[pname]["qps"] = round(1000 / sec2, 1)
+        lb1m_gate["draw1"] = draw1
+        lb1m_gate["draw2"] = draw2
 
     # recall-QPS frontier (VERDICT r12 item 2): ~5 configs per family,
     # single warmed pass each (the headline points above keep the
@@ -2018,6 +2091,7 @@ def main() -> int:
         "n_queries": 1000,
         "build_seconds": lb1m_meta,
         "exact": {"seconds": round(ex1m_sec, 3), "qps": exact_qps_1m},
+        "load_gate": lb1m_gate,
         **probes_1m,
         "frontier": frontier,
         "frontier_best": frontier_best,
@@ -2092,6 +2166,23 @@ def main() -> int:
             # (full block incl. frontier + dynamic in bench detail)
             "large_1m": {
                 "exact_qps": exact_qps_1m,
+                # the block's own calibration brackets (load rides in
+                # extra.load_avg; the full gate record with per-draw
+                # evidence is large_base_1m.load_gate in detail) — a
+                # contended window now adjudicates itself in-line
+                # instead of printing a phantom regression (r17's
+                # 74.7-vs-158.7 exact-QPS contradiction)
+                "cal": {
+                    "start": {
+                        k: cal_lb1m_start[k]
+                        for k in ("gemm_gflops", "mem_gbps")
+                    },
+                    "end": {
+                        k: cal_lb1m_end[k]
+                        for k in ("gemm_gflops", "mem_gbps")
+                    },
+                    "gated": lb1m_gate["gated"],
+                },
                 "graph2_served_qps": probes_1m["graph2_served"]["qps"],
                 "graph2_served_recall": probes_1m["graph2_served"][
                     "recall_vs_exact"
@@ -2186,7 +2277,8 @@ def _smoke_main() -> int:
     arming the StateStore maintenance timer first — the exact BENCH_r16
     race ingredient — so the subprocess pin tests the failure class,
     not just the happy path. Runs at sf0.001 regardless of
-    SPARK_GRAFT_SF_DIR unless the caller overrides SMOKE_SF_DIR."""
+    SPARK_GRAFT_SF_DIR unless the caller overrides
+    SPARK_GRAFT_BENCH_SMOKE_SF."""
     sf_dir = os.environ.get("SPARK_GRAFT_BENCH_SMOKE_SF", "/root/testdata/sf0.001")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

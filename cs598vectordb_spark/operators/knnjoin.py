@@ -48,6 +48,17 @@ tie-INCLUSIVE replacement emitted whole duplicate clusters per query
 on near-dup-heavy corpora (ADVICE r16); the canonical exact-k cut
 closes both. Partial probe is the scale path: `knn_join_ivf` at
 nprobe << nlist, recall-floor-pinned (tests/test_knnjoin.py).
+
+Rounding-boundary caveat (ADVICE r17): the round-before-rank guarantee
+holds for last-ULP noise, not for scores landing EXACTLY on a
+representable .xxxxxx5 boundary — numpy np.round is half-to-EVEN while
+DuckDB ROUND(DOUBLE, n) is half-AWAY-from-zero, so such a score would
+round differently across engines and could still flip a tie in the
+knn_join / knn_join_l2 oracles. No fixture has hit one (the operands
+are irrational-ish float sums; an exact decimal boundary needs crafted
+inputs); if one of these oracles ever hash-mismatches on a NEW
+fixture, diagnose THIS class before suspecting the kernel. See also
+the oracle-pitfalls list in queries_relational.py.
 """
 
 from __future__ import annotations

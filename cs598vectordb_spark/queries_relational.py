@@ -5,7 +5,15 @@ Oracle alignment rules applied throughout:
 * floating aggregates ROUND(.., ORACLE_ROUND) on both sides;
 * integer sums CAST to BIGINT in DuckDB (its SUM(int) yields HUGEINT);
 * window ranks CAST to INTEGER in DuckDB (Spark row_number/ntile are INT);
-* all orderings carry a unique tie-break key.
+* all orderings carry a unique tie-break key;
+* ROUND tie semantics differ across engines (ADVICE r17): numpy
+  np.round is half-to-EVEN, DuckDB ROUND(DOUBLE, n) half-AWAY-from-zero
+  (Spark's ROUND on DOUBLE is half-up). Harmless for the usual
+  last-ULP noise the rounding exists to absorb, but a value landing
+  EXACTLY on a representable .xx5 boundary rounds differently — if a
+  round-before-rank oracle (knn_join/knn_join_l2/hybrid_rrf_search)
+  ever hash-mismatches on a new fixture, check this class first (see
+  operators/knnjoin.py module docstring).
 """
 
 from __future__ import annotations
