@@ -135,6 +135,28 @@ def test_qps_scaling_keys_are_actual_batch_sizes():
     assert all(int(key) <= emb.count() for key in out)
 
 
+def test_calibration_contended_thresholds():
+    """Pins the 1M-block load gate's trigger (VERDICT r17 item 2): a
+    quiet-host reading must NOT gate (no wasted second draws on every
+    run), while either a depressed GEMM or — the r17 failure mode the
+    GEMM probe is blind to — a depressed memory-bandwidth reading
+    must."""
+    quiet = {"gemm_gflops": 220.0, "mem_gbps": 16.8, "load": [1.0, 2.0, 3.0]}
+    assert not bench._calibration_contended(quiet)
+    slow_gemm = dict(quiet, gemm_gflops=80.0)
+    assert bench._calibration_contended(slow_gemm)
+    # healthy cache-resident GEMM, starved bus: the r17 window's shape
+    bus_contended = dict(quiet, mem_gbps=6.0)
+    assert bench._calibration_contended(bus_contended)
+    # floors are strict bounds, not approximations
+    at_floor = dict(
+        quiet,
+        gemm_gflops=bench.GEMM_GFLOPS_CONTENDED_FLOOR,
+        mem_gbps=bench.MEM_GBPS_CONTENDED_FLOOR,
+    )
+    assert not bench._calibration_contended(at_floor)
+
+
 def test_unshrinkable_line_raises():
     # "queries" is never demoted; if it alone overflows, fail LOUDLY
     out = {
