@@ -290,13 +290,32 @@ def materialize_ivf(index: IvfIndex, path: str) -> IvfIndex:
     return IvfIndex(assigned, index.centroids, index.nlist, path, index.metric)
 
 
+_KMEANS_FAST_K = 4096  # strictly above every pinned shape (ksub=256, bench nlist=1024)
+
+
 def _kmeans_fit(X: np.ndarray, k: int, seed: int = SEED, iters: int = 20) -> np.ndarray:
     """Plain numpy Lloyd's on a driver-side sample. The reference trains
     its coarse quantizer on a 100K sample (xt, multi_tenant_script.py:96)
     — sampling-to-driver IS the reference's own design; at 100 TB use
-    df.sample() to bound the sample. Deterministic k-means++ init."""
+    df.sample() to bound the sample. Deterministic k-means++ init.
+
+    Large-k fast path (k ≥ _KMEANS_FAST_K): the sequential k-means++
+    loop is O(k·n·d) with k dependent draws — ~10 min of driver time at
+    the XL join's nlist=10,000 (SCALING §7 pinned it as the 10M×10M
+    build's dominant term) — and the per-cluster mean update is an
+    O(k·n) Python loop per Lloyd iteration. At blocking-quantizer k the
+    field's standard is seeded random init + Lloyd (FAISS Clustering
+    trains coarse quantizers exactly so); the fast path uses a seeded
+    no-replacement row draw, a row-chunked assignment GEMM (the full
+    n×k distance block is 8 GB float64 at n=100k, k=10k), and
+    bincount-based cluster means. The threshold sits strictly above
+    every committed index shape (PQ ksub=256, the 1M bench family's
+    nlist=1024), so all pinned recall/bench numbers keep their exact
+    k-means++ centroids — only the XL nlist=10,000 builds switch."""
     rng = np.random.default_rng(seed)
     n = X.shape[0]
+    if k >= _KMEANS_FAST_K:
+        return _kmeans_fit_large_k(X, k, rng, iters)
     # k-means++ seeding with the incremental nearest-centroid distance
     # (O(k·n·d), not O(k²·n·d) — matters for 256-centroid PQ codebooks);
     # identical draws to the naive recompute, so seeded results are stable.
@@ -323,6 +342,51 @@ def _kmeans_fit(X: np.ndarray, k: int, seed: int = SEED, iters: int = 20) -> np.
             if m.any():
                 C[j] = X[m].mean(axis=0)
     return C
+
+
+def _kmeans_fit_large_k(
+    X: np.ndarray, k: int, rng: np.random.Generator, iters: int
+) -> np.ndarray:
+    """Seeded-random-init chunked Lloyd for blocking quantizers at
+    k ≥ _KMEANS_FAST_K — see _kmeans_fit's docstring. Deterministic for
+    a given (seed, k, X): the init is one no-replacement Generator draw
+    and every Lloyd step is pure numpy.
+
+    The assignment step is memory-bound, not GEMM-bound (the n×k
+    distance block is 8 GB float64 at n=100k, k=10k — the first A/B
+    draw measured 897 s at that shape with full-precision blocks), so
+    it runs in float32 with in-place block arithmetic and drops the
+    per-row |x|² term (constant within a row — cannot change the
+    argmin). Centroid means still accumulate in float64 over the
+    ORIGINAL rows (bincount weights), so assignment precision is the
+    only fp concession — fine for a blocking quantizer whose consumers
+    are recall/floor-gated (kmeans_ab_10k_r18.json records the quality
+    stats; the pytest pin asserts SSE parity with the ++ path)."""
+    n, d = X.shape
+    k = min(k, n)
+    X32 = X.astype(np.float32)
+    C = X32[rng.choice(n, size=k, replace=False)].copy()
+    # cap the chunked distance block ~800 MB float32
+    chunk = max(1024, int(2e8) // max(k, 1))
+    assign = np.empty(n, dtype=np.int64)
+    for _ in range(iters):
+        c2 = np.square(C).sum(1)[None, :]
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            blk = X32[s:e] @ C.T
+            blk *= -2.0
+            blk += c2
+            assign[s:e] = blk.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k)
+        # d bincount passes = O(n·d) C-speed scatter means (vs the
+        # small-k path's O(k·n) Python mask loop per iteration)
+        sums = np.stack(
+            [np.bincount(assign, weights=X[:, j], minlength=k) for j in range(d)],
+            axis=1,
+        )
+        nz = counts > 0
+        C[nz] = (sums[nz] / counts[nz, None]).astype(np.float32)
+    return C.astype(np.float64)
 
 
 def build_ivf_index(

@@ -1176,3 +1176,51 @@ def test_delete_layered2_broadcast_matches_semi(spark, sf_dir):
     assert pa == pb
     for i in (idx, a, b):
         i.segments.unpersist()
+
+
+def test_kmeans_large_k_fast_path():
+    """The k >= _KMEANS_FAST_K branch (seeded random init + chunked
+    Lloyd + bincount means) must be deterministic and match the
+    sequential k-means++ path's clustering quality at the same k —
+    the XL join's nlist=10,000 build relies on it (SCALING §7's
+    documented seeding bottleneck), while every pinned index shape
+    (ksub=256, bench nlist=1024) stays on the exact small-k path."""
+    import numpy as np
+
+    from cs598vectordb_spark.operators.index import (
+        _KMEANS_FAST_K,
+        _kmeans_fit,
+        _kmeans_fit_large_k,
+    )
+
+    rng = np.random.default_rng(7)
+    # clustered mixture: 256 planted centers, the blocking regime
+    centers = rng.normal(size=(256, 8))
+    X = (
+        centers[rng.integers(0, 256, size=8000)]
+        + rng.normal(scale=0.05, size=(8000, 8))
+    )
+
+    k = _KMEANS_FAST_K
+    C1 = _kmeans_fit(X, k, seed=3, iters=5)
+    C2 = _kmeans_fit(X, k, seed=3, iters=5)
+    assert C1.shape == (k, 8)
+    assert np.array_equal(C1, C2)  # deterministic
+
+    def sse(C):
+        d2 = (
+            np.square(X).sum(1, keepdims=True)
+            - 2.0 * (X @ C.T)
+            + np.square(C).sum(1)[None, :]
+        )
+        return float(d2.min(axis=1).sum())
+
+    # head-to-head at the same k: the fast path may not degrade the
+    # objective vs the sequential++ path beyond noise
+    C_pp = _kmeans_fit(X, k - 1, seed=3, iters=5)  # k-1 < threshold => ++ path
+    assert sse(C1) <= 1.25 * sse(C_pp)
+
+    # k > n degenerates gracefully (k clamps to n)
+    small = X[:100]
+    Cs = _kmeans_fit_large_k(small, _KMEANS_FAST_K, np.random.default_rng(1), 2)
+    assert Cs.shape[0] == 100
