@@ -204,6 +204,9 @@ def build_join_index(
     return IvfIndex(assigned, C, nlist, metric="cosine")
 
 
+_TILE_SCORE_ELEMS = 32_000_000  # ≈256 MB float64 score block per task
+
+
 def knn_join_ivf(
     queries: DataFrame,
     index: IvfIndex,
@@ -213,6 +216,7 @@ def knn_join_ivf(
     exclude_self: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tile_elems: int = _TILE_SCORE_ELEMS,
 ) -> DataFrame:
     """Cell-cogrouped k-NN join of a query TABLE against an IvfIndex.
 
@@ -220,7 +224,18 @@ def knn_join_ivf(
     cosine ranked on the 6-dp-rounded similarity (descending, vec_id
     tie-break), L2 on the raw float64 squared distance (ascending).
     `exclude_self` drops the (q_id == vec_id) pair — the self-join
-    configuration, where each query is also a base row."""
+    configuration, where each query is also a base row.
+
+    Query-side tiling (r18): cogroup hands the kernel the ENTIRE
+    per-cell query group, and the score block is |B|×|Q| — at the
+    decontamination shape (small indexed eval side, a handful of
+    cells, full probe) that group is a whole train slice, and the
+    untiled kernel attempted a 237 GiB allocation (12,724 × 2.5M, the
+    first 10M semdecon run). Per-query top-k is independent across
+    queries, so the kernel tiles the query axis at ~`tile_elems` score
+    cells (comparator and values bit-identical to the untiled form —
+    pinned by tests/test_knnjoin.py's tiny-tile equality test); peak
+    task memory is O(|B|·tile + |B|·d), independent of |Q|."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
     if metric != index.metric:
@@ -260,31 +275,46 @@ def knn_join_ivf(
         empty = pd.DataFrame({"q_id": [], "vec_id": [], score_col: []})
         if len(qpdf) == 0 or len(bpdf) == 0:
             return empty
-        q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+        from cs598vectordb_spark.operators.knn import squared_l2_block
+
+        q_ids_all = qpdf["q_id"].to_numpy(dtype=np.int64)
         b_ids = bpdf["vec_id"].to_numpy(dtype=np.int64)
-        Q = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
         B = np.stack(bpdf[vec_col].to_numpy()).astype(np.float64)
         if cosine:
-            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
             Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-30)
-            # round BEFORE ranking: the comparator must equal the twin's
-            scores = np.round(Bn @ Qn.T, COS_ROUND)  # |B|×|Q|
             bad = -np.inf
         else:
-            from cs598vectordb_spark.operators.knn import squared_l2_block
-
-            # same round-before-ranking discipline as the cosine leg
-            # (r17, with the knn_join_l2 twin): the DuckDB twin computes
-            # the inner-product expansion of ||b−q||² and rounds to the
-            # same 6 dp, so cross-engine last-ulp noise cannot flip a
-            # rank or the value hash
-            scores = np.round(squared_l2_block(B, Q), COS_ROUND)
             bad = np.inf
-        if exclude_self:
-            scores[b_ids[:, None] == q_ids[None, :]] = bad
-        return _topk_canonical(
-            scores, b_ids, q_ids, k, ascending=not cosine, score_col=score_col
-        )
+        qvecs = qpdf[vec_col].to_numpy()
+        tile = max(256, tile_elems // max(len(b_ids), 1))
+        outs = []
+        for s in range(0, len(q_ids_all), tile):
+            e = min(len(q_ids_all), s + tile)
+            Q = np.stack(qvecs[s:e]).astype(np.float64)
+            q_ids = q_ids_all[s:e]
+            if cosine:
+                Qn = Q / np.maximum(
+                    np.linalg.norm(Q, axis=1, keepdims=True), 1e-30
+                )
+                # round BEFORE ranking: the comparator must equal the
+                # twin's
+                scores = np.round(Bn @ Qn.T, COS_ROUND)  # |B|×|tile|
+            else:
+                # same round-before-ranking discipline as the cosine leg
+                # (r17, with the knn_join_l2 twin): the DuckDB twin
+                # computes the inner-product expansion of ||b−q||² and
+                # rounds to the same 6 dp, so cross-engine last-ulp
+                # noise cannot flip a rank or the value hash
+                scores = np.round(squared_l2_block(B, Q), COS_ROUND)
+            if exclude_self:
+                scores[b_ids[:, None] == q_ids[None, :]] = bad
+            outs.append(
+                _topk_canonical(
+                    scores, b_ids, q_ids, k,
+                    ascending=not cosine, score_col=score_col,
+                )
+            )
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     local = q_assigned.groupBy("centroid_id").cogroup(base.groupBy("centroid_id")).applyInPandas(
         lambda qp, bp: cell_kernel(qp, bp),

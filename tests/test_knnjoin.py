@@ -410,3 +410,29 @@ def test_semantic_decontamination_matches_bruteforce(spark, sf_dir):
     assert len(got) == int(tr.sum())
     flagged = sum(1 for r in got if r[3])
     assert 0 < flagged < len(got)
+
+
+def test_knn_join_tiny_tile_bit_identical(spark, sf_dir):
+    """The r18 query-axis tiling (the 237 GiB lesson from the first 10M
+    semdecon run: cogroup hands the kernel the whole per-cell query
+    group, so the score block must tile) is a pure memory-shape change:
+    forcing ~degenerate tiles (tile_elems=1 → 256-query tiles after the
+    floor, then an even smaller base→wider tile) must reproduce the
+    default kernel's rows bit-for-bit, including the canonical tie cut
+    at tile boundaries."""
+    emb = _emb(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    idx = build_join_index(emb, nlist=4, metric="cosine")
+    idx.assigned.persist().count()
+    try:
+        kw = dict(k=5, nprobe=4, metric="cosine", exclude_self=True)
+        want = sorted(
+            tuple(r) for r in knn_join_ivf(q, idx, **kw).collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in knn_join_ivf(q, idx, tile_elems=1, **kw).collect()
+        )
+        assert got == want
+    finally:
+        idx.assigned.unpersist()
