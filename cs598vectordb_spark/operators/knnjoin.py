@@ -217,6 +217,7 @@ def knn_join_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tile_elems: int = _TILE_SCORE_ELEMS,
+    query_shards: int = 1,
 ) -> DataFrame:
     """Cell-cogrouped k-NN join of a query TABLE against an IvfIndex.
 
@@ -235,7 +236,19 @@ def knn_join_ivf(
     queries, so the kernel tiles the query axis at ~`tile_elems` score
     cells (comparator and values bit-identical to the untiled form —
     pinned by tests/test_knnjoin.py's tiny-tile equality test); peak
-    task memory is O(|B|·tile + |B|·d), independent of |Q|."""
+    task memory is O(|B|·tile + |B|·d), independent of |Q|.
+
+    Query sharding (r18): with few cells the cogroup's task count is
+    the cell count — the 10M semdecon rerun ran 7 single-core kernels
+    on a 32-core host (75% idle). `query_shards=S` widens the cogroup
+    key to (centroid_id, xxhash64(q_id) mod S): the SMALL base side is
+    replicated ×S (the asymmetric-replication rule — never explode the
+    big side) and task parallelism becomes nlist×S. The final
+    per-query window already merges globally across cells, so the
+    result is identical for any S (pinned alongside the tiling test;
+    the shard hash is xxhash64, NOT q_id mod S, because callers slice
+    work by q_id modulo and a correlated key would collapse the shard
+    space)."""
     if metric not in ("cosine", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
     if metric != index.metric:
@@ -316,7 +329,19 @@ def knn_join_ivf(
             )
         return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
-    local = q_assigned.groupBy("centroid_id").cogroup(base.groupBy("centroid_id")).applyInPandas(
+    if query_shards > 1:
+        q_assigned = q_assigned.withColumn(
+            "q_shard",
+            F.pmod(F.xxhash64("q_id"), F.lit(query_shards)).cast("int"),
+        )
+        base = base.withColumn(
+            "q_shard",
+            F.explode(F.sequence(F.lit(0), F.lit(query_shards - 1))),
+        )
+        keys = ["centroid_id", "q_shard"]
+    else:
+        keys = ["centroid_id"]
+    local = q_assigned.groupBy(*keys).cogroup(base.groupBy(*keys)).applyInPandas(
         lambda qp, bp: cell_kernel(qp, bp),
         f"q_id long, vec_id long, {score_col} double",
     )

@@ -434,5 +434,13 @@ def test_knn_join_tiny_tile_bit_identical(spark, sf_dir):
             for r in knn_join_ivf(q, idx, tile_elems=1, **kw).collect()
         )
         assert got == want
+        # query sharding widens the cogroup key (centroid_id,
+        # xxhash64(q_id)%S) with the small side replicated ×S — the
+        # global per-query window merge makes any S value-identical
+        sharded = sorted(
+            tuple(r)
+            for r in knn_join_ivf(q, idx, query_shards=3, **kw).collect()
+        )
+        assert sharded == want
     finally:
         idx.assigned.unpersist()

@@ -24,6 +24,10 @@ Env knobs:
   CS598_SD_NLIST    eval blocking cells (default 8)
   CS598_SD_TAU      contamination threshold (default 0.35)
   CS598_SD_SLICES   sequential train slices (default 4)
+  CS598_SD_SHARDS   query_shards for the cogroup (default 16 — with
+                    NLIST=8 cells the unsharded cogroup runs 8
+                    single-core kernels and idles 3/4 of a 32-core
+                    host; nlist×shards = 128 tasks)
 
 Writes /tmp/semdecon_<train>m_e<eval>k.json; the quiet-start result is
 committed as semantic_decontamination_10m_r18.json and quoted in
@@ -54,13 +58,14 @@ N_EVAL = int(os.environ.get("CS598_SD_N_EVAL", "100000"))
 NLIST = int(os.environ.get("CS598_SD_NLIST", "8"))
 TAU = float(os.environ.get("CS598_SD_TAU", "0.35"))
 SLICES = int(os.environ.get("CS598_SD_SLICES", "4"))
+SHARDS = int(os.environ.get("CS598_SD_SHARDS", "16"))
 
 spark = get_spark("xl-semdecon")
 n_total = N_TRAIN + N_EVAL
 centers = max(256, n_total // 2000)
 rec = {
     "n_train": N_TRAIN, "n_eval": N_EVAL, "nlist": NLIST, "tau": TAU,
-    "train_slices": SLICES,
+    "train_slices": SLICES, "query_shards": SHARDS,
     "probe": "full (nprobe = nlist) => exact nearest-eval",
     "load_start": [round(x, 2) for x in os.getloadavg()],
     "calibration_start": bench._host_calibration(),
@@ -88,7 +93,9 @@ sink_s = 0.0
 out_rows = 0
 for sl in range(SLICES):
     qs = train.filter(F.col("q_id") % SLICES == sl) if SLICES > 1 else train
-    o = knn_join_ivf(qs, idx, k=1, nprobe=NLIST, metric="cosine").select(
+    o = knn_join_ivf(
+        qs, idx, k=1, nprobe=NLIST, metric="cosine", query_shards=SHARDS
+    ).select(
         F.col("q_id").alias("train_id"),
         F.col("vec_id").alias("eval_id"),
         "cos_sim",
