@@ -44,22 +44,30 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_columns(text_col: str = "text") -> list[F.Column]:
+    """The quality-score projection as named column expressions, so a
+    composing pipeline (curate_corpus) can evaluate them inline on its
+    own scan instead of joining quality_scores' output back by doc_id."""
+    n_tok = token_count(text_col)
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    composite = _r(
+        0.4 * len_score
+        + 0.4 * alpha_ratio(text_col)
+        + 0.2 * (1.0 - punct_ratio(text_col))
+    )
+    return [
+        n_tok.alias("n_tokens"),
+        _r(punct_ratio(text_col)).alias("punct_ratio"),
+        _r(alpha_ratio(text_col)).alias("alpha_ratio"),
+        composite.alias("quality"),
+    ]
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality components + composite score in [0,1]:
     rewards mid-length docs, alphabetic content, and sane punctuation —
     the standard cheap pre-filter before expensive model-based scoring."""
-    n_tok = token_count("text")
-    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
-    composite = _r(
-        0.4 * len_score + 0.4 * alpha_ratio("text") + 0.2 * (1.0 - punct_ratio("text"))
-    )
-    return docs.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        _r(punct_ratio("text")).alias("punct_ratio"),
-        _r(alpha_ratio("text")).alias("alpha_ratio"),
-        composite.alias("quality"),
-    )
+    return docs.select("doc_id", *quality_columns("text"))
 
 
 def lang_detect(docs: DataFrame) -> DataFrame:
@@ -122,21 +130,31 @@ def hash_split(
     same polynomial hash formula is evaluated by the DuckDB oracle."""
     weights = weights or {"train": 80, "val": 10, "test": 10}
     assert sum(weights.values()) == 100, "weights must sum to 100"
-    keyed = docs.select(
-        F.col(id_col),
-        F.concat(F.col(id_col).cast("string"), F.lit("#" + salt)).alias("_key"),
-    )
-    bucket = (rolling_hash("_key") % 100).cast("int")
+    return docs.select(
+        F.col(id_col), split_bucket_column(id_col, salt).alias("bucket")
+    ).select(id_col, "bucket", split_case_column(F.col("bucket"), weights).alias("split"))
+
+
+def split_bucket_column(id_col: str, salt: str = "s1") -> F.Column:
+    """hash_split's bucket as a single inline expression over the id
+    column (rolling hash of `id#salt` mod 100) — the same formula
+    hash_split materializes, exposed so composing pipelines can compute
+    the split without a self-join."""
+    return (
+        rolling_hash(f"concat(CAST({id_col} AS STRING), '#{salt}')") % 100
+    ).cast("int")
+
+
+def split_case_column(bucket: F.Column, weights: dict[str, int]) -> F.Column:
+    """The cumulative-weight bucket→split CASE expression (insertion
+    order of `weights` defines the slices, as in hash_split)."""
     expr = None
     acc = 0
     for name, w in weights.items():
         acc += w
-        cond = F.col("bucket") < acc
+        cond = bucket < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    return (
-        keyed.withColumn("bucket", bucket)
-        .select(id_col, "bucket", expr.alias("split"))
-    )
+    return expr
 
 
 def pack_sequences(
@@ -993,22 +1011,36 @@ def curate_corpus(
     curation funnel a training-data pipeline runs nightly — keep only
     exact-dedup canonical documents, in the allowed languages, above the
     quality floor; assign train/val/test splits; report the resulting
-    training-mix composition. Pure composition of the engine's own
-    operators (dedup_exact ∘ quality_scores ∘ hash_split) — each stage
-    keeps its own at-scale plan (hash-groupBy dedup, projection scoring,
-    projection split), joined on the doc id."""
+    training-mix composition.
+
+    Plan (r18, guide §2.4/§6): quality_scores and hash_split are pure
+    per-row projections keyed by the unique doc_id, so joining their
+    outputs back to `docs` bought nothing but plan weight — the old
+    composition scanned documents.parquet FOUR times (main + dedup +
+    quality + split) through three broadcast joins. Their expressions
+    now evaluate inline on the ONE main scan (same formulas via
+    quality_scores/hash_split applied to the already-filtered rows —
+    row-for-row identical output since doc_id is unique), leaving only
+    the genuinely relational stage: canonical-document membership,
+    which must see EVERY copy corpus-wide (a duplicate's canonical twin
+    may sit outside the lang filter) and stays a hash-groupBy over md5
+    + a semi-join. 4 scans → 2, 3 joins → 1."""
     from cs598vectordb_spark.operators.dedup import dedup_exact
 
-    q = quality_scores(docs).select("doc_id", "quality", "n_tokens")
     canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
-    s = hash_split(docs).select("doc_id", "split")
     kept = (
-        docs.select("doc_id", "lang")
+        docs.select("doc_id", "lang", "text")
         .filter(F.col("lang").isin(list(langs)))
-        .join(canon, "doc_id")
-        .join(q, "doc_id")
+        .select("doc_id", "lang", *quality_columns("text"))
         .filter(F.col("quality") >= min_quality)
-        .join(s, "doc_id")
+        .withColumn(
+            "split",
+            split_case_column(
+                split_bucket_column("doc_id", "s1"),
+                {"train": 80, "val": 10, "test": 10},
+            ),
+        )
+        .join(canon, "doc_id", "left_semi")
     )
     return kept.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
