@@ -171,8 +171,9 @@ def _banded(
     injective, so bucket membership (and therefore the candidate-pair
     set) is exactly the old concat_ws-string key's. An 8-byte long
     replaces a ~20-char UTF8 string in every banded exchange/broadcast
-    and hashes/compares without byte-walking. Wider bands keep the
-    string form."""
+    and hashes/compares without byte-walking (interleaved A/B at sf0.1:
+    1.718 → 1.655 s median for the candidate pipeline). Wider bands
+    keep the string form."""
     pack = MINHASH_PRIME ** rows < 2**63
     band_cols = []
     for b in range(bands):
@@ -471,22 +472,20 @@ def cross_split_contamination(
     Plan: tag each doc's split BEFORE the shingle explode (the join key
     count is |docs|, not |postings| — shingle fan-out never crosses a
     join), shingle-hash ONCE, explode to (doc, split, hash), apply the
-    df-cap as a PARTIAL-AGGREGATED count per hash joined back to the
-    postings (r18, guide §2.3 "aggregate before you shuffle" + §2.4: the
-    previous COUNT-window formulation shuffled every posting row into a
-    WindowExec, which also SORTS each partition by the hash before
-    counting — the partial agg ships one (h, count) row per distinct
-    shingle per map task instead, and the window sort disappears from
-    the plan entirely; the cap filter itself moves onto the tiny
-    aggregate side, so over-cap postings die before the final join's
-    exchange). The df-count join and the final train ⋈ test join are
-    both keyed on the hash, so the postings cross one hash-partitioning
-    and the aggregate reuses it. Cost is bounded by true cross-split
-    shingle collisions, never |train|×|test|. `splits` is any (doc_id,
-    split) assignment — hash_split's output slots in directly. At
-    100 TB the test side (benchmark suites, megabytes by nature) is
-    broadcastable; the shuffle-free variant replaces the final join
-    with tr.join(F.broadcast(te), "h")."""
+    df-cap as a COUNT window over the hash (boilerplate n-grams are not
+    contamination and would otherwise fan the final join out
+    quadratically — the standard df-cap), then equi-join train ⋈ test
+    postings on the hash. The window, the train side, and the test side
+    all share one hash-partitioning of the single postings pass, so the
+    whole pipeline is ONE shuffle of the postings plus the final
+    per-pair partial-agg — the previous groupBy-then-join formulation
+    executed the shingle kernel twice (no exchange reuse across its two
+    branches). Cost is bounded by true cross-split shingle collisions,
+    never |train|×|test|. `splits` is any (doc_id, split) assignment —
+    hash_split's output slots in directly. At 100 TB the test side
+    (benchmark suites, megabytes by nature) is broadcastable; the
+    shuffle-free variant replaces the final join with
+    tr.join(F.broadcast(te), "h")."""
     # persist the kernel output (one row per doc, same discipline as
     # _lsh_verified_pairs): the train and test branches both descend from
     # it, and without the pin whether the Python pass runs once or twice
@@ -497,20 +496,12 @@ def cross_split_contamination(
     # train∪test alone, so the cap counts document frequency globally
     tagged = hashed.join(splits.select(F.col(id_col), "split"), id_col)
     postings = tagged.select(F.col(id_col), "split", F.explode("hashes").alias("h"))
-    # document frequency per shingle hash as a partial-aggregated count
-    # (map-side combine), cap applied on the aggregate side; the inner
-    # join both prunes over-cap postings and reuses the hash
-    # partitioning the final train ⋈ test join needs. Semantically
-    # identical to the former COUNT() OVER (PARTITION BY h) ≤ max_df
-    # filter — same rows survive — without the WindowExec's full
-    # postings sort.
-    rare = (
-        postings.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("h")
+    pruned = (
+        postings.withColumn("_df", F.count(F.lit(1)).over(w))
         .filter(F.col("_df") <= max_df)
-        .select("h")
+        .drop("_df")
     )
-    pruned = postings.join(rare, "h")
     tr = pruned.filter(F.col("split") == from_split).select(
         F.col(id_col).alias("train_doc"), "h"
     )
