@@ -376,14 +376,25 @@ def dedup_clusters(
         ).localCheckpoint(eager=True)
     finally:
         hashed.unpersist()
-    # edges carry both directions, so src alone covers every touched vertex
+    # Round 0 collapsed to ONE aggregation (r18, guide §2.4): with the
+    # identity starting labels, nb_min(src) = min over neighbors of
+    # label(dst) = min(dst), so round 0's edges⋈labels join, the cand
+    # join, AND the separate labels-init distinct all reduce to
+    # groupBy(src).min(dst) over the checkpointed edges — the touched-
+    # vertex set is exactly the groupBy keys (edges carry both
+    # directions). Three barriers (labels init + round-0's two-join
+    # plan) become one groupBy+checkpoint; round 0 always changes
+    # labels when any edge exists, so no count job either.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nb_min"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("_nb_min")).alias("cluster_id"),
+        )
         .localCheckpoint(eager=True)
     )
-    for it in range(max_iter):
+    for _it in range(1, max_iter):
         nb = (
             edges.join(
                 labels.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("nb_label")),
@@ -401,41 +412,31 @@ def dedup_clusters(
                 "cand_id"
             ),
         )
-        if it == 0:
-            # round 1's label table is the identity map — label-of-label
-            # would join against itself for nothing; skip the hop
-            stepped = cand.select(
-                "doc_id",
-                F.col("cand_id").alias("cluster_id"),
-                (F.col("cand_id") != F.col("_old")).alias("_chg"),
-            ).localCheckpoint(eager=True)
-        else:
-            # carrying _old through makes change detection a column
-            # compare — no third join against the previous label table
-            stepped = (
-                cand.join(
-                    labels.select(
-                        F.col("doc_id").alias("cand_id"),
-                        F.col("cluster_id").alias("grand"),
-                    ),
-                    "cand_id",
-                    "left",
-                )
-                .select(
-                    "doc_id",
-                    F.least(F.col("cand_id"), F.coalesce("grand", F.col("cand_id"))).alias(
-                        "cluster_id"
-                    ),
-                    (
-                        F.least(F.col("cand_id"), F.coalesce("grand", F.col("cand_id")))
-                        != F.col("_old")
-                    ).alias("_chg"),
-                )
-                .localCheckpoint(eager=True)
+        # carrying _old through makes change detection a column
+        # compare — no third join against the previous label table; the
+        # cand_id self-join is the path-halving label-of-label hop
+        stepped = (
+            cand.join(
+                labels.select(
+                    F.col("doc_id").alias("cand_id"),
+                    F.col("cluster_id").alias("grand"),
+                ),
+                "cand_id",
+                "left",
             )
-        # round 1 always changes labels when any edge exists — not worth
-        # a count job to confirm; later rounds check for the fixpoint
-        changed = 1 if it == 0 else stepped.filter(F.col("_chg")).count()
+            .select(
+                "doc_id",
+                F.least(F.col("cand_id"), F.coalesce("grand", F.col("cand_id"))).alias(
+                    "cluster_id"
+                ),
+                (
+                    F.least(F.col("cand_id"), F.coalesce("grand", F.col("cand_id")))
+                    != F.col("_old")
+                ).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("_chg")).count()
         labels = stepped.drop("_chg")
         if changed == 0:
             break
