@@ -934,11 +934,20 @@ def dsir_logweights(
     noise for sampled selection; the deterministic weight is the
     engine artifact).
 
-    Plan: one explode-free eager scan for the two totals (conditional
-    sums of per-row feature-array sizes), then the two-pass
-    tf-join-bucket-table shape (tfidf/lm_surprisal's plan class): the
-    (doc, bucket) counts shuffle once, the ≤n_buckets-row weight table
-    comes back as a broadcast join. Nothing is per-row Python.
+    Plan: one explode-free eager scan for the two totals — feature-
+    array SIZE is closed-form in the token count (n + max(n−1, 0) for
+    unigrams+bigrams), so the totals pass tokenizes but never builds a
+    bigram string (r18, measured 2.29 → 1.02 s on the 236 MB replica,
+    identical totals) — then the two-pass tf-join-bucket-table shape
+    (tfidf/lm_surprisal's plan class): the (doc, bucket) counts shuffle
+    once, the ≤n_buckets-row weight table comes back as a broadcast
+    join. The three aggregation branches deliberately KEEP their own
+    map-side partial aggregates over the exploded stream — an r18
+    attempt to derive raw/target bucket counts from the (doc, flag,
+    bucket) aggregate via a shared exchange measured 14.0 → 17.7 s at
+    236 MB: the bucket tables' direct partial aggs collapse to
+    ~n_buckets rows map-side, which is cheaper than re-reading the big
+    per-doc exchange twice. Nothing is per-row Python.
     Rows-only (oracle budget 99/100); closed-form values pinned in
     tests/test_dedup_text.py::test_dsir_closed_form and the
     language-separation invariant alongside."""
@@ -947,10 +956,15 @@ def dsir_logweights(
     )
     feats = _dsir_feats_expr()
 
+    # size(concat(t, bigrams)) == size(t) + greatest(size(t)-1, 0),
+    # including the empty (0) and single-token (1) cases; null text
+    # propagates null either way and F.sum skips it.
+    nt = F.size(F.col("_ws"))
+    n_feats_row = nt + F.greatest(nt - F.lit(1), F.lit(0))
     totals = mid.agg(
-        F.coalesce(F.sum(F.size(feats)), F.lit(0)).alias("raw"),
+        F.coalesce(F.sum(n_feats_row), F.lit(0)).alias("raw"),
         F.coalesce(
-            F.sum(F.when(F.col("_is_t"), F.size(feats)).otherwise(0)), F.lit(0)
+            F.sum(F.when(F.col("_is_t"), n_feats_row).otherwise(0)), F.lit(0)
         ).alias("tgt"),
     ).collect()[0]
     t_raw, t_tgt = int(totals["raw"]), int(totals["tgt"])
