@@ -1374,3 +1374,137 @@ def test_exact_substring_queued_oracle(spark, sf_dir):
         return sorted(tuple(c(r[i]) for i in order) for r in rows)
 
     assert canon(srows, scols) == canon(drows, dcols)
+
+
+# ---------------------------------------------------------------- r18
+# focused pins for the r18 optimization-round internal changes: each
+# asserts the optimized form is ROW-IDENTICAL to the formulation it
+# replaced (OPTIMIZATION_r18.md).
+
+
+def test_banded_packed_key_matches_string_key(spark, sf_dir):
+    """_banded's int64-packed band signature (r18) must bucket exactly
+    like the concat_ws string key it replaced: same candidate-pair set
+    on the real fixture (base-P positional packing is injective for
+    rows <= 2 at the 2^31-1 prime)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, 16).cache()
+
+    def banded_string(sigs, bands, rows, id_col="doc_id"):
+        band_cols = []
+        for b in range(bands):
+            sig = F.concat_ws(
+                "-",
+                *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)],
+            )
+            band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+        return sigs.select(
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+        ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    def pairs(banded):
+        a, b = banded.alias("a"), banded.alias("b")
+        return {
+            (r.doc_a, r.doc_b)
+            for r in a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .collect()
+        }
+
+    try:
+        packed = pairs(dedup._banded(sigs, 8, 2))
+        stringy = pairs(banded_string(sigs, 8, 2))
+    finally:
+        sigs.unpersist()
+    assert packed == stringy and len(packed) > 0
+
+
+def test_curate_corpus_matches_join_composition(spark, sf_dir):
+    """curate_corpus's r18 inline-projection plan (2 scans, 1 semi-join)
+    must reproduce the old 4-scan join composition row for row."""
+    from cs598vectordb_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    langs, min_quality = ("en", "es", "de"), 0.5
+    q = textops.quality_scores(docs).select("doc_id", "quality", "n_tokens")
+    canon = dedup_exact(docs).select(F.col("canonical_id").alias("doc_id"))
+    s = textops.hash_split(docs).select("doc_id", "split")
+    kept = (
+        docs.select("doc_id", "lang")
+        .filter(F.col("lang").isin(list(langs)))
+        .join(canon, "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality") >= min_quality)
+        .join(s, "doc_id")
+    )
+    old = {
+        (r.split, r.lang): (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in kept.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .collect()
+    }
+    new = {
+        (r.split, r.lang): (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in textops.curate_corpus(docs).collect()
+    }
+    assert new == old and len(new) > 0
+
+
+def test_dsir_totals_closed_form_size(spark):
+    """The r18 totals shortcut — size(unigrams+bigrams) == n + max(n-1,
+    0) over the token count — on the edge cases: empty text, one token,
+    two tokens, many tokens, null text."""
+    from cs598vectordb_spark.operators.textops import (
+        _dsir_feats_expr,
+        _dsir_token_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "a b c d e"), (4, None)],
+        "doc_id long, text string",
+    )
+    mid = docs.select("doc_id", _dsir_token_col("text"))
+    nt = F.size(F.col("_ws"))
+    rows = mid.select(
+        "doc_id",
+        F.size(_dsir_feats_expr()).alias("built"),
+        (nt + F.greatest(nt - F.lit(1), F.lit(0))).alias("closed"),
+    ).collect()
+    for r in rows:
+        assert r.built == r.closed, (r.doc_id, r.built, r.closed)
+
+
+def test_dedup_clusters_deep_chain(spark):
+    """A 5-link similarity chain (component diameter > 2) must collapse
+    to one cluster — exercises propagation rounds BEYOND the collapsed
+    round 0 (r18: init+round-0 folded into one aggregation), where the
+    path-halving label-of-label hop does the work."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    words = base.split()
+    rows = [(0, base, "en")]
+    # doc i replaces the first i words -> adjacent docs are similar,
+    # distant docs are not (Jaccard decays along the chain)
+    for i in range(1, 6):
+        edited = " ".join([f"w{j}x" for j in range(i)] + words[i:])
+        rows.append((i, edited, "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in dedup.dedup_clusters(docs, threshold=0.5).collect()
+    }
+    assert all(out[i] == (0, 6) for i in range(6)), out
