@@ -38,6 +38,10 @@ _DEMOTE_ORDER = (
     "cold_pass_seconds",
     "load_avg",
     "lsh_selectivity",
+    # the headline suite's calibration bracket leaves only under heavy
+    # pressure (it is the suite's own drift adjudicator — VERDICT r18
+    # item 1; the full gate record always lands in detail)
+    "headline_cal",
     # the 1M block leaves only under extreme pressure (it is the
     # qualitative headline; its dynamic ratios carry median + range
     # since r15) — and it also lands in the committed per-round
@@ -516,6 +520,33 @@ def _calibration_contended(cal: dict) -> bool:
     )
 
 
+def headline_cal_summary(gate: dict) -> dict:
+    """The compact headline-suite calibration bracket the printed line
+    carries (VERDICT r18 item 1): start/end GEMM + memory-bandwidth
+    readings plus the gated flag, distilled from the full gate record
+    (which keeps every reading, both draws' medians and the commit
+    policy in bench detail). Shape pinned by
+    tests/test_bench_format.py::test_headline_cal_summary_shape."""
+    return {
+        "start": {
+            k: gate["calibration_start"][k] for k in ("gemm_gflops", "mem_gbps")
+        },
+        "end": {
+            k: gate["calibration_end"][k] for k in ("gemm_gflops", "mem_gbps")
+        },
+        "gated": gate["gated"],
+    }
+
+
+def gated_headline_timings(draw1: dict, draw2: dict) -> dict:
+    """Contended-window commit rule for the headline suite: per-query
+    MIN of the two draws' steady medians — the wall-seconds analogue of
+    the 1M block's max-of-draws QPS policy (one-sided: a contended
+    window can only inflate a wall, never deflate it). Both full draws
+    stay in the detail record."""
+    return {n: min(draw1[n], draw2[n]) for n in draw1}
+
+
 def _zipf_corpus(spark, n_docs: int = 20_000, vocab: int = 10_000,
                  doc_len: int = 80, seed: int = 41):
     """Deterministic Zipf-vocabulary corpus for the BM25 df-cap A/B
@@ -812,20 +843,57 @@ def main() -> int:
     # times a warmed loop, not the first iteration
     # (dynamic_script_faiss.py:31-43: index already resident).
     n_steady = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+    def _headline_passes(targets: list[dict[str, float]]) -> None:
+        for pass_timings in targets:
+            for name in headline:
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                pass_timings[name] = round(time.time() - t0, 3)
+
+    # Calibration bracket around the HEADLINE timed region (VERDICT r18
+    # item 1: BENCH_r18 printed a phantom 23% suite regression — geomean
+    # 0.81, 31 of 36 "regressed" incl. byte-untouched scan_fvecs at
+    # 0.60 — from a window whose own 1M gate tripped at 79 GFLOPS; the
+    # 36-query suite that PERF compares round-over-round had no
+    # adjudicator of its own). Same policy as the 1M block: bracket
+    # with _host_calibration, and when either reading is contended,
+    # settle + re-draw the steady passes once and commit the per-query
+    # MIN of the two 3-pass medians (wall seconds: lower = less
+    # contended; the 1M block's max-of-draws is the same one-sided rule
+    # on a QPS axis). Both draws + all calibration readings land in the
+    # detail record; the printed line carries start/end GFLOPS +
+    # mem_gbps + the gated flag so the round record adjudicates itself.
+    cal_headline_start = _host_calibration()
     cold: dict[str, float] = {}
     steady: list[dict[str, float]] = [{} for _ in range(n_steady)]
-    for pass_timings in (cold, *steady):
-        for name in headline:
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            pass_timings[name] = round(time.time() - t0, 3)
+    _headline_passes([cold, *steady])
+    cal_headline_end = _host_calibration()
 
     def median(vals: list[float]) -> float:
         s = sorted(vals)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
 
+    headline_gate = {
+        "calibration_start": cal_headline_start,
+        "calibration_end": cal_headline_end,
+        "gated": _calibration_contended(cal_headline_start)
+        or _calibration_contended(cal_headline_end),
+        "committed": "min_of_draw_medians_per_query",
+    }
     timings = {n: median([p[n] for p in steady]) for n in headline}
+    if headline_gate["gated"]:
+        _settle(spark)
+        headline_gate["calibration_retry"] = _host_calibration()
+        steady2: list[dict[str, float]] = [{} for _ in range(n_steady)]
+        _headline_passes(steady2)
+        headline_gate["calibration_retry_end"] = _host_calibration()
+        timings_draw2 = {n: median([p[n] for p in steady2]) for n in headline}
+        headline_gate["draw1_medians"] = dict(timings)
+        headline_gate["draw2_medians"] = timings_draw2
+        headline_gate["steady_passes_draw2"] = steady2
+        timings = gated_headline_timings(timings, timings_draw2)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
@@ -2142,6 +2210,9 @@ def main() -> int:
         },
         "cold_pass_per_query": cold,
         "steady_pass_per_query": steady,
+        # full headline-gate record: both draws' medians + every
+        # calibration reading (the line carries the compact summary)
+        "headline_gate": headline_gate,
     }
     load_avg["end"] = [round(x, 2) for x in os.getloadavg()]
     out = {
@@ -2161,6 +2232,10 @@ def main() -> int:
             # regressions from box noise without archaeology — absolute
             # times on this host swing 35-50% with external load
             "load_avg": load_avg,
+            # headline-suite calibration bracket (VERDICT r18 item 1):
+            # start/end GEMM+membw readings + whether the contended-
+            # window re-draw fired — the suite's own adjudicator
+            "headline_cal": headline_cal_summary(headline_gate),
             "lsh_selectivity": lsh_sel,
             # the 1M headline, inline so the round record carries it
             # (full block incl. frontier + dynamic in bench detail)

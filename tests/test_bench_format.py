@@ -157,6 +157,67 @@ def test_calibration_contended_thresholds():
     assert not bench._calibration_contended(at_floor)
 
 
+def test_headline_cal_summary_shape():
+    """Pins the headline-suite calibration bracket (VERDICT r18 item 1:
+    BENCH_r18 printed a phantom 23% suite regression from a window its
+    own 1M gate flagged; the suite had no adjudicator of its own). The
+    printed line's compact summary must carry start/end GEMM + mem_gbps
+    and the gated flag — nothing else from the bulky gate record."""
+    gate = {
+        "calibration_start": {"gemm_gflops": 233.1, "mem_gbps": 15.2,
+                              "load": [0.5, 0.7, 1.0]},
+        "calibration_end": {"gemm_gflops": 228.4, "mem_gbps": 14.9,
+                            "load": [20.1, 12.2, 6.0]},
+        "gated": False,
+        "committed": "min_of_draw_medians_per_query",
+    }
+    got = bench.headline_cal_summary(gate)
+    assert got == {
+        "start": {"gemm_gflops": 233.1, "mem_gbps": 15.2},
+        "end": {"gemm_gflops": 228.4, "mem_gbps": 14.9},
+        "gated": False,
+    }
+    # load averages stay in detail — they'd bloat the line
+    assert "load" not in got["start"] and "load" not in got["end"]
+
+
+def test_gated_headline_commit_is_min_of_draws_per_query():
+    """The contended-window re-draw commits the per-query MIN of the two
+    steady-median draws (wall seconds: a contended window only ever
+    inflates) — the 1M block's one-sided max-of-draws policy on the
+    wall-clock axis, never a mix-and-match or a mean."""
+    draw1 = {"knn_exact": 0.7, "pricing_summary": 0.4, "sessionize": 0.5}
+    draw2 = {"knn_exact": 0.6, "pricing_summary": 0.9, "sessionize": 0.5}
+    got = bench.gated_headline_timings(draw1, draw2)
+    assert got == {"knn_exact": 0.6, "pricing_summary": 0.4, "sessionize": 0.5}
+    # inputs untouched (both draws are committed to detail verbatim)
+    assert draw1["knn_exact"] == 0.7 and draw2["pricing_summary"] == 0.9
+
+
+def test_headline_cal_stays_inline_at_realistic_payload():
+    """At the r18 line's realistic extra payload, headline_cal must
+    survive on the printed line (it is the suite's adjudicator; the
+    bulky sweeps demote first). The lossless-demotion invariant for the
+    worst case is covered by test_line_under_limit_and_lossless."""
+    out = _worst_case_out()
+    out["queries"] = {f"q_{i:02d}": 1.234 for i in range(36)}
+    # r18's line carried only these after demotion; replicate that state
+    for k in ("graph2_autotune_frontier", "knn_exact_qps_scaling",
+              "index_build_seconds", "probe_qps", "steady_pass_seconds",
+              "graph2_autotune_best"):
+        out["extra"].pop(k)
+    out["extra"]["headline_cal"] = {
+        "start": {"gemm_gflops": 233.1, "mem_gbps": 15.2},
+        "end": {"gemm_gflops": 228.4, "mem_gbps": 14.9},
+        "gated": False,
+    }
+    detail: dict = {}
+    line = bench.render_bench_line(out, detail)
+    parsed = json.loads(line)
+    assert parsed["extra"]["headline_cal"]["gated"] is False
+    assert parsed["extra"]["headline_cal"]["start"]["gemm_gflops"] == 233.1
+
+
 def test_unshrinkable_line_raises():
     # "queries" is never demoted; if it alone overflows, fail LOUDLY
     out = {
