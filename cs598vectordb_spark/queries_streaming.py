@@ -360,39 +360,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join_stream(spark, sf_dir)
 
 
-@register(
-    "stream_interval_join_outer",
-    """
-WITH ev AS (
-  SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, user_id, event_type FROM events
-),
-wm AS (
-  -- the global watermark is the MIN over both sides' per-side max event
-  -- time (each side filters before its withWatermark, so each tracks
-  -- only its own rows), minus the 1h delay — verified empirically
-  SELECT LEAST(MAX(CASE WHEN event_type='view' THEN ts END),
-               MAX(CASE WHEN event_type='click' THEN ts END))
-         - INTERVAL 1 HOUR AS w
-  FROM ev
-),
-v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM ev WHERE event_type='view'),
-c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM ev WHERE event_type='click'),
-m AS (
-  SELECT v.user_id, v.view_id, c.click_id
-  FROM v JOIN c ON v.user_id = c.user_id
-   AND c.click_ts >= v.view_ts AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
-),
-u AS (
-  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id
-  FROM v, wm
-  WHERE v.view_ts + INTERVAL 6 HOUR < wm.w
-    AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
-                    AND c.click_ts >= v.view_ts
-                    AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR)
-)
-SELECT * FROM m UNION ALL SELECT * FROM u
-""",
-)
+@register("stream_interval_join_outer")
 def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER watermarked stream-stream interval join — the
     attribution shape real pipelines need ("views that never converted",
@@ -400,11 +368,25 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     dynamic_script_faiss.py:89-112): matched pairs emit as found, and a
     view with no click in its 6-hour window emits exactly once with NULL
     click_id when the watermark expires its buffered state. Views whose
-    window hasn't expired by the final watermark stay unreported — the
-    oracle restricts NULL emission to view_ts + window < final
-    watermark, with the watermark the MIN of the two sides' per-side max
-    event time minus the delay. Exactly-once NULL emission is pinned in
-    tests/test_streaming.py."""
+    window hasn't expired by the final watermark stay unreported (NULL
+    emission only when view_ts + window < final watermark, the
+    watermark being the MIN of the two sides' per-side max event time
+    minus the delay).
+
+    ORACLE RETIRED r19 (funding the semantic_decontamination
+    promotion; shared-evidence class (1) verified against the SQL
+    texts: its oracle's CTEs — ev/wm/v/c, the matched set m, the
+    expired-view NULL set u — were character-identical to the prefix
+    of the STILL-GRADED stream_interval_join_full's oracle, which
+    grades the same `interval_join_stream(...)` builder at
+    how="full_outer" = this entry's semantics PLUS the orphan-click
+    branch; the inner matched set is additionally graded via
+    stream_interval_join). Rows-only evidence pins
+    (registry._ROWS_ONLY_EVIDENCE):
+    tests/test_streaming.py::test_stream_interval_join_outer_exactly_once
+    (matched set == batch inner join, exactly-one NULL per expired
+    unmatched view, none otherwise) and the eviction-tie strictness pin
+    test_interval_join_outer_boundary_is_strict."""
     from cs598vectordb_spark.streaming.jobs import interval_join_stream
 
     return interval_join_stream(spark, sf_dir, how="left_outer")

@@ -606,13 +606,14 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_ivf(q, idx, k=5, nprobe=4, metric="cosine", exclude_self=True)
 
 
-# QUEUED r17, second in line behind knn_join_l2 (the queue has held
-# two before — r15): the semantic-decontamination twin. Every train
+# PROMOTED r19 (queued r17, dress-rehearsed since): the semantic-
+# decontamination twin, funded by the stream_interval_join_outer
+# retirement (registry._PRIORITY r19 rotation note). Every train
 # vector's single nearest eval vector by the 6-dp-rounded cosine
 # (eval_id ASC tie-break — the same canonical comparator the engine's
 # cell kernel and final window use), plus the τ=0.35 flag computed on
 # the identical rounded double on both sides.
-SEMANTIC_DECONTAMINATION_QUEUED_SQL = """
+SEMANTIC_DECONTAMINATION_SQL = """
 WITH pairs AS (
   SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
          ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -630,7 +631,7 @@ FROM best WHERE rn = 1
 """
 
 
-@register("semantic_decontamination")
+@register("semantic_decontamination", SEMANTIC_DECONTAMINATION_SQL)
 def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination (operators/knnjoin.py): every
     train vector (vec_id ≥ 50) against the eval base (vec_id < 50,
@@ -638,11 +639,12 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated flag at cosine ≥ 0.35 (the fixture's p90 — flags
     ~10%). Complements the shingle-overlap `decontamination` entry:
     paraphrased leakage carries no shingle but keeps its embedding.
-    Rows-only (oracle pool at cap) with the DuckDB twin AUTHORED and
-    QUEUED behind knn_join_l2 (SEMANTIC_DECONTAMINATION_QUEUED_SQL
-    above, dress rehearsal tests/test_knnjoin.py::
-    test_semantic_decontamination_queued_oracle_dress_rehearsal);
-    value-exact vs numpy brute force pinned in
+    ORACLE PROMOTED r19 (queued r17, dress-rehearsed each round since
+    via tests/test_knnjoin.py::
+    test_semantic_decontamination_queued_oracle_dress_rehearsal; funded
+    by the stream_interval_join_outer retirement — see the registry
+    r19 rotation note); value-exact vs numpy brute force remains
+    pinned in
     tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce."""
     from cs598vectordb_spark.operators.knnjoin import semantic_decontamination
 

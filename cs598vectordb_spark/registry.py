@@ -198,46 +198,74 @@ def _bake_builders() -> None:
 # email/IPv4/phone matches at sf0.01, so its twin would grade only a
 # no-false-positive md5 pass-through; doc_repetition's twin grades
 # live trigram arithmetic on every document).
+# r19 ROTATION (executed; due set recomputed from CORRECTNESS_r17∪r18:
+# disjoint 50+50 greens covering all 100 oracled names, so the due set
+# is EXACTLY the 50 r17-green entries — zero slack). The first queued
+# birth is funded by ONE retirement FROM THE DUE SET. The r18
+# verdict's named candidate media_frame_sample was REJECTED at
+# planning time by the recount itself: it is r18-GRADED (the other
+# rotation half, not due until r20) — retiring it would leave the r19
+# head at 51 and the r20 due set short; the r11 "recompute, never
+# from memory" caution catching a verdict this time. The retirement
+# chosen from the actual due set, evidence classes verified against
+# the SQL texts:
+#   retire stream_interval_join_outer (shared-evidence class (1): its
+#     oracle's CTEs — ev/wm/v/c, matched set m, expired-view NULL set
+#     u — were character-identical to the prefix of the STILL-GRADED
+#     stream_interval_join_full's oracle, which grades the same
+#     interval_join_stream builder at how="full_outer" = outer's
+#     semantics PLUS the orphan-click branch; the inner matched set is
+#     additionally graded via stream_interval_join, also due this
+#     round. Rows-only pins: the exactly-once NULL-emission closed
+#     form + the eviction-tie strictness test, see
+#     _ROWS_ONLY_EVIDENCE);
+#   promote semantic_decontamination (first in the r19 queue,
+#     dress-rehearsed in pytest each round since r17 and
+#     check_oracle-green at sf0.01).
+# Net: 100 − 1 + 1 = 100 oracled, slack 0; r19 head = 49 due + 1
+# birth = 50 exactly. The r20 due set will be the 50 r18-greens; the
+# r20 queue holds doc_repetition (one deep).
 _PRIORITY: tuple[str, ...] = (
-    # --- the r16-green set not re-graded in round 17; newest green row
-    # is r16, so the ≤2-rounds invariant makes all 49 still-oracled
-    # ones due now (knn_cosine retired this round).
-    "acctbal_deciles", "bm25_search", "bpe_token_stats",
-    "bucketed_customer_orders", "chunk_documents", "clean_text",
-    "cohort_retention", "curate_corpus", "decimal_revenue",
-    "decontamination", "dedup_exact", "distance_histogram",
-    "embedding_near_dup", "event_value_percentiles", "events_hourly",
-    "exact_substring_stats", "hash_split", "knn_exact_2k", "knn_ip",
-    "knn_join", "load_dataset", "media_decode_bmp", "media_features",
-    "media_frame_sample", "media_resize_pixels", "media_summary",
-    "merge_upsert", "minhash_lsh_dedup", "mixture_sample",
-    "ngram_profile", "pack_sequences", "pricing_summary",
-    "props_json_extract", "range_click_burst", "range_search",
-    "salted_user_stats", "scan_logs", "semantic_doc_search",
-    "shingle_cardinality_kmv", "simhash_near_dups", "sq8_error",
-    "stream_dedup", "stream_interval_join_full", "stream_knn",
-    "stream_merge_upserts", "stream_near_dedup",
-    "stream_stateful_counts", "stream_static_enrich", "tfidf_keywords",
-    # --- the r18 birth (first green row lands this round)
-    "knn_join_l2",
+    # --- the r17-green set not re-graded in round 18; newest green row
+    # is r17, so the ≤2-rounds invariant makes all 49 still-oracled
+    # ones due now (stream_interval_join_outer retired this round).
+    "asof_attribution", "brand_top_parts", "customer_number_extract",
+    "customer_order_gaps", "customer_order_stats", "dedup_clusters",
+    "delete_pct", "doc_stats", "dsir_logweights",
+    "events_first5_series", "events_last5_summary", "fingerprints",
+    "funnel_steps", "hybrid_rrf_search", "ingest", "insert_restore",
+    "jaccard_topk", "knn_exact", "knn_exact_pca", "knn_filtered",
+    "knn_post_delete", "lang_detect", "lineitem_rollup",
+    "lm_surprisal", "local_supplier_volume", "media_dedup",
+    "order_priority_count", "orders_cube", "priority_customers_setops",
+    "quality_scores", "recall_low_dim", "repetition_scores",
+    "revenue_change", "sessionize", "shipping_priority",
+    "source_summary", "sq8_encode", "sql_text_surface", "status_pivot",
+    "stratified_sample", "stream_events_hourly",
+    "stream_ingest_updates", "stream_interval_join",
+    "stream_late_data", "stream_merge_upserts_cow",
+    "stream_quality_gate", "stream_sessionize", "stream_sink_parquet",
+    "upsert_guard",
+    # --- the r19 birth (first green row lands this round)
+    "semantic_decontamination",
     # ---------------- 50-slot grading boundary is here ----------------
-    # r17-green entries not re-graded this round (due back in r19, all
-    # 50: asof_attribution, brand_top_parts, customer_number_extract,
-    # customer_order_gaps, customer_order_stats, dedup_clusters,
-    # delete_pct, doc_stats, dsir_logweights, events_first5_series,
-    # events_last5_summary, fingerprints, funnel_steps, ingest,
-    # insert_restore, jaccard_topk, knn_exact, knn_exact_pca,
-    # knn_filtered, knn_post_delete, lang_detect, lineitem_rollup,
-    # lm_surprisal, local_supplier_volume, media_dedup,
-    # order_priority_count, orders_cube, priority_customers_setops,
-    # quality_scores, recall_low_dim, repetition_scores,
-    # revenue_change, sessionize, shipping_priority, source_summary,
-    # sq8_encode, sql_text_surface, status_pivot, stratified_sample,
-    # stream_events_hourly, stream_ingest_updates,
-    # stream_interval_join, stream_interval_join_outer,
-    # stream_late_data, stream_merge_upserts_cow, stream_quality_gate,
-    # stream_sessionize, stream_sink_parquet, upsert_guard,
-    # hybrid_rrf_search)
+    # r18-green entries not re-graded this round (due back in r20, all
+    # 50: acctbal_deciles, bm25_search, bpe_token_stats,
+    # bucketed_customer_orders, chunk_documents, clean_text,
+    # cohort_retention, curate_corpus, decimal_revenue,
+    # decontamination, dedup_exact, distance_histogram,
+    # embedding_near_dup, event_value_percentiles, events_hourly,
+    # exact_substring_stats, hash_split, knn_exact_2k, knn_ip,
+    # knn_join, knn_join_l2, load_dataset, media_decode_bmp,
+    # media_features, media_frame_sample, media_resize_pixels,
+    # media_summary, merge_upsert, minhash_lsh_dedup, mixture_sample,
+    # ngram_profile, pack_sequences, pricing_summary,
+    # props_json_extract, range_click_burst, range_search,
+    # salted_user_stats, scan_logs, semantic_doc_search,
+    # shingle_cardinality_kmv, simhash_near_dups, sq8_error,
+    # stream_dedup, stream_interval_join_full, stream_knn,
+    # stream_merge_upserts, stream_near_dedup, stream_stateful_counts,
+    # stream_static_enrich, tfidf_keywords)
 )
 
 # Every rows-only entry's evidence pin, name -> pytest node (the test
@@ -278,9 +306,11 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # knn_join_l2 PROMOTED to an oracle r18 (queued r17, funded by the
     # knn_cosine retirement); its full-probe-exactness pin remains as
     # defense in depth but is no longer the primary evidence.
-    "semantic_decontamination": (
-        "tests/test_knnjoin.py::test_semantic_decontamination_matches_bruteforce"
-    ),
+    # semantic_decontamination PROMOTED to an oracle r19 (queued r17,
+    # funded by the stream_interval_join_outer retirement); its
+    # numpy-bruteforce pin and the dress-rehearsal DuckDB comparison
+    # remain as defense in depth but are no longer the primary
+    # evidence.
     # SQ8
     "knn_sq8": "tests/test_index.py::test_sq8_roundtrip_and_recall",
     "sq8_recall": "tests/test_index.py::test_sq8_roundtrip_and_recall",
@@ -405,6 +435,17 @@ _ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # oracle modulo the norm denominator; the cosine rank discipline
     # stays DuckDB-graded via hybrid_rrf_search + knn_join)
     "knn_cosine": "tests/test_knn.py::test_knn_cosine_value_exact",
+    # retired-oracle entry (r19, funding the semantic_decontamination
+    # promotion) — shared-evidence class (1) with the STILL-GRADED
+    # stream_interval_join_full (same interval_join_stream builder;
+    # full's oracle = outer's CTEs verbatim + the orphan-click branch)
+    # and stream_interval_join (the matched set). Pins: matched set ==
+    # batch inner join + exactly-once NULL emission at the watermark
+    # closed form, and the eviction-tie strictness fixture
+    # (test_interval_join_outer_boundary_is_strict) alongside.
+    "stream_interval_join_outer": (
+        "tests/test_streaming.py::test_stream_interval_join_outer_exactly_once"
+    ),
     "media_audio_frames": (
         "tests/test_multimodal.py::test_audio_frame_features_closed_form"
     ),
@@ -460,22 +501,16 @@ def queued_oracle_sql() -> dict[str, str]:
     scan_ivecs / media_decode_wav retirements; hybrid_rrf_search
     (queued r16) in r17, funded by the media_decode_ppm retirement;
     knn_join_l2 (queued r17) in r18, funded by the knn_cosine
-    retirement. Queued now (two deep): semantic_decontamination —
-    nearest-eval at the 6-dp-rounded cosine + the τ flag (dress
-    rehearsal tests/test_knnjoin.py::
-    test_semantic_decontamination_queued_oracle_dress_rehearsal) — and
-    doc_repetition — the r12-retired trigram oracle resurrected
+    retirement; semantic_decontamination (queued r17) in r19, funded
+    by the stream_interval_join_outer retirement. Queued now (one
+    deep): doc_repetition — the r12-retired trigram oracle resurrected
     verbatim (dress rehearsal tests/test_dedup_text.py::
-    test_doc_repetition_queued_oracle_dress_rehearsal). Each parked
-    until a retirement frees a slot (r19, r20)."""
+    test_doc_repetition_queued_oracle_dress_rehearsal). Parked until a
+    retirement frees a slot (r20)."""
     _ensure_loaded()
     from cs598vectordb_spark.queries_text import DOC_REPETITION_QUEUED_SQL
-    from cs598vectordb_spark.queries_vector import (
-        SEMANTIC_DECONTAMINATION_QUEUED_SQL,
-    )
 
     return {
-        "semantic_decontamination": SEMANTIC_DECONTAMINATION_QUEUED_SQL,
         "doc_repetition": DOC_REPETITION_QUEUED_SQL,
     }
 

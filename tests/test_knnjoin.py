@@ -333,19 +333,20 @@ def test_knn_join_l2_queued_oracle_dress_rehearsal(spark, sf_dir):
 
 
 def test_semantic_decontamination_queued_oracle_dress_rehearsal(spark, sf_dir):
-    """Dress rehearsal for the QUEUED semantic_decontamination oracle
-    (registry.queued_oracle_sql, second in line behind knn_join_l2):
-    every train vector's single nearest eval vector at the
-    6-dp-rounded cosine with the eval_id tie-break, plus the τ=0.35
+    """Dress rehearsal for the semantic_decontamination oracle (QUEUED
+    r17-r18, PROMOTED r19 into register() — this test now reads the
+    registered SQL and stays as end-to-end defense in depth beside the
+    driver gate): every train vector's single nearest eval vector at
+    the 6-dp-rounded cosine with the eval_id tie-break, plus the τ=0.35
     flag on the same rounded double — engine and DuckDB must agree
     row for row at sf0.001 under the driver's sorted-columns value
     comparison."""
     import duckdb
 
     import __spark_entry__ as em
-    from cs598vectordb_spark.registry import queued_oracle_sql
+    from cs598vectordb_spark.registry import oracle_sql
 
-    sql = queued_oracle_sql()["semantic_decontamination"]
+    sql = oracle_sql()["semantic_decontamination"]
     sdf = em.queries()["semantic_decontamination"](spark, sf_dir)
     con = duckdb.connect()
     con.execute(
