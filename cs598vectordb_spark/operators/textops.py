@@ -115,10 +115,18 @@ def source_summary(docs: DataFrame) -> DataFrame:
     )
 
 
+# hash_split's defaults, shared by curate_corpus and the oracle twins'
+# _duck_split fragment (ADVICE r18: curate_corpus hard-coded these as
+# literals, so a drift here would have silently diverged the inlined
+# split from the operator it claims to reproduce)
+SPLIT_SALT = "s1"
+SPLIT_WEIGHTS = {"train": 80, "val": 10, "test": 10}
+
+
 def hash_split(
     docs: DataFrame,
     weights: dict[str, int] | None = None,
-    salt: str = "s1",
+    salt: str = SPLIT_SALT,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, bucket, split): deterministic train/val/test assignment by
@@ -128,21 +136,46 @@ def hash_split(
     re-crawl keeps every doc in its split; changing the salt re-rolls all
     assignments at once. Pure per-row projection, no shuffle, and the
     same polynomial hash formula is evaluated by the DuckDB oracle."""
-    weights = weights or {"train": 80, "val": 10, "test": 10}
+    weights = weights or dict(SPLIT_WEIGHTS)
     assert sum(weights.values()) == 100, "weights must sum to 100"
-    return docs.select(
-        F.col(id_col), split_bucket_column(id_col, salt).alias("bucket")
-    ).select(id_col, "bucket", split_case_column(F.col("bucket"), weights).alias("split"))
-
-
-def split_bucket_column(id_col: str, salt: str = "s1") -> F.Column:
-    """hash_split's bucket as a single inline expression over the id
-    column (rolling hash of `id#salt` mod 100) — the same formula
-    hash_split materializes, exposed so composing pipelines can compute
-    the split without a self-join."""
     return (
-        rolling_hash(f"concat(CAST({id_col} AS STRING), '#{salt}')") % 100
-    ).cast("int")
+        docs.select(F.col(id_col), split_key_column(id_col, salt))
+        .select(F.col(id_col), split_bucket_column().alias("bucket"))
+        .select(
+            id_col, "bucket", split_case_column(F.col("bucket"), weights).alias("split")
+        )
+    )
+
+
+def split_key_column(id_col: str, salt: str = SPLIT_SALT) -> F.Column:
+    """The `id#salt` fingerprint key hash_split hashes, as a column
+    aliased `_split_key` — MATERIALIZE this in a select, then apply
+    split_bucket_column() one projection later: rolling_hash embeds its
+    input column NAME in a higher-order expression that re-references
+    it per character, so an inline concat would be re-evaluated per
+    character (the free-expression-in-HOF pitfall _dsir_token_col's
+    docstring records). id_col and salt are interpolated into SQL text
+    downstream, so both are restricted to identifier-safe characters
+    (ADVICE r18: a quote in the salt would break or inject into the
+    expression)."""
+    import re as _re
+
+    assert _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", id_col), id_col
+    assert _re.fullmatch(r"[A-Za-z0-9_]+", salt), salt
+    return F.concat(
+        F.col(id_col).cast("string"), F.lit(f"#{salt}")
+    ).alias("_split_key")
+
+
+def split_bucket_column(key_col: str = "_split_key") -> F.Column:
+    """hash_split's bucket (rolling hash of the materialized
+    `_split_key` column mod 100) — the same formula hash_split
+    evaluates, exposed so composing pipelines (curate_corpus) can
+    compute the split inline without a self-join."""
+    import re as _re
+
+    assert _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key_col), key_col
+    return (rolling_hash(key_col) % 100).cast("int")
 
 
 def split_case_column(bucket: F.Column, weights: dict[str, int]) -> F.Column:
@@ -1045,15 +1078,15 @@ def curate_corpus(
     kept = (
         docs.select("doc_id", "lang", "text")
         .filter(F.col("lang").isin(list(langs)))
-        .select("doc_id", "lang", *quality_columns("text"))
+        .select(
+            "doc_id", "lang", split_key_column("doc_id"), *quality_columns("text")
+        )
         .filter(F.col("quality") >= min_quality)
         .withColumn(
             "split",
-            split_case_column(
-                split_bucket_column("doc_id", "s1"),
-                {"train": 80, "val": 10, "test": 10},
-            ),
+            split_case_column(split_bucket_column(), dict(SPLIT_WEIGHTS)),
         )
+        .drop("_split_key")
         .join(canon, "doc_id", "left_semi")
     )
     return kept.groupBy("split", "lang").agg(

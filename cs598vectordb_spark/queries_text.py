@@ -478,7 +478,9 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # split-assignment fragment shared by hash_split / decontamination /
 # curation oracles — the rolling hash of doc_id + salt sliced 80/10/10
-def _duck_split(salt: str = "s1") -> str:
+# (default salt = the engine's shared textops.SPLIT_SALT constant, so
+# operator and oracle cannot drift apart silently — ADVICE r18)
+def _duck_split(salt: str = textops.SPLIT_SALT) -> str:
     h = _duck_rolling(f"CAST(doc_id AS VARCHAR) || '#{salt}'")
     return (
         f"CASE WHEN {h} % 100 < 80 THEN 'train' "
@@ -493,7 +495,7 @@ WITH {_duck_minhash_sigs(16)},
 ex AS (SELECT doc_id, unnest(hashes) AS h FROM hashed),
 rare AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) <= 10),
 tagged AS (
-  SELECT e.doc_id, e.h, {_duck_split("s1")} AS split
+  SELECT e.doc_id, e.h, {_duck_split(textops.SPLIT_SALT)} AS split
   FROM ex e JOIN rare USING (h)
 )
 SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc, COUNT(*) AS n_shared
@@ -581,7 +583,7 @@ canon AS (
   FROM documents
   GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
 )
-SELECT {_duck_split("s1")} AS split, d.lang,
+SELECT {_duck_split(textops.SPLIT_SALT)} AS split, d.lang,
        COUNT(*) AS n_docs,
        CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
        ROUND(AVG(q.quality), {_R}) AS avg_quality

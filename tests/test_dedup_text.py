@@ -1386,11 +1386,26 @@ def test_banded_packed_key_matches_string_key(spark, sf_dir):
     """_banded's int64-packed band signature (r18) must bucket exactly
     like the concat_ws string key it replaced: same candidate-pair set
     on the real fixture (base-P positional packing is injective for
-    rows <= 2 at the 2^31-1 prime)."""
-    docs = load_table(spark, sf_dir, "documents")
+    rows <= 2 at the 2^31-1 prime) — PLUS planted short docs (<3
+    tokens -> empty shingle set -> all-null signature), which the r19
+    explicit empty-signature filter must drop from BOTH key forms
+    (the old string key collapsed all-null bands to "" and bucketed
+    every short doc together; the DuckDB twins' null-propagating ||
+    never emitted pairs for them)."""
+    docs = load_table(spark, sf_dir, "documents").unionByName(
+        spark.createDataFrame(
+            [(2_000_001, "tiny", "en"), (2_000_002, "two words", "en"),
+             (2_000_003, "", "en"), (2_000_004, None, "en")],
+            "doc_id long, text string, lang string",
+        ),
+        allowMissingColumns=True,
+    )
     sigs = dedup.minhash_signatures(docs, 16).cache()
 
     def banded_string(sigs, bands, rows, id_col="doc_id"):
+        # the pre-r18 string form, under the shared r19 contract that
+        # empty-signature rows are dropped before banding
+        sigs = sigs.filter(F.col("mh_0").isNotNull())
         band_cols = []
         for b in range(bands):
             sig = F.concat_ws(
@@ -1425,6 +1440,9 @@ def test_banded_packed_key_matches_string_key(spark, sf_dir):
     finally:
         sigs.unpersist()
     assert packed == stringy and len(packed) > 0
+    # empty-signature docs form no pairs in either key form
+    shorts = {2_000_001, 2_000_002, 2_000_003, 2_000_004}
+    assert not any(a in shorts or b in shorts for a, b in packed)
 
 
 def test_curate_corpus_matches_join_composition(spark, sf_dir):
