@@ -70,12 +70,24 @@ def bm25_scores(
     twin is a token-join CTE — promotable when an oracle slot frees);
     value-level pin vs an independent pure-Python BM25 in
     tests/test_hybrid.py::test_bm25_matches_pure_python."""
+    from cs598vectordb_spark.functions.tokenstream import term_counts
+
     n_docs = docs.count()
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(normalize_ws(F.col(text_col)))).alias("token"),
-    )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # ONE Arrow term-count kernel pass replaces explode + the
+    # per-occurrence (doc, token) aggregation (r19; row identity with
+    # the explode form pinned in tests/test_dedup_text.py::
+    # test_term_counts_kernel_matches_explode — including the
+    # empty-string token an empty doc's unfiltered split yields);
+    # localCheckpoint so the df rollup and the scoring join read the
+    # same materialized rows instead of re-running the kernel.
+    tf = term_counts(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(normalize_ws(F.col(text_col))).alias("_ws"),
+        ),
+        ["doc_id"],
+        "_ws",
+    ).localCheckpoint(eager=True)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= int(df_cap_frac * n_docs)
     )

@@ -904,9 +904,14 @@ def _dsir_token_col(text_col: str = "text") -> F.Column:
 
 
 def _dsir_feats_expr() -> F.Column:
-    """Unigram+bigram feature array over the `_ws` token column — ONE
-    definition shared by dsir_logweights and dsir_bucket_map so the
-    exported (feature → bucket) mapping is lossless by construction."""
+    """Unigram+bigram feature array over the `_ws` token column — the
+    Catalyst definition of the DSIR feature family. dsir_bucket_map
+    (the oracle bridge) still evaluates it directly; dsir_logweights'
+    tf pass moved to the equivalent Arrow kernel
+    (functions/tokenstream.feature_counts) in r19, with row identity
+    between the two forms pinned by
+    tests/test_dedup_text.py::test_dsir_kernel_matches_explode_form —
+    so the exported (feature → bucket) mapping stays lossless."""
     t = F.col("_ws")
     idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(0)))
     bigrams = F.when(
@@ -967,27 +972,41 @@ def dsir_logweights(
     noise for sampled selection; the deterministic weight is the
     engine artifact).
 
-    Plan: one explode-free eager scan for the two totals — feature-
-    array SIZE is closed-form in the token count (n + max(n−1, 0) for
+    Plan (r19 — the hashed-feature Arrow kernel round): one
+    explode-free eager scan for the two totals — feature-array SIZE is
+    closed-form in the token count (n + max(n−1, 0) for
     unigrams+bigrams), so the totals pass tokenizes but never builds a
     bigram string (r18, measured 2.29 → 1.02 s on the 236 MB replica,
-    identical totals) — then the two-pass tf-join-bucket-table shape
-    (tfidf/lm_surprisal's plan class): the (doc, bucket) counts shuffle
-    once, the ≤n_buckets-row weight table comes back as a broadcast
-    join. The three aggregation branches deliberately KEEP their own
-    map-side partial aggregates over the exploded stream — an r18
-    attempt to derive raw/target bucket counts from the (doc, flag,
-    bucket) aggregate via a shared exchange measured 14.0 → 17.7 s at
-    236 MB: the bucket tables' direct partial aggs collapse to
-    ~n_buckets rows map-side, which is cheaper than re-reading the big
-    per-doc exchange twice. Nothing is per-row Python.
-    Rows-only (oracle budget 99/100); closed-form values pinned in
+    identical totals) — then ONE functions/tokenstream.feature_counts
+    mapInArrow pass emits final (doc, flag, feat, count) rows (a doc
+    lives wholly inside its row: no Generate, no per-occurrence
+    aggregation, bigram strings built once by a vectorized Arrow join
+    instead of a per-token Catalyst lambda). The kernel output is
+    localCheckpoint'd and read by BOTH consumers: (a) one combined
+    bucket rollup — sum(c) and sum(c where target) per bucket in a
+    single aggregation whose partial aggs collapse to ≤n_buckets rows
+    map-side (replacing the r12–r18 raw_b/tgt_b explode branches and
+    their left join; this is NOT the r18-reverted shared-EXCHANGE
+    shape — the revert re-read a big per-doc shuffle, this reads a
+    local checkpoint) — and (b) the per-doc scoring join against the
+    broadcast weight table, whose per-doc partial agg collapses to
+    ~one row per doc because the kernel emits a doc's rows
+    contiguously (the old (doc,bucket) pre-aggregation is dropped
+    outright: the weighted sum is linear in the counts, so feat-level
+    rows give identical n_feats/_lw). Nothing is per-row Python
+    beyond the one Arrow kernel.
+    Oracle: sidecar-backed (dsir_bucket_map export bridges the
+    xxhash64 buckets, registry.oracle_sql_for re-bakes per SF);
+    closed-form values pinned in
     tests/test_dedup_text.py::test_dsir_closed_form and the
-    language-separation invariant alongside."""
+    language-separation invariant alongside; row identity vs the r18
+    explode form pinned in
+    tests/test_dedup_text.py::test_dsir_kernel_matches_explode_form."""
+    from cs598vectordb_spark.functions.tokenstream import feature_counts
+
     mid = docs.select(
         F.col(id_col), target.alias("_is_t"), _dsir_token_col(text_col)
     )
-    feats = _dsir_feats_expr()
 
     # size(concat(t, bigrams)) == size(t) + greatest(size(t)-1, 0),
     # including the empty (0) and single-token (1) cases; null text
@@ -1002,35 +1021,37 @@ def dsir_logweights(
     ).collect()[0]
     t_raw, t_tgt = int(totals["raw"]), int(totals["tgt"])
 
-    exploded = mid.select(
-        F.col(id_col), F.col("_is_t"), F.explode(feats).alias("feat")
-    ).select(
-        id_col,
-        "_is_t",
-        F.pmod(F.xxhash64("feat"), F.lit(n_buckets)).alias("bucket"),
-    )
-    per_doc = exploded.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    raw_b = exploded.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt_b = (
-        exploded.filter("_is_t")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    bucketed = (
+        feature_counts(mid, [id_col, "_is_t"], "_ws")
+        .select(
+            id_col,
+            "_is_t",
+            F.pmod(F.xxhash64("feat"), F.lit(n_buckets)).alias("bucket"),
+            "c",
+        )
+        .localCheckpoint(eager=True)
     )
     # Laplace-smoothed log-likelihood ratio per bucket; every doc
-    # feature has c_raw >= 1 by construction, c_tgt may be absent
-    w = raw_b.join(tgt_b, "bucket", "left").select(
+    # feature has c_raw >= 1 by construction, c_tgt of a bucket with
+    # no target rows sums to NULL -> coalesce 0, the exact value the
+    # old raw_b LEFT JOIN tgt_b produced for an absent bucket
+    b = bucketed.groupBy("bucket").agg(
+        F.sum("c").alias("c_raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("_is_t"), F.col("c"))), F.lit(0)
+        ).alias("c_tgt"),
+    )
+    w = b.select(
         "bucket",
         (
-            F.log(F.coalesce(F.col("c_tgt"), F.lit(0)).cast("double") + 1.0)
+            F.log(F.col("c_tgt").cast("double") + 1.0)
             - F.log(F.lit(float(t_tgt + n_buckets)))
             - F.log(F.col("c_raw").cast("double") + 1.0)
             + F.log(F.lit(float(t_raw + n_buckets)))
         ).alias("w"),
     )
     per = (
-        per_doc.join(F.broadcast(w), "bucket")
+        bucketed.join(F.broadcast(w), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_feats"),
@@ -1274,34 +1295,42 @@ def lm_surprisal(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     prose scores high — the complement of the repetition bank, which
     sees within-doc structure but not corpus-typicality.
 
-    Plan: the corpus token total comes from one EXPLODE-FREE eager
-    scan (sum of per-row array sizes — a projection aggregate, no
-    shuffle of the token stream); the main plan is a (doc, token)
-    term-frequency agg joined to the vocabulary rollup derived from it
-    — the tf subtree appears on both sides of that join (two Generate
-    nodes), the same two-pass shape as tfidf_keywords, because any
-    1-row in-plan statistic would duplicate the full explode lineage
-    instead (ReuseExchange cannot dedup the two tf exchanges: column
-    pruning makes them structurally different — measured, not
-    assumed). AQE broadcasts a small vocabulary; keys are uniform at
-    scale; one per-doc agg with tf-weighted mean. Empty docs keep a
-    zero row via the left join.
+    Plan (r19 — the hashed-feature/term-count Arrow kernel round): the
+    corpus token total comes from one EXPLODE-FREE eager scan (sum of
+    per-row array sizes — a projection aggregate, no shuffle of the
+    token stream); the (doc, token) term frequencies come from ONE
+    functions/tokenstream.term_counts mapInArrow pass (a document
+    lives wholly inside its row, so the kernel's counts are final —
+    no Generate node, no per-occurrence aggregation; the r12–r18 form
+    exploded the token stream TWICE because ReuseExchange could not
+    dedup the two differently-pruned tf subtrees — measured, not
+    assumed). The kernel output is localCheckpoint'd so the vocabulary
+    rollup and the scoring join read the same materialized rows
+    instead of re-running the kernel; the rollup's partial aggregate
+    collapses to vocabulary size map-side, AQE broadcasts it back, and
+    the per-doc agg's input rows arrive contiguous per doc, so its
+    partial aggregate collapses to ~one row per doc before the
+    exchange. Empty docs keep a zero row via the left join.
     ORACLE PROMOTED r12 (the r11 queue, funded by the token_counts
     retirement) — the full formula recomputed by DuckDB in
     queries_text.py. Measured rate ~19 MB/s at the kernel-bound 153 MB
-    corpus (r12, full-output write, 32 threads). Exact values pinned
+    corpus (r12, full-output write, 32 threads) → see
+    OPTIMIZATION_r19.md for the r19 kernel A/B. Exact values pinned
     on a closed-form corpus in
-    tests/test_dedup_text.py::test_lm_surprisal_closed_form."""
+    tests/test_dedup_text.py::test_lm_surprisal_closed_form; row
+    identity vs the explode form pinned in
+    tests/test_dedup_text.py::test_term_counts_kernel_matches_explode."""
+    from cs598vectordb_spark.functions.tokenstream import term_counts
+
     tok_arr = F.filter(
         tokens(normalize_ws(F.col(text_col))), lambda w: F.length(w) > 0
     )
     total = int(
         docs.agg(F.sum(F.size(tok_arr)).alias("n")).collect()[0]["n"] or 0
     )
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(normalize_ws(F.col(text_col)))).alias("token")
-    ).filter(F.length("token") > 0)
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = term_counts(
+        docs.select(F.col(id_col), tok_arr.alias("_ws")), [id_col], "_ws"
+    ).localCheckpoint(eager=True)
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("c"))
     scored = tf.join(vocab, "token").select(
         id_col,

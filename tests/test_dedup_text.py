@@ -1526,3 +1526,156 @@ def test_dedup_clusters_deep_chain(spark):
         for r in dedup.dedup_clusters(docs, threshold=0.5).collect()
     }
     assert all(out[i] == (0, 6) for i in range(6)), out
+
+
+def _edge_docs(spark):
+    """Docs exercising every tokenizer edge: NULL text, empty text,
+    whitespace-only, single token, repeated tokens, multi-space runs."""
+    return spark.createDataFrame(
+        [
+            (1, "The cat sat on the the mat", "en"),
+            (2, "", "en"),
+            (3, None, "en"),
+            (4, "one", "es"),
+            (5, "a b a b a", "en"),
+            (6, "  spaced   out  ", "de"),
+            (7, "\t tabs\nand newlines \t", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_term_counts_kernel_matches_explode(spark, sf_dir):
+    """The r19 Arrow term-count kernels (functions/tokenstream) must be
+    row-identical to the explode + groupBy-per-token forms they
+    replaced, on the real fixture AND on tokenizer edge docs (NULL
+    text, empty text -> the unfiltered split's empty-string token,
+    whitespace-only, single-token)."""
+    from cs598vectordb_spark.functions.text import normalize_ws, tokens
+    from cs598vectordb_spark.functions.tokenstream import (
+        feature_counts,
+        term_counts,
+    )
+
+    for docs in (load_table(spark, sf_dir, "documents"), _edge_docs(spark)):
+        # bm25's unfiltered path: empty docs keep their "" token
+        arr = tokens(normalize_ws(F.col("text")))
+        new = term_counts(
+            docs.select("doc_id", arr.alias("_ws")), ["doc_id"], "_ws"
+        )
+        old = (
+            docs.select("doc_id", F.explode(arr).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        got = sorted(tuple(r) for r in new.collect())
+        want = sorted(tuple(r) for r in old.collect())
+        assert got == want and len(got) > 0
+        # nullability may differ (kernel DDL declares nullable); names
+        # and types must not
+        assert [(f.name, f.dataType) for f in new.schema] == [
+            (f.name, f.dataType) for f in old.schema
+        ]
+
+        # dsir's unigram+bigram feature family
+        mid = docs.select(
+            "doc_id", (F.col("lang") == "en").alias("_is_t"),
+            textops._dsir_token_col("text"),
+        )
+        newf = feature_counts(mid, ["doc_id", "_is_t"], "_ws")
+        oldf = (
+            mid.select(
+                "doc_id", "_is_t",
+                F.explode(textops._dsir_feats_expr()).alias("feat"),
+            )
+            .groupBy("doc_id", "_is_t", "feat")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        gotf = sorted(
+            tuple(r) for r in newf.collect()
+        )
+        wantf = sorted(tuple(r) for r in oldf.collect())
+        assert gotf == wantf and len(gotf) > 0
+        assert [(f.name, f.dataType) for f in newf.schema] == [
+            (f.name, f.dataType) for f in oldf.schema
+        ]
+
+
+def test_dsir_kernel_matches_explode_form(spark, sf_dir):
+    """dsir_logweights' r19 kernel formulation (one feature_counts pass
+    + combined bucket rollup + feat-level weighted sum) must reproduce
+    the r18 three-branch explode formulation row for row on the real
+    fixture plus edge docs appended."""
+    docs = load_table(spark, sf_dir, "documents").unionByName(
+        _edge_docs(spark).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        ),
+        allowMissingColumns=True,
+    )
+    n_buckets, id_col = 10_000, "doc_id"
+    target = F.col("lang") == "en"
+
+    # --- the r18 formulation, reconstructed inline ---
+    mid = docs.select(
+        F.col(id_col), target.alias("_is_t"), textops._dsir_token_col("text")
+    )
+    nt = F.size(F.col("_ws"))
+    n_feats_row = nt + F.greatest(nt - F.lit(1), F.lit(0))
+    totals = mid.agg(
+        F.coalesce(F.sum(n_feats_row), F.lit(0)).alias("raw"),
+        F.coalesce(
+            F.sum(F.when(F.col("_is_t"), n_feats_row).otherwise(0)), F.lit(0)
+        ).alias("tgt"),
+    ).collect()[0]
+    t_raw, t_tgt = int(totals["raw"]), int(totals["tgt"])
+    exploded = mid.select(
+        F.col(id_col), F.col("_is_t"),
+        F.explode(textops._dsir_feats_expr()).alias("feat"),
+    ).select(
+        id_col, "_is_t",
+        F.pmod(F.xxhash64("feat"), F.lit(n_buckets)).alias("bucket"),
+    )
+    per_doc = exploded.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    raw_b = exploded.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt_b = (
+        exploded.filter("_is_t").groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    w = raw_b.join(tgt_b, "bucket", "left").select(
+        "bucket",
+        (
+            F.log(F.coalesce(F.col("c_tgt"), F.lit(0)).cast("double") + 1.0)
+            - F.log(F.lit(float(t_tgt + n_buckets)))
+            - F.log(F.col("c_raw").cast("double") + 1.0)
+            + F.log(F.lit(float(t_raw + n_buckets)))
+        ).alias("w"),
+    )
+    per = (
+        per_doc.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c").cast("double") * F.col("w")).alias("_lw"),
+        )
+    )
+    old = (
+        docs.select(id_col, target.alias("is_target"))
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            "is_target",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.round(F.coalesce(F.col("_lw"), F.lit(0.0)), 4).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+    want = sorted(tuple(r) for r in old.collect())
+    got = sorted(
+        tuple(r)
+        for r in textops.dsir_logweights(docs, target).collect()
+    )
+    assert got == want and len(got) > 0

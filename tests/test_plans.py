@@ -330,19 +330,37 @@ def test_repetition_scores_single_arrow_pass(spark, sf_dir):
     assert "sort_array" not in opt, "interpreted HOF sort passes came back"
 
 
-def test_lm_surprisal_two_generates_and_no_python(spark, sf_dir):
-    """lm_surprisal's plan class (pinned after the r11 review fix): the
-    token stream is exploded exactly twice (tf side + vocab rollup —
-    the tfidf two-pass shape; an in-plan global total would add a
-    third), the vocabulary joins back without a cartesian, and nothing
-    is per-row Python."""
+def test_lm_surprisal_kernel_no_generate_no_rowwise_python(spark, sf_dir):
+    """lm_surprisal's r19 plan class: the (doc, token) term frequencies
+    come from ONE tokenstream.term_counts mapInArrow kernel — the
+    r12–r18 form exploded the token stream TWICE (ReuseExchange could
+    not dedup the differently-pruned tf subtrees) — so (a) the
+    INTERNAL tf pipeline is a single MapInArrow with zero Generate
+    nodes, and (b) the outer plan (which reads the tf localCheckpoint)
+    has zero Generate nodes, no cartesian, and no row-wise Python
+    (BatchEvalPython / pickled MapInPandas)."""
+    from cs598vectordb_spark.functions.text import normalize_ws, tokens
+    from cs598vectordb_spark.functions.tokenstream import term_counts
     from cs598vectordb_spark.operators.textops import lm_surprisal
     from cs598vectordb_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    tok_arr = F.filter(
+        tokens(normalize_ws(F.col("text"))), lambda w: F.length(w) > 0
+    )
+    inner = plan_of(
+        term_counts(
+            docs.select(F.col("doc_id"), tok_arr.alias("_ws")),
+            ["doc_id"],
+            "_ws",
+        )
+    )
+    assert "MapInArrow" in inner, inner
+    assert "Generate" not in inner, inner
+
     df = lm_surprisal(docs)
     phys = df._jdf.queryExecution().executedPlan().toString()
-    assert phys.count("Generate") == 2, phys.count("Generate")
+    assert phys.count("Generate") == 0, phys.count("Generate")
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
