@@ -89,48 +89,68 @@ def _vectorized_rolling(shingles: list[str], mod: int) -> np.ndarray:
     return np.add.reduceat(terms, starts) % mod
 
 
+# Rows per kernel yield: the kernel re-slices whatever Arrow batch size
+# the session delivers (default maxRecordsPerBatch=10000) into chunks
+# this big. Measured r19 (tools/ab_r19_shingle.py, 153 MB replica,
+# interleaved, 9 rotations): yielding full 10k-row batches ran the pass
+# at 13.7 s median with 5-33 s walls (the nested hashes output makes
+# per-yield object-column -> Arrow conversion and JVM-side buffering
+# balloon), while <=2048-row yields ran 3.0 s median with tight walls
+# (~4.5x) - equal to the best session-wide-batch-size setting WITHOUT
+# touching maxRecordsPerBatch, which the GEMM-heavy kNN kernels want
+# large. A pipelining granule, not a scale knob: it bounds per-yield
+# Python/GC work regardless of input size.
+SHINGLE_CHUNK_ROWS = 2048
+
+
 def shingle_hashes(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """(doc_id, hashes ARRAY<BIGINT>): rolling-hash of each distinct
     3-gram word shingle of the normalized text.
 
-    Arrow mapInPandas kernel: per Arrow batch, the distinct not-yet-seen
-    shingles are hashed in ONE vectorized numpy pass (_vectorized_rolling)
-    and memoized — the hottest LLM-pipeline kernel has no per-character
+    Arrow mapInPandas kernel: per <=SHINGLE_CHUNK_ROWS slice of each
+    Arrow batch, the distinct not-yet-seen shingles are hashed in ONE
+    vectorized numpy pass (_vectorized_rolling) and memoized across the
+    whole task — the hottest LLM-pipeline kernel has no per-character
     Python loop left. Values are bit-identical to the Catalyst/DuckDB
     formulation (acc = (acc*31 + code) % 1e9+7, left to right).
     Tokenization matches normalize_ws + split: lowercase, whitespace runs
-    collapse (Python str.split()), first-occurrence dedup."""
+    collapse (Python str.split()), first-occurrence dedup. Row identity
+    incl. the chunk boundary is pinned by
+    tests/test_dedup_text.py::test_shingle_chunking_row_identity."""
     mod = ROLLING_MOD
+    chunk = SHINGLE_CHUNK_ROWS
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}
 
         for pdf in batches:
-            ids, per_doc = [], []
-            fresh: dict[str, None] = {}
-            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                toks = (text or "").lower().split()
-                if len(toks) >= n:
-                    grams = list(
-                        dict.fromkeys(
-                            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                ids, per_doc = [], []
+                fresh: dict[str, None] = {}
+                for did, text in zip(part[id_col].tolist(), part[text_col].tolist()):
+                    toks = (text or "").lower().split()
+                    if len(toks) >= n:
+                        grams = list(
+                            dict.fromkeys(
+                                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                            )
                         )
-                    )
-                    for g in grams:
-                        if g not in cache:
-                            fresh[g] = None
-                else:
-                    grams = []
-                ids.append(did)
-                per_doc.append(grams)
-            new = list(fresh)
-            for g, h in zip(new, _vectorized_rolling(new, mod)):
-                cache[g] = int(h)
-            yield pd.DataFrame(
-                {id_col: ids, "hashes": [[cache[g] for g in grams] for grams in per_doc]}
-            )
+                        for g in grams:
+                            if g not in cache:
+                                fresh[g] = None
+                    else:
+                        grams = []
+                    ids.append(did)
+                    per_doc.append(grams)
+                new = list(fresh)
+                for g, h in zip(new, _vectorized_rolling(new, mod)):
+                    cache[g] = int(h)
+                yield pd.DataFrame(
+                    {id_col: ids, "hashes": [[cache[g] for g in grams] for grams in per_doc]}
+                )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, f"{id_col} long, hashes array<long>")
 

@@ -1679,3 +1679,31 @@ def test_dsir_kernel_matches_explode_form(spark, sf_dir):
         for r in textops.dsir_logweights(docs, target).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_shingle_chunking_row_identity(spark, monkeypatch):
+    """shingle_hashes re-slices each Arrow batch into
+    SHINGLE_CHUNK_ROWS-row yields (r19 pipelining fix; the memo cache
+    spans chunks within a task). Row identity must hold across the
+    chunk boundary: a >1-chunk corpus hashed with the shipped chunk
+    size equals the same corpus hashed in one unbounded chunk."""
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon token"),
+            F.col("id").cast("string"),
+            F.lit(" zeta eta theta"),
+        ).alias("text"),
+    ).coalesce(1)  # one partition -> one task sees all 3000 rows
+
+    assert dedup.SHINGLE_CHUNK_ROWS < 3000
+    chunked = {
+        r["doc_id"]: r["hashes"]
+        for r in dedup.shingle_hashes(docs).collect()
+    }
+    monkeypatch.setattr(dedup, "SHINGLE_CHUNK_ROWS", 1 << 30)
+    unchunked = {
+        r["doc_id"]: r["hashes"]
+        for r in dedup.shingle_hashes(docs).collect()
+    }
+    assert chunked == unchunked and len(chunked) == 3000
