@@ -59,6 +59,11 @@ NLIST = int(os.environ.get("CS598_SD_NLIST", "8"))
 TAU = float(os.environ.get("CS598_SD_TAU", "0.35"))
 SLICES = int(os.environ.get("CS598_SD_SLICES", "4"))
 SHARDS = int(os.environ.get("CS598_SD_SHARDS", "16"))
+# run only the first N slices (r19: one-slice quiet-window re-draw of
+# the r18 contended 10M run, VERDICT r18 item 7 — same base, same
+# index build, 1/SLICES of the train stream; rows/s is computed from
+# the rows actually processed, so it is comparable across limits)
+SLICE_LIMIT = int(os.environ.get("CS598_SD_SLICE_LIMIT", str(SLICES)))
 
 spark = get_spark("xl-semdecon")
 n_total = N_TRAIN + N_EVAL
@@ -91,7 +96,7 @@ shutil.rmtree(sink, ignore_errors=True)
 join_s = 0.0
 sink_s = 0.0
 out_rows = 0
-for sl in range(SLICES):
+for sl in range(min(SLICES, SLICE_LIMIT)):
     qs = train.filter(F.col("q_id") % SLICES == sl) if SLICES > 1 else train
     o = knn_join_ivf(
         qs, idx, k=1, nprobe=NLIST, metric="cosine", query_shards=SHARDS
@@ -113,8 +118,12 @@ for sl in range(SLICES):
         del o
         spark.sparkContext._jvm.System.gc()
 rec["out_rows"] = out_rows
+rec["slices_run"] = min(SLICES, SLICE_LIMIT)
 rec["join_s"] = round(join_s, 1)
-rec["train_rows_per_s"] = round(N_TRAIN / join_s, 1)
+# out_rows == train rows processed (k=1 -> one row each), so this is
+# identical to N_TRAIN/join_s on a full run and stays honest under
+# SLICE_LIMIT
+rec["train_rows_per_s"] = round(out_rows / join_s, 1)
 rec["sink_write_s"] = round(sink_s, 1)
 
 out = spark.read.parquet(sink)
@@ -150,7 +159,8 @@ rec["calibration_end"] = bench._host_calibration()
 
 idx.assigned.unpersist()
 eval_set.unpersist()
-path = f"/tmp/semdecon_{N_TRAIN // 1_000_000}m_e{N_EVAL // 1_000}k.json"
+sfx = f"_s{SLICE_LIMIT}of{SLICES}" if SLICE_LIMIT < SLICES else ""
+path = f"/tmp/semdecon_{N_TRAIN // 1_000_000}m_e{N_EVAL // 1_000}k{sfx}.json"
 with open(path, "w") as fh:
     json.dump(rec, fh)
 print(json.dumps(rec))
